@@ -420,3 +420,55 @@ def extract_links(html: str, base_url: str) -> list[tuple[str, int, bool]]:
         out.append((absolute, ix, id(node) in nav_scope))
         ix += 1
     return out
+
+
+def discover_nav_urls(
+    html: str, base_url: str, discovery_selector: str = "nav, aside, [role='navigation']"
+) -> list[str]:
+    """Parity with ``discoverNavigationUrls`` (reference src/core.ts:87-131):
+    anchors under the discovery-selector containers, DOM order, resolved
+    absolute, ``javascript:``/bare-fragment dropped, in-page dedup via
+    insertion-ordered set. Scope (match/exclude) filtering happens at the
+    call site like the reference's in-page filter (src/core.ts:115-128).
+
+    Driver-side single-page helper (the reference runs this once per job in
+    a pre-crawl browser step); the bulk path uses ``extract_links`` UDFs.
+    """
+    from .urlnorm import resolve_href
+
+    if not html:
+        return []
+    root = parse_html(html)
+    seen: set[str] = set()
+    out: list[str] = []
+    for container in query_selector_all(root, discovery_selector):
+        for n in container.iter():
+            if n.tag != "a":
+                continue
+            href = n.attrs.get("href")
+            if href is None:
+                continue
+            href = unescape(href).strip()
+            if not href or href.startswith("javascript:") or href.startswith("#"):
+                continue
+            absolute = resolve_href(base_url, href)
+            if absolute is None or absolute in seen:
+                continue
+            seen.add(absolute)
+            out.append(absolute)
+    return out
+
+
+_SITEMAP_LOC = re.compile(r"<loc>\s*([^<\s][^<]*?)\s*</loc>", re.IGNORECASE)
+
+
+def parse_sitemap(content: str) -> list[str]:
+    """Sitemap XML → URL list in document order (reference expands sitemap
+    seeds via crawlee's ``downloadListOfUrls``, src/core.ts:335-352). Falls
+    back to whitespace-separated plain-text URL lists."""
+    if not content:
+        return []
+    locs = _SITEMAP_LOC.findall(content)
+    if locs:
+        return [unescape(u) for u in locs]
+    return [tok for tok in content.split() if tok.startswith(("http://", "https://"))]

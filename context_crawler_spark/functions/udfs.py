@@ -1,0 +1,206 @@
+"""Vectorized pandas/Arrow UDFs — the ONLY Python that touches row data.
+
+Per the engine contract (BASELINE.json input_hint: "vectorized pandas/Arrow
+UDFs (no per-row Python) throughout"), every Python computation over column
+data goes through these Arrow-batched UDFs. Scheduling-path expressions
+(hashing, glob filters, ordering, budgets) stay JVM-side via built-in
+``pyspark.sql.functions`` — see operators/*.
+
+Each UDF wraps a pure function from ``functions/`` so unit tests cover the
+semantics without a SparkSession and the UDF layer stays trivial glue.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from . import chunker, extract, textstats, tokens, urlnorm
+
+
+def _as_str(html) -> str:
+    """html column is binary per input_hint; accept str or bytes."""
+    if html is None:
+        return ""
+    if isinstance(html, (bytes, bytearray)):
+        return bytes(html).decode("utf-8", "replace")
+    return html
+
+
+# -- URL canonicalization ----------------------------------------------------
+
+@F.pandas_udf(StringType())
+def canonicalize_url_udf(urls: pd.Series) -> pd.Series:
+    return urls.map(lambda u: urlnorm.canonicalize_url(u) if u is not None else None)
+
+
+@F.pandas_udf(StringType())
+def url_host_udf(urls: pd.Series) -> pd.Series:
+    return urls.map(lambda u: urlnorm.url_host(u) if u is not None else None)
+
+
+@F.pandas_udf(StringType())
+def registered_domain_udf(urls: pd.Series) -> pd.Series:
+    def f(u):
+        h = urlnorm.url_host(u) if u is not None else None
+        return urlnorm.registered_domain(h) if h else None
+
+    return urls.map(f)
+
+
+# -- Extraction (the byte-identical parity surface) ---------------------------
+
+def make_extract_text_udf(selector: str):
+    """Extraction UDF for a plan-time-constant selector (reference
+    getPageHtml, src/core.ts:32-51). Selector is captured in the closure so
+    the hot loop is a plain map over the Arrow batch."""
+
+    @F.pandas_udf(StringType())
+    def extract_text_udf(html: pd.Series) -> pd.Series:
+        return html.map(lambda h: extract.extract_text(_as_str(h), selector))
+
+    return extract_text_udf
+
+
+@F.pandas_udf(StringType())
+def extract_text2_udf(html: pd.Series, selector: pd.Series) -> pd.Series:
+    """Two-arg variant for per-row selectors (multi-job batches)."""
+    return pd.Series(
+        [extract.extract_text(_as_str(h), s or "body") for h, s in zip(html, selector)]
+    )
+
+
+@F.pandas_udf(StringType())
+def extract_title_udf(html: pd.Series) -> pd.Series:
+    return html.map(lambda h: extract.extract_title(_as_str(h)))
+
+
+LINK_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("href", StringType(), False),
+            StructField("link_index", IntegerType(), False),
+            StructField("is_nav", BooleanType(), False),
+        ]
+    )
+)
+
+
+@F.pandas_udf(LINK_TYPE)
+def extract_links_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
+    """All anchors in DOM order (reference enqueueLinks, src/core.ts:203-207
+    + discoverNavigationUrls scope flag, src/core.ts:87-131)."""
+    return pd.Series(
+        [
+            extract.extract_links(_as_str(h), u or "")
+            for h, u in zip(html, base_url)
+        ]
+    )
+
+
+# -- Token counting / chunking ------------------------------------------------
+
+@F.pandas_udf(IntegerType())
+def count_tokens_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: tokens.count_tokens(t or ""))
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def chunk_text_udf(title: pd.Series, url: pd.Series, text: pd.Series) -> pd.Series:
+    """Recursive character splitting with the reference's framing and
+    defaults (src/llm-service.ts:129-145)."""
+    return pd.Series(
+        [
+            chunker.split_document(t or "", u or "", x or "")
+            for t, u, x in zip(title, url, text)
+        ]
+    )
+
+
+@F.pandas_udf(LongType())
+def rolling_fingerprint_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: tokens.rolling_fingerprint(t or "") & ((1 << 63) - 1))
+
+
+# -- Text analysis -------------------------------------------------------------
+
+LANG_TYPE = StructType(
+    [
+        StructField("lang", StringType(), False),
+        StructField("lang_score", DoubleType(), False),
+    ]
+)
+
+
+@F.pandas_udf(LANG_TYPE)
+def detect_language_udf(text: pd.Series) -> pd.DataFrame:
+    rows = [textstats.detect_language(t or "") for t in text]
+    return pd.DataFrame(rows, columns=["lang", "lang_score"])
+
+
+@F.pandas_udf(DoubleType())
+def quality_score_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: textstats.quality_score(t or ""))
+
+
+@F.pandas_udf(LongType())
+def simhash_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: textstats.simhash64(t or ""))
+
+
+def make_minhash_udf(num_perm: int = 128, k: int = 5):
+    @F.pandas_udf(ArrayType(LongType()))
+    def minhash_udf(text: pd.Series) -> pd.Series:
+        return text.map(lambda t: textstats.minhash_signature(t or "", num_perm, k))
+
+    return minhash_udf
+
+
+def make_minhash_bands_udf(bands: int = 16):
+    @F.pandas_udf(ArrayType(LongType()))
+    def bands_udf(sig: pd.Series) -> pd.Series:
+        return sig.map(lambda s: textstats.minhash_bands(list(s), bands))
+
+    return bands_udf
+
+
+def make_simhash_bands_udf(bands: int = 4):
+    @F.pandas_udf(ArrayType(LongType()))
+    def bands_udf(sig: pd.Series) -> pd.Series:
+        return sig.map(lambda s: textstats.simhash_bands(int(s), bands))
+
+    return bands_udf
+
+
+@F.pandas_udf(DoubleType())
+def ngram_jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Exact word-3gram Jaccard between two text columns (verification stage
+    after LSH candidate generation)."""
+    return pd.Series(
+        [
+            textstats.jaccard(textstats.word_ngrams(x or ""), textstats.word_ngrams(y or ""))
+            for x, y in zip(a, b)
+        ]
+    )
+
+
+# -- Embeddings ----------------------------------------------------------------
+
+@F.pandas_udf(ArrayType(FloatType()))
+def embed_udf(text: pd.Series) -> pd.Series:
+    """Deterministic embedding stand-in (textstats.fake_embed). On a real
+    cluster this becomes a sentence-transformers/ONNX call over the same
+    Arrow batches (reference src/xenova-embeddings.ts:36-91, batch 512 ↔
+    spark.sql.execution.arrow.maxRecordsPerBatch)."""
+    return text.map(lambda t: textstats.fake_embed(t or "").tolist())

@@ -1,0 +1,81 @@
+"""Link expansion: fetched pages → in-scope candidate URLs.
+
+The reference enqueues links per page in DOM order through glob filters
+(``enqueueLinks`` with globs/exclude, reference src/core.ts:203-207); nav
+discovery scopes to ``nav, aside, [role='navigation']``
+(src/core.ts:87-131). Here link extraction is ONE Arrow-batched pandas UDF
+over the html column; everything after (hygiene, glob scope, identity,
+in-batch dedup) is built-in JVM expressions — the glob matchers were
+compiled to anchored regexes at plan time (functions/globs.py) so scope
+filtering is a codegen'd ``rlike``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import CrawlConfig
+from ..functions.udfs import extract_links_udf
+from .ids import with_url_identity
+
+
+def scope_filter(df: DataFrame, config: CrawlConfig, url_col: str = "url") -> DataFrame:
+    """include ∧ ¬exclude (reference src/core.ts:115-128), compiled to rlike."""
+    inc = config.include_matcher().combined_regex()
+    exc = config.exclude_matcher().combined_regex()
+    out = df
+    if inc is not None:
+        out = out.filter(F.col(url_col).rlike(inc))
+    if exc is not None:
+        out = out.filter(~F.col(url_col).rlike(exc))
+    return out
+
+
+def expand_links(
+    fetched: DataFrame,
+    config: CrawlConfig,
+    nav_only: bool = False,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Fetched pages → candidate link rows.
+
+    Output: (url, parent_seq, link_index, depth, priority, host,
+    canonical_url, url_hash), first occurrence per canonical URL wins within
+    the batch (RequestQueue in-page/in-batch dedup order parity — ordered by
+    (parent_seq, link_index)).
+
+    Expects ``fetched`` to carry ``seq`` (parent ordering key) and ``depth``.
+    """
+    links = fetched.select(
+        F.col("seq").alias("parent_seq"),
+        (F.col("depth") + 1).alias("depth"),
+        F.posexplode_outer(extract_links_udf(F.col(html_col), F.col(url_col))).alias(
+            "__pos", "__link"
+        ),
+    ).select(
+        F.col("__link.href").alias("url"),
+        F.col("__link.link_index").alias("link_index"),
+        F.col("__link.is_nav").alias("is_nav"),
+        "parent_seq",
+        "depth",
+    ).filter(F.col("url").isNotNull())
+
+    if nav_only:
+        links = links.filter(F.col("is_nav"))
+    links = scope_filter(links, config)
+    links = with_url_identity(links)
+    # first-wins in-batch dedup: min (parent_seq, link_index) per canonical URL
+    w_key = F.struct(F.col("parent_seq"), F.col("link_index"))
+    best = links.groupBy("url_hash").agg(F.min(w_key).alias("__k"))
+    return (
+        links.join(best, on="url_hash", how="inner")
+        .filter(
+            (F.col("parent_seq") == F.col("__k.parent_seq"))
+            & (F.col("link_index") == F.col("__k.link_index"))
+        )
+        .drop("__k")
+        .dropDuplicates(["url_hash"])
+        .withColumn("priority", F.lit(config.priority))
+    )

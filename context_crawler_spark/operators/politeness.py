@@ -1,0 +1,105 @@
+"""Per-host politeness budgets and robots.txt enforcement.
+
+North-rule capabilities the reference lacks (its only analog is
+``maxConcurrency: 2`` per crawler, reference src/core.ts:214): cap fetches
+per registered domain per round, honor robots disallow rules, and survive
+host skew (one host holding 40% of the frontier must not serialize the round
+onto one task).
+
+Skew strategy — SALTED TWO-PHASE RANKING:
+  phase 1: rank within (host, salt) where ``salt = pmod(xxhash64(url), S)``;
+           any row in a host's global top-B is necessarily within the top-B
+           of its own salt group, so pruning to local_rank ≤ B is LOSSLESS
+           and cuts a hot host from M rows to at most S·B before any
+           single-task work happens
+  phase 2: exact rank over host on the pruned set (≤ S·B rows per host)
+Both phases are built-in window functions — JVM, codegen, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+def claim_order():
+    """Claim-order parity: SQLite ``ORDER BY priority DESC, createdAt ASC``
+    with implicit rowid tie-break (reference src/queue.ts:131-137). ``seq``
+    is the engine's deterministic rowid analog and created_at increases with
+    seq, so (priority DESC, seq ASC) is the same total order, stable under
+    parallelism. (Function, not module constant: Column construction needs
+    an active session in classic mode.)"""
+    return [F.col("priority").desc(), F.col("seq").asc()]
+
+
+def apply_politeness(
+    frontier: DataFrame,
+    budget_per_host: int,
+    host_col: str = "host",
+    salt_shards: int = 16,
+) -> DataFrame:
+    """Keep at most ``budget_per_host`` rows per host, chosen in claim order.
+
+    Dropped rows are NOT failures — the caller leaves them pending for the
+    next round (deferral, not rejection).
+    """
+    salt = F.pmod(F.xxhash64("url"), F.lit(salt_shards))
+    pruned = (
+        frontier.withColumn("__lr", F.row_number().over(
+            Window.partitionBy(F.col(host_col), salt).orderBy(*claim_order())))
+        .filter(F.col("__lr") <= budget_per_host)
+        .drop("__lr")
+    )
+    w_host = Window.partitionBy(host_col).orderBy(*claim_order())
+    return (
+        pruned.withColumn("__hr", F.row_number().over(w_host))
+        .filter(F.col("__hr") <= budget_per_host)
+        .drop("__hr")
+    )
+
+
+def apply_robots(
+    frontier: DataFrame,
+    robots: DataFrame | None,
+    host_col: str = "host",
+) -> DataFrame:
+    """Filter out URLs a robots rule disallows.
+
+    ``robots`` schema: (host, rule_type in ('allow','disallow'), path_prefix).
+    Google-style longest-match-wins: among matching rules for a URL, the one
+    with the longest path_prefix decides; ties → allow wins; no matching rule
+    → allowed. The robots table is per-host metadata (tiny next to the
+    frontier) → BROADCAST join; matching is pure built-in string expressions.
+    """
+    if robots is None:
+        return frontier
+    path = F.regexp_replace("url", r"^[a-z][a-z0-9+.-]*://[^/]*", "")
+    path = F.when(path == "", "/").otherwise(path)
+    rules = robots.select(
+        F.col("host").alias("__rhost"),
+        F.col("rule_type").alias("__rtype"),
+        F.col("path_prefix").alias("__rprefix"),
+    )
+    joined = (
+        frontier.withColumn("__path", path)
+        .join(
+            F.broadcast(rules),
+            on=(F.col(host_col) == F.col("__rhost"))
+            & F.col("__path").startswith(F.col("__rprefix")),
+            how="left",
+        )
+    )
+    # longest matching rule per URL; allow beats disallow on equal length.
+    # Unmatched rows contribute NULL, which max() skips → verdict NULL →
+    # allowed. Struct comparison is lexicographic (plen, then is_allow).
+    rule_val = F.when(
+        F.col("__rprefix").isNotNull(),
+        F.struct(
+            F.length("__rprefix").alias("plen"),
+            (F.col("__rtype") == "allow").cast("int").alias("is_allow"),
+        ),
+    )
+    group_cols = list(frontier.columns)
+    decided = joined.groupBy(*group_cols).agg(F.max(rule_val).alias("__verdict"))
+    return decided.filter(
+        F.col("__verdict").isNull() | (F.col("__verdict.is_allow") == 1)
+    ).drop("__verdict")

@@ -1,0 +1,450 @@
+"""The bulk-synchronous frontier scheduler — the engine's heart.
+
+Each crawl round (SURVEY.md §7.1), all as one declarative DataFrame plan
+committed atomically to the snapshot store:
+
+  1. read ``frontier`` @ HEAD; release stuck leases (reference
+     src/queue.ts:232-245)
+  2. retry-eligible pending rows (src/queue.ts:132-137)
+  3. robots broadcast-join filter + per-host politeness budget with salted
+     two-phase ranking (north rule; skew-proof)
+  4. claim-order the batch — ``priority DESC, created_at/seq ASC``
+     (src/queue.ts:131-137) — capped by the maxPages remainder
+     (src/core.ts:169-175)
+  5. "fetch" = join the Common-Crawl-style ``pages`` table on url (sandbox
+     stand-in for the mapInPandas HTTP stage); misses become retries with
+     exponential backoff (src/queue.ts:186-227)
+  6. extract title/text with Arrow-batched UDFs (byte-identical parity,
+     src/core.ts:32-51)
+  7. expand links (DOM order, glob scope, src/core.ts:203-207), anti-join
+     the bloom-prefiltered ``url_seen`` set, assign deterministic ``seq``
+  8. MERGE next frontier + url_seen + host_state; append ``pages_out``;
+     record metrics + per-partition lineage; commit ONE snapshot tagged
+     ``round-N`` — the checkpoint a killed run resumes from
+
+The crawl ordering produced at small scale is bit-for-bit the sequential
+reference semantics (tests/oracle.py); the same plan shapes survive 10^10
+rows: no collect() of data (only per-partition counts and single-page seed
+lookups), no single-partition windows, anti-joins bloom-prefiltered, skew
+salted, and every shuffle keyed on url_hash/host.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..config import SITEMAP_RE, CrawlConfig
+from ..functions import extract
+from ..functions.udfs import count_tokens_udf, make_extract_text_udf, extract_title_udf
+from ..operators import bloom
+from ..operators.ids import with_url_identity
+from ..operators.links import expand_links, scope_filter
+from ..operators.ordering import emit_fetch_batch, with_global_seq
+from ..operators.politeness import apply_politeness, apply_robots
+from ..operators.retry import apply_failures, eligible_pending, release_stuck_claims
+from ..state import SnapshotStore
+
+EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
+ROUND_INTERVAL_S = 60  # > max backoff (5s*2^2=20s), so retries mature next round
+
+FRONTIER_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("canonical_url", StringType(), False),
+        StructField("url_hash", LongType(), False),
+        StructField("host", StringType(), True),
+        StructField("status", StringType(), False),
+        StructField("priority", IntegerType(), False),
+        StructField("depth", IntegerType(), False),
+        StructField("parent_seq", LongType(), True),
+        StructField("link_index", IntegerType(), True),
+        StructField("seq", LongType(), False),
+        StructField("attempts", IntegerType(), False),
+        StructField("created_at", TimestampType(), False),
+        StructField("next_retry_at", TimestampType(), True),
+        StructField("claimed_at", TimestampType(), True),
+        StructField("completed_at", TimestampType(), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+_FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA.fields]
+
+
+def round_ts(round_ix: int) -> datetime:
+    """Deterministic round clock (replaces wall-clock now(); reference
+    timestamps are ISO strings of Date.now(), src/queue.ts:117)."""
+    return EPOCH + timedelta(seconds=round_ix * ROUND_INTERVAL_S)
+
+
+class CrawlScheduler:
+    """One crawl job over one snapshot store (reference: one queue row →
+    one ContextCrawlerCore run, src/worker.ts:28-128)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: SnapshotStore,
+        config: CrawlConfig,
+        pages: DataFrame,
+        n_buckets: int = 32,
+        use_bloom: bool = True,
+        expected_urls_per_bucket: int = 1 << 14,
+    ):
+        self.spark = spark
+        self.store = store
+        self.config = config
+        # the web stand-in: url -> (html, warc_ts, ...); cached because every
+        # round's fetch stage joins it
+        self.pages = pages
+        self.n_buckets = n_buckets
+        self.use_bloom = use_bloom
+        self.expected_urls_per_bucket = expected_urls_per_bucket
+        self.bloom_dir = f"{store.root}/bloom"
+        self._extract_text = make_extract_text_udf(config.selector)
+
+    # -- state accessors -------------------------------------------------------
+
+    @property
+    def meta(self) -> dict[str, Any]:
+        snap = self.store.snapshot()
+        return dict(snap.metadata) if snap else {}
+
+    def frontier(self) -> DataFrame | None:
+        return self.store.read(self.spark, "frontier")
+
+    def url_seen(self) -> DataFrame | None:
+        return self.store.read(self.spark, "url_seen")
+
+    def pages_out(self) -> DataFrame | None:
+        """Union of all per-round page outputs at HEAD (visit order =
+        (round, fetch_order))."""
+        snap = self.store.snapshot()
+        if snap is None:
+            return None
+        parts = sorted(t for t in snap.tables if t.startswith("pages_out_r"))
+        if not parts:
+            return None
+        out = None
+        for t in parts:
+            df = self.store.read(self.spark, t)
+            out = df if out is None else out.unionByName(df)
+        return out
+
+    def visit_order(self) -> list[str]:
+        po = self.pages_out()
+        if po is None:
+            return []
+        return [
+            r["url"]
+            for r in po.orderBy("round", "fetch_order").select("url").collect()
+        ]
+
+    # -- seeding (reference src/core.ts:265-352) -------------------------------
+
+    def _lookup_page_html(self, url: str) -> str | None:
+        row = self.pages.filter(F.col("url") == url).select("html").limit(1).collect()
+        if not row:
+            return None
+        h = row[0]["html"]
+        return bytes(h).decode("utf-8", "replace") if isinstance(h, (bytes, bytearray)) else h
+
+    def seed(self, extra_seeds: list[str] | None = None) -> None:
+        """Build the round-0 frontier: entry URL, nav-discovered links (DOM
+        order, scope-filtered), sitemap expansion — first-wins canonical
+        dedup, seq assigned in discovery order (src/core.ts:265,315,335-352).
+        """
+        cfg = self.config
+        seeds: list[str] = [cfg.entry] + list(extra_seeds or [])
+        if cfg.auto_discover_nav:
+            html = self._lookup_page_html(cfg.entry)
+            if html:
+                for u in extract.discover_nav_urls(html, cfg.entry, cfg.discovery_selector):
+                    if cfg.in_scope(u):
+                        seeds.append(u)
+        expanded: list[str] = []
+        for u in seeds:
+            if SITEMAP_RE.search(u.split("?")[0]):
+                content = self._lookup_page_html(u)
+                expanded.extend(v for v in extract.parse_sitemap(content or "")
+                                if cfg.in_scope(v))
+            else:
+                expanded.append(u)
+
+        t0 = round_ts(0)
+        rows = [(u, i) for i, u in enumerate(expanded)]
+        df = self.spark.createDataFrame(rows, "url string, discovery_ix long")
+        df = with_url_identity(df)
+        # first-wins canonical dedup in discovery order (RequestQueue parity)
+        first = df.groupBy("url_hash").agg(F.min("discovery_ix").alias("discovery_ix"))
+        df = df.join(first, on=["url_hash", "discovery_ix"], how="inner")
+        df = with_global_seq(df, [F.col("discovery_ix").asc()], seq_col="seq", start=0)
+        frontier = df.select(
+            "url", "canonical_url", "url_hash", "host",
+            F.lit("pending").alias("status"),
+            F.lit(cfg.priority).alias("priority"),
+            F.lit(0).alias("depth"),
+            F.lit(None).cast("long").alias("parent_seq"),
+            F.lit(None).cast("int").alias("link_index"),
+            "seq",
+            F.lit(0).alias("attempts"),
+            F.lit(t0).alias("created_at"),
+            F.lit(None).cast("timestamp").alias("next_retry_at"),
+            F.lit(None).cast("timestamp").alias("claimed_at"),
+            F.lit(None).cast("timestamp").alias("completed_at"),
+            F.lit(None).cast("string").alias("error"),
+        )
+        seen = frontier.select("url_hash", "canonical_url").withColumn(
+            "first_seen_round", F.lit(0)
+        )
+        n_seeds = frontier.count()
+        if self.use_bloom:
+            bloom_meta = bloom.build_bloom_shards(
+                seen, self.bloom_dir, self.n_buckets,
+                self.expected_urls_per_bucket,
+            )
+        else:
+            bloom_meta = None
+        self.store.commit(
+            {"frontier": frontier, "url_seen": seen},
+            metadata={
+                "round": 0,
+                "next_seq": int(n_seeds),
+                "fetched_total": 0,
+                "finished": False,
+                "bloom": bloom_meta,
+                "config": cfg.to_dict(),
+                "metrics": [],
+            },
+            tag="seed",
+        )
+
+    # -- one BSP round ----------------------------------------------------------
+
+    def run_round(self, robots: DataFrame | None = None) -> dict[str, Any]:
+        """Execute one crawl round; returns the round's metrics dict."""
+        meta = self.meta
+        r = int(meta["round"]) + 1
+        ts = round_ts(r)
+        ts_lit = F.lit(ts)
+        cfg = self.config
+
+        frontier = release_stuck_claims(self.frontier(), ts_lit)
+        eligible = eligible_pending(frontier, ts_lit)
+        if cfg.max_depth is not None:
+            eligible = eligible.filter(F.col("depth") <= cfg.max_depth)
+        if cfg.respect_robots and robots is not None:
+            allowed = apply_robots(eligible, robots)
+            robots_blocked = eligible.join(
+                allowed.select("url_hash"), "url_hash", "left_anti"
+            ).withColumn("status", F.lit("failed")).withColumn(
+                "error", F.lit("robots_disallowed")
+            )
+            eligible = allowed
+        else:
+            robots_blocked = None
+
+        polite = apply_politeness(eligible, cfg.politeness_budget)
+        remaining = None
+        if cfg.max_pages is not None:
+            remaining = cfg.max_pages - int(meta["fetched_total"])
+            if remaining <= 0:
+                return self._finish(meta, r, reason="max_pages")
+        batch = emit_fetch_batch(polite, remaining).persist()
+        n_batch = batch.count()
+        if n_batch == 0:
+            batch.unpersist()
+            return self._finish(meta, r, reason="frontier_empty")
+
+        # fetch = left join against the web stand-in (pages table)
+        fetched_raw = (
+            batch.withColumn("attempts", F.col("attempts") + 1)
+            .join(
+                self.pages.select(
+                    F.col("url").alias("__page_url"), "html", "warc_ts"
+                ),
+                F.col("url") == F.col("__page_url"),
+                "left",
+            )
+            .drop("__page_url")
+            .persist()
+        )
+        fetched = fetched_raw.filter(F.col("html").isNotNull())
+        missed = fetched_raw.filter(F.col("html").isNull()).select(*_FRONTIER_COLS)
+
+        # extract (Arrow UDFs) → per-round output table
+        pages_out = fetched.select(
+            F.lit(cfg.name).alias("job"),
+            "url", "canonical_url", "url_hash", "host", "depth", "seq",
+            extract_title_udf(F.col("html")).alias("title"),
+            self._extract_text(F.col("html")).alias("text"),
+            F.lit(r).alias("round"),
+            "fetch_order",
+            "warc_ts",
+        ).withColumn("n_tokens", count_tokens_udf(F.col("text"))).persist()
+        n_fetched = pages_out.count()
+
+        # link expansion → new frontier rows
+        candidates = expand_links(fetched, cfg)
+        if cfg.max_depth is not None:
+            candidates = candidates.filter(F.col("depth") <= cfg.max_depth)
+        seen = self.url_seen()
+        bloom_meta = meta.get("bloom") if self.use_bloom else None
+        new_links = bloom.anti_join_seen(
+            candidates, seen,
+            shards_dir=self.bloom_dir if bloom_meta else None,
+            bloom_meta=bloom_meta,
+        )
+        new_links = with_global_seq(
+            new_links,
+            [F.col("parent_seq").asc(), F.col("link_index").asc()],
+            seq_col="seq",
+            start=int(meta["next_seq"]),
+        ).persist()
+        n_new = new_links.count()
+
+        new_frontier_rows = new_links.select(
+            "url", "canonical_url", "url_hash", "host",
+            F.lit("pending").alias("status"),
+            F.col("priority").cast("int"),
+            F.col("depth").cast("int"),
+            "parent_seq",
+            "link_index",
+            "seq",
+            F.lit(0).alias("attempts"),
+            ts_lit.alias("created_at"),
+            F.lit(None).cast("timestamp").alias("next_retry_at"),
+            F.lit(None).cast("timestamp").alias("claimed_at"),
+            F.lit(None).cast("timestamp").alias("completed_at"),
+            F.lit(None).cast("string").alias("error"),
+        )
+
+        # frontier MERGE: batch rows transition, the rest carry forward
+        completed = fetched.select(*_FRONTIER_COLS).withColumn(
+            "status", F.lit("completed")
+        ).withColumn("claimed_at", ts_lit).withColumn("completed_at", ts_lit)
+        failed = apply_failures(
+            missed.withColumn("error", F.lit("fetch_miss")),
+            ts_lit, cfg.backoff_ms, cfg.max_attempts,
+        ).withColumn("claimed_at", ts_lit)
+        untouched = frontier.join(batch.select("url_hash"), "url_hash", "left_anti")
+        if robots_blocked is not None:
+            untouched = untouched.join(
+                robots_blocked.select("url_hash"), "url_hash", "left_anti"
+            ).unionByName(robots_blocked.select(*_FRONTIER_COLS))
+        next_frontier = (
+            untouched.select(*_FRONTIER_COLS)
+            .unionByName(completed.select(*_FRONTIER_COLS))
+            .unionByName(failed.select(*_FRONTIER_COLS))
+            .unionByName(new_frontier_rows.select(*_FRONTIER_COLS))
+        )
+
+        new_seen = new_links.select("url_hash", "canonical_url").withColumn(
+            "first_seen_round", F.lit(r)
+        )
+        next_seen = (seen.unionByName(new_seen) if seen is not None else new_seen)
+        if self.use_bloom and n_new > 0 and bloom_meta:
+            bloom.build_bloom_shards(
+                new_seen, self.bloom_dir, self.n_buckets,
+                self.expected_urls_per_bucket, merge_existing=True,
+            )
+
+        # host_state (per-host last fetch + totals) and per-partition lineage
+        host_state = pages_out.groupBy("host").agg(
+            F.max("warc_ts").alias("last_fetch_ts"),
+            F.count("*").alias("fetched"),
+        ).withColumn("round", F.lit(r))
+        prev_hs = self.store.read(self.spark, "host_state")
+        if prev_hs is not None:
+            host_state = (
+                prev_hs.select("host", "last_fetch_ts", F.col("fetched"), "round")
+                .unionByName(host_state)
+                .groupBy("host")
+                .agg(
+                    F.max("last_fetch_ts").alias("last_fetch_ts"),
+                    F.sum("fetched").alias("fetched"),
+                    F.max("round").alias("round"),
+                )
+            )
+        lineage = [
+            {"partition": int(row["pid"]), "rows": int(row["cnt"])}
+            for row in pages_out.groupBy(
+                F.spark_partition_id().alias("pid")
+            ).agg(F.count("*").alias("cnt")).collect()
+        ]
+
+        n_candidates = candidates.count()
+        metrics = {
+            "round": r,
+            "claimed": int(n_batch),
+            "fetched": int(n_fetched),
+            "fetch_misses": int(n_batch - n_fetched),
+            "candidates": int(n_candidates),
+            "new_urls": int(n_new),
+            "deduped": int(n_candidates - n_new),
+            "lineage": lineage,
+        }
+        self.store.commit(
+            {
+                "frontier": next_frontier,
+                "url_seen": next_seen,
+                f"pages_out_r{r}": pages_out,
+                "host_state": host_state,
+            },
+            metadata={
+                **meta,
+                "round": r,
+                "next_seq": int(meta["next_seq"]) + n_new,
+                "fetched_total": int(meta["fetched_total"]) + n_fetched,
+                "finished": False,
+                "metrics": meta.get("metrics", []) + [metrics],
+            },
+            tag=f"round-{r}",
+        )
+        for df in (batch, fetched_raw, pages_out, new_links):
+            df.unpersist()
+        return metrics
+
+    def _finish(self, meta: dict, r: int, reason: str) -> dict[str, Any]:
+        metrics = {"round": r, "claimed": 0, "fetched": 0, "finished": reason}
+        self.store.commit(
+            {},
+            metadata={**meta, "round": r, "finished": True,
+                      "finish_reason": reason,
+                      "metrics": meta.get("metrics", []) + [metrics]},
+            tag=f"round-{r}-final",
+        )
+        return metrics
+
+    # -- the driver loop ---------------------------------------------------------
+
+    def run(
+        self,
+        max_rounds: int = 1000,
+        robots: DataFrame | None = None,
+        extra_seeds: list[str] | None = None,
+    ) -> dict[str, Any]:
+        """Seed if fresh, then loop rounds until the frontier drains or a
+        budget hits. Safe to call on a killed run's store — resumes from the
+        last committed snapshot (north-rule resumability)."""
+        if self.store.head_id() is None:
+            self.seed(extra_seeds=extra_seeds)
+        for _ in range(max_rounds):
+            if self.meta.get("finished"):
+                break
+            m = self.run_round(robots=robots)
+            if m.get("finished"):
+                break
+        return self.meta

@@ -1,0 +1,169 @@
+"""Snapshot-committed table store — the engine's checkpoint/resume layer.
+
+Semantics are Apache Iceberg's (MVCC snapshots, atomic commit, time travel,
+rollback); the sandbox has no Iceberg runtime jars, so this module provides
+the same contract over plain parquet + a manifest pointer:
+
+  * every table version is an immutable parquet directory
+    ``data/{table}/v{snapshot}/``
+  * a snapshot is a JSON manifest mapping table → data dir, plus metadata
+    (round number, counters, tag)
+  * commit = write new table dirs, write ``manifests/{id}.json``, then
+    atomically rename a temp HEAD file over ``HEAD`` — a crash at ANY point
+    leaves the previous snapshot intact (the new dirs are invisible orphans)
+  * resume = read HEAD; rollback = point HEAD at an older manifest
+
+On a real cluster, swap ``SnapshotStore`` for an Iceberg catalog: commit →
+one transaction of ``MERGE INTO``/``writeTo().overwritePartitions()``,
+snapshots/tags → Iceberg snapshots/refs, rollback → ``rollback_to_snapshot``.
+The engine code (plans/driver.py) only touches this interface, so that swap
+is confined to this file. This mirrors the reference's durable-state design
+where SQLite WAL *is* the bus and the checkpoint (reference src/queue.ts:65,
+src/job-store.ts:38) — here the manifest pointer is the WAL tip.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    tables: dict[str, str]          # table name -> data dir (relative to root)
+    metadata: dict[str, Any] = field(default_factory=dict)
+    parent_id: int | None = None
+    tag: str | None = None
+
+
+class SnapshotStore:
+    """Versioned multi-table store with atomic snapshot commits."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+
+    # -- snapshot bookkeeping -------------------------------------------------
+
+    @property
+    def _head_path(self) -> str:
+        return os.path.join(self.root, "HEAD")
+
+    def head_id(self) -> int | None:
+        try:
+            with open(self._head_path) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def _manifest_path(self, snapshot_id: int) -> str:
+        return os.path.join(self.root, "manifests", f"{snapshot_id}.json")
+
+    def snapshot(self, snapshot_id: int | None = None) -> Snapshot | None:
+        sid = snapshot_id if snapshot_id is not None else self.head_id()
+        if sid is None:
+            return None
+        try:
+            with open(self._manifest_path(sid)) as f:
+                d = json.load(f)
+        except FileNotFoundError:
+            return None
+        return Snapshot(
+            snapshot_id=d["snapshot_id"],
+            tables=d["tables"],
+            metadata=d.get("metadata", {}),
+            parent_id=d.get("parent_id"),
+            tag=d.get("tag"),
+        )
+
+    def snapshots(self) -> list[Snapshot]:
+        out = []
+        mdir = os.path.join(self.root, "manifests")
+        for name in sorted(os.listdir(mdir), key=lambda n: int(n.split(".")[0])):
+            s = self.snapshot(int(name.split(".")[0]))
+            if s:
+                out.append(s)
+        return out
+
+    def find_tag(self, tag: str) -> Snapshot | None:
+        for s in reversed(self.snapshots()):
+            if s.tag == tag:
+                return s
+        return None
+
+    # -- read/write -------------------------------------------------------------
+
+    def read(self, spark: SparkSession, table: str,
+             snapshot_id: int | None = None) -> DataFrame | None:
+        """Table contents at a snapshot (HEAD by default); None if absent."""
+        snap = self.snapshot(snapshot_id)
+        if snap is None or table not in snap.tables:
+            return None
+        return spark.read.parquet(os.path.join(self.root, snap.tables[table]))
+
+    def commit(
+        self,
+        updates: dict[str, DataFrame],
+        metadata: dict[str, Any] | None = None,
+        tag: str | None = None,
+    ) -> Snapshot:
+        """Atomically commit new versions of ``updates`` tables; tables not
+        named carry forward from the parent snapshot unchanged (no rewrite).
+        """
+        parent = self.snapshot()
+        new_id = (parent.snapshot_id + 1) if parent else 0
+        tables = dict(parent.tables) if parent else {}
+        for name, df in updates.items():
+            rel = os.path.join("data", name, f"v{new_id}-{uuid.uuid4().hex[:8]}")
+            df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+            tables[name] = rel
+        manifest = {
+            "snapshot_id": new_id,
+            "parent_id": parent.snapshot_id if parent else None,
+            "tables": tables,
+            "metadata": {**(metadata or {}), "committed_at": time.time()},
+            "tag": tag,
+        }
+        with open(self._manifest_path(new_id), "w") as f:
+            json.dump(manifest, f, indent=1)
+        # atomic pointer flip — the commit point
+        tmp = self._head_path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(str(new_id))
+        os.replace(tmp, self._head_path)
+        return self.snapshot(new_id)  # type: ignore[return-value]
+
+    def rollback(self, snapshot_id: int) -> None:
+        """Point HEAD at an earlier snapshot (Iceberg rollback_to_snapshot)."""
+        if not os.path.exists(self._manifest_path(snapshot_id)):
+            raise ValueError(f"no snapshot {snapshot_id}")
+        tmp = self._head_path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(str(snapshot_id))
+        os.replace(tmp, self._head_path)
+
+    def expire_orphans(self) -> int:
+        """GC data dirs unreachable from any manifest (Iceberg
+        expire_snapshots/remove_orphan_files analog). Returns dirs removed."""
+        live: set[str] = set()
+        for s in self.snapshots():
+            live.update(s.tables.values())
+        removed = 0
+        data_root = os.path.join(self.root, "data")
+        for table in os.listdir(data_root):
+            tdir = os.path.join(data_root, table)
+            for v in os.listdir(tdir):
+                rel = os.path.join("data", table, v)
+                if rel not in live:
+                    shutil.rmtree(os.path.join(tdir, v), ignore_errors=True)
+                    removed += 1
+        return removed

@@ -1,0 +1,165 @@
+"""Sequential crawl oracle — the reference's semantics in plain Python.
+
+Re-derives the deterministic crawl the reference performs (SQLite claim
+order ``priority DESC, createdAt ASC`` + rowid tie-break, reference
+src/queue.ts:131-137; FIFO BFS RequestQueue with uniqueKey dedup,
+src/core.ts:203-207,265,341; retry w/ backoff src/queue.ts:186-227), plus
+the north-rule politeness/robots semantics, one URL at a time with ordinary
+lists and dicts. The Spark engine must reproduce its visit order and
+URL-seen set exactly (tests/test_parity.py).
+
+Timing note: with the engine's defaults (round interval 60 s > max backoff
+5 s·2² = 20 s·jitter ≤ 20 s) a retry always matures by the next round, so
+the oracle models retries as next-round-eligible without reproducing the
+seeded jitter value itself (jitter parity is unit-tested separately).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from context_crawler_spark.config import SITEMAP_RE, CrawlConfig
+from context_crawler_spark.functions import extract
+from context_crawler_spark.functions.urlnorm import canonicalize_url, registered_domain, url_host
+
+
+@dataclass
+class _Rec:
+    url: str
+    canonical: str
+    host: str
+    priority: int
+    depth: int
+    seq: int
+    attempts: int = 0
+    status: str = "pending"
+    retry_round: int | None = None  # earliest round eligible again
+    error: str | None = None
+
+
+@dataclass
+class OracleResult:
+    visit_order: list[str] = field(default_factory=list)
+    seen: set[str] = field(default_factory=set)          # canonical urls
+    failed: list[str] = field(default_factory=list)
+    rounds: int = 0
+    extracted: dict[str, str] = field(default_factory=dict)  # url -> text
+
+
+def _robots_allows(robots: list[tuple[str, str, str]] | None, host: str, url: str) -> bool:
+    """Google-style longest-match; allow wins ties; no match → allowed.
+    robots rows: (host, rule_type, path_prefix)."""
+    if not robots:
+        return True
+    from urllib.parse import urlsplit
+
+    path = urlsplit(url).path or "/"
+    best_len, best_allow = -1, True
+    for h, rtype, prefix in robots:
+        if h != host or not path.startswith(prefix):
+            continue
+        is_allow = rtype == "allow"
+        if len(prefix) > best_len or (len(prefix) == best_len and is_allow):
+            best_len, best_allow = len(prefix), is_allow
+    return best_allow
+
+
+def run_oracle(
+    config: CrawlConfig,
+    pages: dict[str, str],          # url -> html (the synthetic web)
+    robots: list[tuple[str, str, str]] | None = None,
+    max_rounds: int = 1000,
+) -> OracleResult:
+    res = OracleResult()
+    frontier: list[_Rec] = []
+    seen_canon: set[str] = set()
+    next_seq = 0
+
+    def enqueue(url: str, priority: int, depth: int) -> None:
+        nonlocal next_seq
+        canon = canonicalize_url(url)
+        if canon is None or canon in seen_canon:
+            return
+        seen_canon.add(canon)
+        frontier.append(
+            _Rec(url=url, canonical=canon, host=registered_domain(url_host(url) or "") or "",
+                 priority=priority, depth=depth, seq=next_seq)
+        )
+        next_seq += 1
+
+    # -- seeding (reference src/core.ts:265-352) --
+    seeds: list[str] = [config.entry]
+    if config.auto_discover_nav and config.entry in pages:
+        for u in extract.discover_nav_urls(
+            pages[config.entry], config.entry, config.discovery_selector
+        ):
+            if config.in_scope(u):
+                seeds.append(u)
+    expanded: list[str] = []
+    for u in seeds:
+        if SITEMAP_RE.search(u.split("?")[0]):
+            expanded.extend(
+                v for v in extract.parse_sitemap(pages.get(u, "")) if config.in_scope(v)
+            )
+        else:
+            expanded.append(u)
+    for u in expanded:
+        enqueue(u, config.priority, 0)
+
+    fetched_total = 0
+    for r in range(1, max_rounds + 1):
+        eligible = [
+            rec for rec in frontier
+            if rec.status == "pending" and (rec.retry_round is None or rec.retry_round <= r)
+            and (config.max_depth is None or rec.depth <= config.max_depth)
+        ]
+        if config.respect_robots and robots:
+            blocked = [rec for rec in eligible
+                       if not _robots_allows(robots, rec.host, rec.url)]
+            for rec in blocked:
+                rec.status, rec.error = "failed", "robots_disallowed"
+                res.failed.append(rec.url)
+            eligible = [rec for rec in eligible if rec.status == "pending"]
+        # claim order: priority DESC, seq ASC (createdAt monotone with seq)
+        eligible.sort(key=lambda rec: (-rec.priority, rec.seq))
+        # per-host politeness budget
+        taken: dict[str, int] = {}
+        batch: list[_Rec] = []
+        for rec in eligible:
+            if taken.get(rec.host, 0) < config.politeness_budget:
+                taken[rec.host] = taken.get(rec.host, 0) + 1
+                batch.append(rec)
+        if config.max_pages is not None:
+            batch = batch[: max(0, config.max_pages - fetched_total)]
+        if not batch:
+            break
+        res.rounds = r
+
+        # fetch in claim order; collect candidates in (parent_seq, link_index)
+        candidates: list[tuple[int, int, str]] = []
+        for rec in batch:
+            rec.attempts += 1
+            html = pages.get(rec.url)
+            if html is None:
+                if rec.attempts < config.max_attempts:
+                    rec.retry_round = r + 1  # backoff < round interval
+                else:
+                    rec.status, rec.error = "failed", "fetch_miss"
+                    res.failed.append(rec.url)
+                continue
+            rec.status = "completed"
+            res.visit_order.append(rec.url)
+            res.extracted[rec.url] = extract.extract_text(html, config.selector)
+            fetched_total += 1
+            for href, link_ix, _is_nav in extract.extract_links(html, rec.url):
+                if config.in_scope(href):
+                    candidates.append((rec.seq, link_ix, href))
+        candidates.sort(key=lambda t: (t[0], t[1]))
+        for _ps, _li, href in candidates:
+            depth = next(rec.depth for rec in batch if rec.seq == _ps) + 1
+            if config.max_depth is None or depth <= config.max_depth:
+                enqueue(href, config.priority, depth)
+        if config.max_pages is not None and fetched_total >= config.max_pages:
+            break
+    res.seen = set(seen_canon)
+    return res

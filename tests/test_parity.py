@@ -1,0 +1,146 @@
+"""End-to-end engine↔oracle parity (SURVEY.md §5.2; the north rule's
+"matching the reference's crawl ordering and URL-seen set under the same
+seed list + politeness budget" clause).
+
+Runs the Spark BSP scheduler and the sequential Python oracle on the same
+deterministic synthetic web and asserts IDENTICAL visit order, URL-seen set,
+and byte-identical extracted text per url.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from context_crawler_spark.config import CrawlConfig
+from context_crawler_spark.plans.scheduler import CrawlScheduler
+from context_crawler_spark.state import SnapshotStore
+
+from .oracle import run_oracle
+
+
+def _run_both(spark, tiny_pages, tiny_web, tmp_path, config, robots_rows=None,
+              use_bloom=True):
+    store = SnapshotStore(str(tmp_path / "store"))
+    robots_df = None
+    if robots_rows:
+        robots_df = spark.createDataFrame(
+            robots_rows, "host string, rule_type string, path_prefix string"
+        )
+    eng = CrawlScheduler(spark, store, config, tiny_pages, n_buckets=8,
+                         use_bloom=use_bloom, expected_urls_per_bucket=4096)
+    eng.run(max_rounds=50, robots=robots_df)
+    oracle = run_oracle(config, tiny_web, robots=robots_rows)
+    return eng, oracle
+
+
+def _assert_parity(spark, eng, oracle):
+    assert eng.visit_order() == oracle.visit_order
+    seen_engine = {
+        r["canonical_url"] for r in eng.url_seen().select("canonical_url").collect()
+    }
+    assert seen_engine == oracle.seen
+    po = eng.pages_out()
+    extracted = {r["url"]: r["text"] for r in po.select("url", "text").collect()}
+    assert extracted == oracle.extracted  # byte-identical per url
+
+
+def test_parity_basic_bfs(spark, tiny_pages, tiny_web, tmp_path):
+    """Single-host BFS with excludes; exercises canonical dedup of dirty
+    URLs and the /support dir→/support/** exclude expansion."""
+    config = CrawlConfig(
+        entry="https://site0.test/",
+        match=["https://site0.test/**"],
+        exclude=["https://site0.test/support", "**/blog"],
+        selector="article",
+    )
+    eng, oracle = _run_both(spark, tiny_pages, tiny_web, tmp_path, config)
+    assert len(oracle.visit_order) > 10  # the crawl actually went somewhere
+    assert not any("/support" in u or "/blog" in u for u in oracle.visit_order)
+    _assert_parity(spark, eng, oracle)
+
+
+def test_parity_politeness_and_max_pages(spark, tiny_pages, tiny_web, tmp_path):
+    """Cross-host crawl, per-host budget 3/round, page cap: ordering under
+    deferral must still match the oracle exactly."""
+    config = CrawlConfig(
+        entry="https://site0.test/",
+        match=["https://site0.test/**", "https://site1.test/**",
+               "https://site2.test/**"],
+        selector="article",
+        politeness_budget=3,
+        max_pages=40,
+    )
+    eng, oracle = _run_both(spark, tiny_pages, tiny_web, tmp_path, config)
+    assert len(oracle.visit_order) == 40
+    _assert_parity(spark, eng, oracle)
+
+
+def test_parity_robots(spark, tiny_pages, tiny_web, tmp_path):
+    # disallow the docs leaf pages but allow-override page-1: all leaves are
+    # discovered from the (allowed) /docs index; only page-1 may be fetched —
+    # exercises longest-match-wins with an allow override.
+    robots = [
+        ("site0.test", "disallow", "/docs/page"),
+        ("site0.test", "allow", "/docs/page-1"),
+    ]
+    config = CrawlConfig(
+        entry="https://site0.test/",
+        match=["https://site0.test/**"],
+        selector="article",
+        respect_robots=True,
+    )
+    eng, oracle = _run_both(spark, tiny_pages, tiny_web, tmp_path, config,
+                            robots_rows=robots)
+    visited = set(oracle.visit_order)
+    assert "https://site0.test/docs" in visited
+    assert "https://site0.test/docs/page-0" not in visited
+    assert "https://site0.test/docs/page-1" in visited
+    _assert_parity(spark, eng, oracle)
+
+
+def test_resume_mid_crawl(spark, tiny_pages, tiny_web, tmp_path):
+    """Kill after round k → a fresh scheduler over the same store must
+    finish with state identical to an uninterrupted run (snapshot
+    checkpointing claim of the north rule)."""
+    config = CrawlConfig(
+        entry="https://site0.test/",
+        match=["https://site0.test/**"],
+        selector="article",
+        politeness_budget=5,
+    )
+    store_a = SnapshotStore(str(tmp_path / "a"))
+    eng_a = CrawlScheduler(spark, store_a, config, tiny_pages, n_buckets=8)
+    eng_a.run(max_rounds=50)
+
+    store_b = SnapshotStore(str(tmp_path / "b"))
+    eng_b = CrawlScheduler(spark, store_b, config, tiny_pages, n_buckets=8)
+    eng_b.seed()
+    eng_b.run_round()
+    eng_b.run_round()
+    # "kill": drop the scheduler object entirely; resume on a new instance
+    del eng_b
+    eng_b2 = CrawlScheduler(spark, store_b, config, tiny_pages, n_buckets=8)
+    eng_b2.run(max_rounds=50)
+
+    assert eng_b2.visit_order() == eng_a.visit_order()
+    seen = lambda e: {r["canonical_url"] for r in e.url_seen().collect()}  # noqa: E731
+    assert seen(eng_b2) == seen(eng_a)
+
+
+def test_rollback_replays_round(spark, tiny_pages, tiny_web, tmp_path):
+    """Iceberg-style snapshot rollback: point HEAD at round k, re-run, and
+    the crawl converges to the same final state."""
+    config = CrawlConfig(
+        entry="https://site0.test/", match=["https://site0.test/**"],
+        selector="article",
+    )
+    store = SnapshotStore(str(tmp_path / "s"))
+    eng = CrawlScheduler(spark, store, config, tiny_pages, n_buckets=8)
+    eng.run(max_rounds=50)
+    final_order = eng.visit_order()
+
+    tagged = store.find_tag("round-1")
+    store.rollback(tagged.snapshot_id)
+    eng2 = CrawlScheduler(spark, store, config, tiny_pages, n_buckets=8)
+    eng2.run(max_rounds=50)
+    assert eng2.visit_order() == final_order
