@@ -1,0 +1,163 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR plus the
+north-star frontier-scheduling throughput on a large synthetic frontier.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total headline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "frontier": {"n_urls": N, "sched_urls_per_sec": X,
+                "extract_pages_per_sec": Y}}
+
+Query timing materializes results with the noop sink (full execution, no
+driver collect). The frontier bench runs ONE scheduling round over a
+Zipf-skewed synthetic frontier generated JVM-side (no Python in datagen):
+politeness (salted two-phase windows) + claim-order batch emission +
+xxhash64 identity — the per-round hot path of the engine.
+
+The two-cluster-size scaling evidence (north rule: efficiency ≥ 0.8 from N
+to 4N) is tools/scaling_bench.py (separate spark-submit-style processes at
+local[8] and local[32]); results land in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "crawl_round_sim",
+    "claim_order",
+    "politeness_budget",
+    "url_seen_antijoin",
+    "asof_join",
+    "sessionize",
+    "pricing_summary",
+    "shipping_priority",
+    "broadcast_dim_join",
+    "token_split_buckets",
+    "exact_dedup",
+    "minhash_dedup",
+    "text_stats",
+    "topk_cosine",
+    "knn_join",
+    "chunk_documents",
+]
+
+
+def _noop_write(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        _noop_write(fn(spark, sf_dir))
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def bench_frontier(spark, n_urls: int) -> dict[str, float]:
+    """One BSP scheduling round over a synthetic frontier: identity hashing,
+    per-host politeness, claim-ordered batch — the north-star hot path."""
+    from pyspark.sql import functions as F
+
+    from context_crawler_spark.operators.ordering import emit_fetch_batch
+    from context_crawler_spark.operators.politeness import apply_politeness
+    from context_crawler_spark.sources.synthetic_web import synthetic_frontier
+
+    frontier = synthetic_frontier(spark, n_urls, n_hosts=10_000, zipf_exponent=1.3)
+    frontier = frontier.withColumn("url_hash", F.xxhash64("url"))
+    # warm the input (datagen excluded from the scheduling measurement)
+    frontier = frontier.persist()
+    frontier.count()
+    t0 = time.time()
+    polite = apply_politeness(frontier, budget_per_host=1000)
+    batch = emit_fetch_batch(polite, max_batch=1_000_000)
+    _noop_write(batch)
+    sched_s = time.time() - t0
+    frontier.unpersist()
+    return {
+        "n_urls": n_urls,
+        "sched_sec": round(sched_s, 3),
+        "sched_urls_per_sec": round(n_urls / sched_s, 1),
+    }
+
+
+def bench_extract(spark, sf_dir: str) -> dict[str, float]:
+    """Vectorized extraction throughput: documents text wrapped in the
+    deterministic HTML subset, then title/text/link extraction UDFs — the
+    per-page fetch-stage cost."""
+    from pyspark.sql import functions as F
+
+    from context_crawler_spark.functions.udfs import (
+        extract_links_udf, extract_title_udf, make_extract_text_udf,
+    )
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    html = F.encode(
+        F.concat(
+            F.lit("<html><head><title>Doc "), F.col("doc_id").cast("string"),
+            F.lit('</title></head><body><nav><a href="/a">a</a></nav><article><h1>H</h1><p>'),
+            F.col("text"),
+            F.lit('</p><p><a href="/next">next</a></p></article></body></html>'),
+        ),
+        "utf-8",
+    )
+    pages = d.select(
+        F.concat(F.lit("https://"), "source", F.lit(".test/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        html.alias("html"),
+    ).persist()
+    n = pages.count()
+    t0 = time.time()
+    ex = make_extract_text_udf("article")
+    out = pages.select(
+        extract_title_udf("html").alias("title"),
+        ex("html").alias("text"),
+        F.size(extract_links_udf("html", "url")).alias("n_links"),
+    )
+    _noop_write(out)
+    dt = time.time() - t0
+    pages.unpersist()
+    return {"n_pages": n, "extract_sec": round(dt, 3),
+            "extract_pages_per_sec": round(n / dt, 1)}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    n_frontier = int(os.environ.get("BENCH_FRONTIER_URLS", 5_000_000))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from context_crawler_spark.session import get_spark
+
+    spark = get_spark(app_name="cc-spark-bench", cores=cpus,
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = bench_queries(spark, sf_dir)
+    frontier = bench_frontier(spark, n_frontier)
+    extract = bench_extract(spark, sf_dir)
+
+    result = {
+        "metric": "headline_queries_total",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        "frontier": {**frontier, **extract},
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,206 @@
+"""Output stage: token/byte-budget file splitting + llms.txt emission.
+
+Replicates the reference's ``write()`` (reference src/core.ts:360-477)
+exactly, quirks included (pinned from src/core.ts:415-450):
+
+  * per item, contentString = compact JSON of {title,url,html}; its
+    UTF-8 byte length ALWAYS accrues to currentSize
+  * token budget: if estimatedTokens + tokenCount > maxTokens → flush the
+    batch (if non-empty), then ``estimatedTokens = floor(tokenCount/2)``
+    (the halving rule, src/core.ts:434) and the item starts the new batch
+  * an item whose contentString ALONE exceeds maxTokens is silently dropped
+    from the results (isWithinTokenLimit returns false → no push), but its
+    bytes still count (src/core.ts:421-441 fall-through)
+  * byte budget: currentSize > maxBytes → flush, even to an empty file;
+    estimatedTokens is NOT reset by a byte-triggered flush
+  * naming: single-batch output keeps the plain name; multi-batch gets
+    ``-1.json``, ``-2.json`` … (src/core.ts:394-395,459-470)
+
+Two Spark materializations:
+  * ``assign_file_ids_exact`` — applyInPandas per job, sequential semantics,
+    byte-identical file boundaries (a job's manifest fits one task: it is
+    (tokens, bytes) pairs, not page text)
+  * ``assign_buckets_scalable`` — running-sum window bucketing
+    (floor(cumsum/budget)); same content, coarser boundary guarantee, fully
+    distributed — the 100 TB path where strict boundary parity is waived
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.tokens import count_tokens
+
+
+def content_string(title: str, url: str, text: str) -> str:
+    """JS ``JSON.stringify({title, url, html})`` parity (key order as
+    constructed at reference src/core.ts:195; ``html`` holds extracted
+    text). ensure_ascii=False + compact separators match JS output for the
+    BMP text our extractor emits."""
+    return json.dumps(
+        {"title": title, "url": url, "html": text},
+        ensure_ascii=False, separators=(",", ":"),
+    )
+
+
+def split_plan(
+    items: list[tuple[int, int]],
+    max_tokens: int | None,
+    max_bytes: int | None,
+) -> list[int]:
+    """The pinned sequential algorithm over per-item (token_count, byte_len).
+
+    Returns one file index (1-based) per item, or -1 for dropped items.
+    Pure function — shared by the Spark applyInPandas path and the oracle
+    tests."""
+    out: list[int] = []
+    batch_nonempty = False
+    current_size = 0
+    estimated_tokens = 0
+    file_counter = 1
+    for tok, nbytes in items:
+        if max_tokens is not None:
+            if tok > max_tokens:
+                out.append(-1)  # isWithinTokenLimit → false: silently dropped
+            elif estimated_tokens + tok > max_tokens:
+                if batch_nonempty:
+                    file_counter += 1
+                    batch_nonempty = False
+                    current_size = 0
+                estimated_tokens = math.floor(tok / 2)
+                out.append(file_counter)
+                batch_nonempty = True
+            else:
+                out.append(file_counter)
+                batch_nonempty = True
+                estimated_tokens += tok
+        else:
+            out.append(file_counter)
+            batch_nonempty = True
+        current_size += nbytes
+        if max_bytes is not None and current_size > max_bytes:
+            file_counter += 1  # flush even if empty (reference quirk)
+            batch_nonempty = False
+            current_size = 0
+    return out
+
+
+def finalize_file_names(
+    assignment: list[int], base_name: str
+) -> dict[int, str]:
+    """file index → file name; a single-file output keeps the plain name
+    (reference src/core.ts:459-470)."""
+    used = sorted({i for i in assignment if i > 0})
+    if len(used) == 1:
+        return {used[0]: f"{base_name}.json"}
+    return {i: f"{base_name}-{i}.json" for i in used}
+
+
+def assign_file_ids_exact(
+    pages_out: DataFrame,
+    max_tokens: int | None,
+    max_bytes_mb: int | None,
+    job_col: str = "job",
+    count_tokens_fn: Callable[[str], int] = count_tokens,
+) -> DataFrame:
+    """Byte-identical file-boundary assignment: adds ``file_id`` (-1 =
+    dropped) per row, sequential per job in visit order (round, fetch_order).
+
+    The per-job state machine runs in ONE task per job via applyInPandas —
+    fine even at scale because its input is two ints per page; the page
+    text itself only flows through for the content-string measure.
+    """
+    max_bytes = max_bytes_mb * 1024 * 1024 if max_bytes_mb else None
+    cols = pages_out.columns
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["round", "fetch_order"]).reset_index(drop=True)
+        sizes = []
+        for t, u, x in zip(pdf["title"], pdf["url"], pdf["text"]):
+            cs = content_string(t or "", u or "", x or "")
+            sizes.append((count_tokens_fn(cs), len(cs.encode("utf-8"))))
+        pdf["file_id"] = split_plan(sizes, max_tokens, max_bytes)
+        return pdf
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in pages_out.schema.fields) + ", file_id int"
+    return pages_out.groupBy(job_col).applyInPandas(run, schema)[[*cols, "file_id"]]
+
+
+def assign_buckets_scalable(
+    pages_out: DataFrame,
+    max_tokens: int,
+    job_col: str = "job",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Distributed bucketing: ``bucket = floor(running_sum_before/budget)``
+    via a window ordered by visit order. Boundaries differ from the
+    reference's flush-reset machine by at most one item per file — the
+    documented trade for full parallelism at 100 TB."""
+    w = (
+        Window.partitionBy(job_col)
+        .orderBy("round", "fetch_order")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run_before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return pages_out.withColumn(
+        "bucket", F.floor(run_before / F.lit(max_tokens)).cast("int")
+    )
+
+
+def write_job_json(
+    pages_out_pdf: pd.DataFrame,
+    output_dir: str,
+    job_name: str,
+    max_tokens: int | None = None,
+    max_bytes_mb: int | None = None,
+) -> list[str]:
+    """Materialize the reference's output files from a (small, driver-side)
+    pandas frame of one job's pages in visit order: JSON arrays of
+    ``{title, url, html}`` with 2-space indent (src/core.ts:400), split per
+    ``split_plan``, named per ``finalize_file_names``. Returns paths."""
+    import os
+
+    os.makedirs(output_dir, exist_ok=True)
+    pdf = pages_out_pdf.sort_values(["round", "fetch_order"]).reset_index(drop=True)
+    sizes = []
+    for t, u, x in zip(pdf["title"], pdf["url"], pdf["text"]):
+        cs = content_string(t or "", u or "", x or "")
+        sizes.append((count_tokens(cs), len(cs.encode("utf-8"))))
+    max_bytes = max_bytes_mb * 1024 * 1024 if max_bytes_mb else None
+    assignment = split_plan(sizes, max_tokens, max_bytes)
+    names = finalize_file_names(assignment, job_name)
+    paths = []
+    for fid, fname in names.items():
+        rows = [
+            {"title": pdf["title"][i], "url": pdf["url"][i], "html": pdf["text"][i]}
+            for i, a in enumerate(assignment) if a == fid
+        ]
+        p = os.path.join(output_dir, fname)
+        with open(p, "w", encoding="utf-8") as f:
+            json.dump(rows, f, ensure_ascii=False, indent=2)
+        paths.append(p)
+    return paths
+
+
+def llms_txt(pages_out: DataFrame, job_col: str = "job") -> DataFrame:
+    """Per-job llms.txt content: ``---\\nTitle: {t}\\nURL: {u}\\n---\\n{text}``
+    blocks in visit order, joined with blank lines (reference
+    src/llm-service.ts:114-123). Pure built-ins: format_string +
+    ordered collect_list + array_join."""
+    block = F.format_string("---\nTitle: %s\nURL: %s\n---\n%s",
+                            F.col("title"), F.col("url"), F.col("text"))
+    w = Window.partitionBy(job_col).orderBy("round", "fetch_order")
+    return (
+        pages_out.withColumn("__block", block)
+        .withColumn("__blocks", F.collect_list("__block").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .groupBy(job_col)
+        .agg(F.array_join(F.first("__blocks"), "\n\n").alias("llms_txt"))
+    )

@@ -1,0 +1,263 @@
+"""Document deduplication family — the training-data-pipeline operators.
+
+Beyond the reference's URL-level dedup (RequestQueue uniqueKey), a webtext
+corpus at 100 TB needs CONTENT dedup. Five strategies, all following the
+same shape — cheap fingerprint (vectorized UDF or pure built-ins) →
+LSH-style candidate bucketing (explode + shuffle on bucket key, never an
+all-pairs product) → exact verification on candidates only → connected
+components → keep one representative per cluster:
+
+  * exact:      xxhash64 of normalized text (pure built-ins, one shuffle)
+  * minhash:    char-shingle MinHash signatures, banded LSH (Broder; the
+                standard web-dedup pipeline)
+  * simhash:    64-bit Charikar simhash, block-permutation buckets, hamming
+                verify via built-in ``bit_count(a ^ b)`` — JVM-side
+  * ngram:      word-3gram Jaccard verification (used as minhash's verifier,
+                exposed standalone too)
+  * embedding:  cosine near-dup over unit vectors via hyperplane-LSH buckets
+
+Connected components is iterative small-label propagation in DataFrames —
+converges in O(log n) rounds of joins; each round is hash-shuffles only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.udfs import (
+    make_minhash_bands_udf,
+    make_minhash_udf,
+    make_simhash_bands_udf,
+    ngram_jaccard_udf,
+    simhash_udf,
+)
+from .search import make_lsh_bucket_udf
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def normalized_text_col(text_col: str = "text"):
+    """lower + whitespace-collapse + trim — all built-in, codegen'd."""
+    return F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the min-id row per exact (normalized) text. One hash shuffle on
+    the 64-bit content hash; map-side partial aggregation for free."""
+    h = F.xxhash64(normalized_text_col(text_col)).alias("content_hash")
+    keep = df.select(h, F.col(id_col)).groupBy("content_hash").agg(
+        F.min(id_col).alias(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def exact_dup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(content_hash, n_dups, keeper_id) for groups with >1 member."""
+    h = F.xxhash64(normalized_text_col(text_col)).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keeper_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# connected components (small-label propagation)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+) -> DataFrame:
+    """(node, component) where component = min node id reachable. Each
+    iteration: propagate the smaller label across every edge (both
+    directions), re-minimize per node; stop when an iteration changes no
+    label. Converges in ≤ graph-diameter iterations (≈ log n after the
+    min-id shortcutting); every step is a hash join/agg — no driver data."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    for _ in range(max_iter):
+        prop = (
+            sym.join(labels, sym["a"] == labels["node"], "inner")
+            .select(F.col("b").alias("node"), F.col("component"))
+        )
+        new_labels = (
+            labels.select("node", "component")
+            .union(prop)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
+        if changed == 0:
+            break
+    return labels
+
+
+def _dedup_by_pairs(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Drop every node of a duplicate cluster except its min-id keeper."""
+    comp = connected_components(pairs, "id_l", "id_r")
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# MinHash LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 128,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate pairs (id_l < id_r) sharing ≥1 LSH band bucket. Signature +
+    banding are one Arrow UDF pass; bucketing is explode + self-join on the
+    band key (shuffle on bucket, never cross join)."""
+    sig = make_minhash_udf(num_perm)(F.col(text_col))
+    banded = (
+        df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+        .select("id", F.posexplode(make_minhash_bands_udf(bands)(F.col("sig"))))
+        .select("id", F.concat_ws(":", "pos", "col").alias("band_key"))
+    )
+    l = banded.select(F.col("band_key"), F.col("id").alias("id_l"))
+    r = banded.select(F.col("band_key"), F.col("id").alias("id_r"))
+    return (
+        l.join(r, on="band_key")
+        .filter(F.col("id_l") < F.col("id_r"))
+        .select("id_l", "id_r")
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 128,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup removal: MinHash-LSH candidates → exact word-3gram Jaccard
+    verification (texts joined back only for candidates) → connected
+    components → keep min id."""
+    cand = minhash_candidates(df, id_col, text_col, num_perm, bands)
+    texts = df.select(F.col(id_col), F.col(text_col))
+    verified = (
+        cand.join(texts.withColumnsRenamed({id_col: "id_l", text_col: "text_l"}), "id_l")
+        .join(texts.withColumnsRenamed({id_col: "id_r", text_col: "text_r"}), "id_r")
+        .withColumn("jaccard", ngram_jaccard_udf(F.col("text_l"), F.col("text_r")))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_l", "id_r")
+    )
+    return _dedup_by_pairs(df, verified, id_col)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs within ``max_hamming`` bits: block-permutation buckets (any two
+    signatures ≤ bands-1 bits apart share a block) then EXACT hamming verify
+    with built-in ``bit_count(l ^ r)`` — the verify is pure JVM."""
+    sig = df.select(F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sig"))
+    banded = sig.select(
+        "id", "sig", F.explode(make_simhash_bands_udf(bands)(F.col("sig"))).alias("block")
+    )
+    l = banded.select("block", F.col("id").alias("id_l"), F.col("sig").alias("sig_l"))
+    r = banded.select("block", F.col("id").alias("id_r"), F.col("sig").alias("sig_r"))
+    return (
+        l.join(r, on="block")
+        .filter(F.col("id_l") < F.col("id_r"))
+        .filter(F.bit_count(F.col("sig_l").bitwiseXOR(F.col("sig_r"))) <= max_hamming)
+        .select("id_l", "id_r")
+        .distinct()
+    )
+
+
+def simhash_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    pairs = simhash_candidates(df, id_col, text_col, max_hamming=max_hamming)
+    return _dedup_by_pairs(df, pairs, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    cosine_threshold: float = 0.95,
+    n_tables: int = 8,
+    bits_per_table: int = 10,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold: hyperplane-LSH buckets → exact cosine
+    verify on collisions only. The verify dot product is built-in
+    zip_with/aggregate — JVM-side."""
+    udf = make_lsh_bucket_udf(dim, n_tables, bits_per_table)
+    banded = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        F.explode(udf(F.col(vec_col))).alias("bucket"),
+    )
+    l = banded.select("bucket", F.col("id").alias("id_l"), F.col("v").alias("v_l"))
+    r = banded.select("bucket", F.col("id").alias("id_r"), F.col("v").alias("v_r"))
+    dot = F.aggregate(
+        F.zip_with("v_l", "v_r", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))  # noqa: E731
+    return (
+        l.join(r, on="bucket")
+        .filter(F.col("id_l") < F.col("id_r"))
+        .dropDuplicates(["id_l", "id_r"])
+        .withColumn("cosine", dot / (norm(F.col("v_l")) * norm(F.col("v_r"))))
+        .filter(F.col("cosine") >= cosine_threshold)
+        .select("id_l", "id_r", "cosine")
+    )
+
+
+def embedding_dedup(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int = 64, cosine_threshold: float = 0.95,
+) -> DataFrame:
+    pairs = embedding_near_dup_pairs(df, id_col, vec_col, dim, cosine_threshold)
+    return _dedup_by_pairs(df, pairs.select("id_l", "id_r"), id_col)
