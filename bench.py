@@ -97,9 +97,7 @@ def bench_extract(spark, sf_dir: str) -> dict[str, float]:
     per-page fetch-stage cost."""
     from pyspark.sql import functions as F
 
-    from context_crawler_spark.functions.udfs import (
-        extract_links_udf, extract_title_udf, make_extract_text_udf,
-    )
+    from context_crawler_spark.functions.udfs import make_extract_page_udf
 
     d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     html = F.encode(
@@ -111,18 +109,21 @@ def bench_extract(spark, sf_dir: str) -> dict[str, float]:
         ),
         "utf-8",
     )
-    pages = d.select(
+    # small parquet = 1 file = 1 task; spread across the cores explicitly
+    n_part = spark.sparkContext.defaultParallelism * 2
+    pages = d.repartition(n_part).select(
         F.concat(F.lit("https://"), "source", F.lit(".test/"),
                  F.col("doc_id").cast("string")).alias("url"),
         html.alias("html"),
     ).persist()
     n = pages.count()
     t0 = time.time()
-    ex = make_extract_text_udf("article")
-    out = pages.select(
-        extract_title_udf("html").alias("title"),
-        ex("html").alias("text"),
-        F.size(extract_links_udf("html", "url")).alias("n_links"),
+    page_udf = make_extract_page_udf("article")
+    ex = pages.withColumn("__page", page_udf("html", "url"))
+    out = ex.select(
+        F.col("__page.title").alias("title"),
+        F.col("__page.text").alias("text"),
+        F.size("__page.links").alias("n_links"),
     )
     _noop_write(out)
     dt = time.time() - t0

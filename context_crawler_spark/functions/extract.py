@@ -365,11 +365,7 @@ def inner_text(node: Node) -> str:
 # ---------------------------------------------------------------------------
 
 
-def extract_text(html: str, selector: str = "body") -> str:
-    """Parity with ``getPageHtml`` (reference src/core.ts:32-51)."""
-    if html is None:
-        return ""
-    root = parse_html(html)
+def _text_from_root(root: Node, selector: str) -> str:
     if selector.startswith("/"):
         node = xpath_first(root, selector)
         return text_content(node) if node is not None else ""
@@ -377,13 +373,39 @@ def extract_text(html: str, selector: str = "body") -> str:
     return inner_text(node) if node is not None else ""
 
 
+def _title_from_root(root: Node) -> str:
+    node = query_selector(root, "title")
+    return _WS_RUN.sub(" ", text_content(node)).strip() if node is not None else ""
+
+
+def extract_text(html: str, selector: str = "body") -> str:
+    """Parity with ``getPageHtml`` (reference src/core.ts:32-51)."""
+    if html is None:
+        return ""
+    return _text_from_root(parse_html(html), selector)
+
+
 def extract_title(html: str) -> str:
     """``page.title()`` analog (reference src/core.ts:168)."""
     if html is None:
         return ""
+    return _title_from_root(parse_html(html))
+
+
+def extract_page(
+    html: str, base_url: str, selector: str = "body"
+) -> tuple[str, str, list[tuple[str, int, bool]]]:
+    """Fused per-page extraction: (title, text, links) from ONE parse —
+    the fetch-stage hot path (three separate calls would re-parse the DOM
+    three times)."""
+    if html is None:
+        return "", "", []
     root = parse_html(html)
-    node = query_selector(root, "title")
-    return _WS_RUN.sub(" ", text_content(node)).strip() if node is not None else ""
+    return (
+        _title_from_root(root),
+        _text_from_root(root, selector),
+        _links_from_root(root, base_url),
+    )
 
 
 def extract_links(html: str, base_url: str) -> list[tuple[str, int, bool]]:
@@ -394,11 +416,14 @@ def extract_links(html: str, base_url: str) -> list[tuple[str, int, bool]]:
     Drops ``javascript:`` and bare-fragment hrefs (src/core.ts:102). Hrefs
     resolve to absolute like the DOM's ``.href`` property (src/core.ts:101).
     """
-    from .urlnorm import resolve_href
-
     if html is None:
         return []
-    root = parse_html(html)
+    return _links_from_root(parse_html(html), base_url)
+
+
+def _links_from_root(root: Node, base_url: str) -> list[tuple[str, int, bool]]:
+    from .urlnorm import resolve_href
+
     nav_scope = set()
     for nav in query_selector_all(root, "nav, aside, [role='navigation']"):
         for n in nav.iter():

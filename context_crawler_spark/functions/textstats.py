@@ -175,21 +175,49 @@ _PERM_A = _rng.randint(1, _MERSENNE_61, size=_MAX_PERM, dtype=np.uint64)
 _PERM_B = _rng.randint(0, _MERSENNE_61, size=_MAX_PERM, dtype=np.uint64)
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (wrap-around uint64 arithmetic)."""
+    z = (x + np.uint64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def shingle_base_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Unique 64-bit hashes of the byte k-shingles of the normalized text —
+    FULLY vectorized: sliding byte windows (stride tricks) packed into
+    uint64 then splitmix-mixed. No per-shingle Python. Shingles are k BYTES
+    of the UTF-8 form (equivalent to char shingles for ASCII; a deliberate,
+    pinned redefinition for multi-byte text)."""
+    b = np.frombuffer(
+        normalize_for_shingling(text).encode("utf-8"), dtype=np.uint8
+    )
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    if b.size < k:
+        padded = np.zeros(k, dtype=np.uint8)
+        padded[: b.size] = b
+        windows = padded[None, :]
+    else:
+        windows = np.lib.stride_tricks.sliding_window_view(b, k)
+    weights = (np.uint64(1) << (np.uint64(8) * np.arange(k, dtype=np.uint64)))
+    packed = (windows.astype(np.uint64) * weights[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    return _splitmix64(np.unique(packed))
+
+
 def minhash_signature(text: str, num_perm: int = 128, k: int = 5) -> list[int]:
-    """MinHash signature over char-k shingles. Returns ``num_perm`` int64s
+    """MinHash signature over byte-k shingles. Returns ``num_perm`` int64s
     (reinterpreted from uint64 minima for Spark LongType storage)."""
     assert num_perm <= _MAX_PERM
-    sh = char_shingles(text, k)
-    if not sh:
+    base = shingle_base_hashes(text, k)
+    if base.size == 0:
         return [0] * num_perm
-    base = np.fromiter(
-        (_h64(s.encode("utf-8")) for s in sorted(sh)), dtype=np.uint64, count=len(sh)
-    )
     a = _PERM_A[:num_perm, None]
     b = _PERM_B[:num_perm, None]
-    # (a*x+b) mod p on uint64: numpy wraps mod 2^64; use object-free trick via
-    # Python ints only when overflow matters — for dedup we only need a fixed
-    # deterministic function, so wrap-around multiplication is fine.
+    # (a*x+b) mod p on uint64: wrap-around multiplication is fine — we only
+    # need a fixed deterministic universal-ish family, not number theory.
     hashed = (a * base[None, :] + b) % np.uint64(_MERSENNE_61)
     mins = hashed.min(axis=1)
     return mins.view(np.int64).tolist()
@@ -217,23 +245,22 @@ def jaccard(a: set, b: set) -> float:
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word unigrams+bigrams (signed int64 for Spark)."""
+    """64-bit SimHash over word unigrams+bigrams (signed int64 for Spark).
+    Bit voting is one vectorized matrix op over all feature hashes."""
     words = normalize_for_shingling(text).split()
     if not words:
         return 0
     feats = words + [" ".join(p) for p in zip(words, words[1:])]
-    v = np.zeros(64, dtype=np.int64)
-    ones = np.ones(64, dtype=np.int64)
-    for f in feats:
-        h = _h64(f.encode("utf-8"))
-        bits = np.unpackbits(
-            np.frombuffer(struct.pack("<Q", h), dtype=np.uint8), bitorder="little"
-        ).astype(np.int64)
-        v += np.where(bits > 0, ones, -ones)
+    h = np.fromiter(
+        (_h64(f.encode("utf-8")) for f in feats), dtype=np.uint64, count=len(feats)
+    )
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+        np.int64
+    )
+    v = (2 * bits - 1).sum(axis=0)
     out = np.uint64(0)
-    for i in range(64):
-        if v[i] > 0:
-            out |= np.uint64(1) << np.uint64(i)
+    for i in np.nonzero(v > 0)[0]:
+        out |= np.uint64(1) << np.uint64(i)
     return int(out.astype(np.int64))
 
 

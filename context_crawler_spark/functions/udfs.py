@@ -97,6 +97,34 @@ LINK_TYPE = ArrayType(
 )
 
 
+PAGE_TYPE = StructType(
+    [
+        StructField("title", StringType(), False),
+        StructField("text", StringType(), False),
+        StructField("links", LINK_TYPE, False),
+        StructField("n_tokens", IntegerType(), False),
+    ]
+)
+
+
+def make_extract_page_udf(selector: str):
+    """Fused fetch-stage extraction: (title, text, links, n_tokens) from ONE
+    DOM parse and ONE Python round-trip per page. Separate UDFs would
+    re-parse the DOM and, worse, pipe the full text column JVM→Python→JVM
+    once per UDF — Arrow serialization of page text is a first-order cost
+    at fetch-stage scale."""
+
+    @F.pandas_udf(PAGE_TYPE)
+    def extract_page_udf(html: pd.Series, base_url: pd.Series) -> pd.DataFrame:
+        rows = []
+        for h, u in zip(html, base_url):
+            title, text, links = extract.extract_page(_as_str(h), u or "", selector)
+            rows.append((title, text, links, tokens.count_tokens(text)))
+        return pd.DataFrame(rows, columns=["title", "text", "links", "n_tokens"])
+
+    return extract_page_udf
+
+
 @F.pandas_udf(LINK_TYPE)
 def extract_links_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
     """All anchors in DOM order (reference enqueueLinks, src/core.ts:203-207

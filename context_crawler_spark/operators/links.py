@@ -38,6 +38,7 @@ def expand_links(
     nav_only: bool = False,
     html_col: str = "html",
     url_col: str = "url",
+    links_col: str | None = None,
 ) -> DataFrame:
     """Fetched pages → candidate link rows.
 
@@ -47,13 +48,17 @@ def expand_links(
     (parent_seq, link_index)).
 
     Expects ``fetched`` to carry ``seq`` (parent ordering key) and ``depth``.
+    Pass ``links_col`` when links were already extracted by the fused page
+    UDF — avoids a second DOM parse.
     """
+    link_array = (
+        F.col(links_col) if links_col
+        else extract_links_udf(F.col(html_col), F.col(url_col))
+    )
     links = fetched.select(
         F.col("seq").alias("parent_seq"),
         (F.col("depth") + 1).alias("depth"),
-        F.posexplode_outer(extract_links_udf(F.col(html_col), F.col(url_col))).alias(
-            "__pos", "__link"
-        ),
+        F.posexplode_outer(link_array).alias("__pos", "__link"),
     ).select(
         F.col("__link.href").alias("url"),
         F.col("__link.link_index").alias("link_index"),

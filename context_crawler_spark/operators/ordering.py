@@ -15,7 +15,7 @@ data). One shuffle, no single-partition window, survives 10^10 rows.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .politeness import claim_order
@@ -37,6 +37,10 @@ def with_global_seq(
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     parted = df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
     parted = parted.withColumn("__pid", F.spark_partition_id())
+    # Materialize ONCE: the per-partition count is a separate Spark query,
+    # and exchange reuse doesn't span queries — without this the (often
+    # expensive) upstream plan would run twice.
+    parted = parted.localCheckpoint(eager=True)
     counts = {r["__pid"]: r["cnt"] for r in
               parted.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
     if not counts:  # empty input
@@ -46,17 +50,37 @@ def with_global_seq(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    offmap = F.create_map(
-        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+
+    # Stamp the index with a NARROW mapInPandas over the already-sorted
+    # range partitions (offset + running position). A window
+    # partitionBy(pid) here would add a shuffle that AQE coalesces to ONE
+    # partition on modest data, serializing every downstream stage.
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [f for f in parted.schema.fields if f.name != "__pid"]
+        + [StructField(seq_col, LongType(), False)]
     )
-    w = Window.partitionBy("__pid").orderBy(*order_cols)
-    return (
-        parted.withColumn(
-            seq_col,
-            (offmap[F.col("__pid")] + F.row_number().over(w) - 1).cast("long"),
-        )
-        .drop("__pid")
-    )
+    out_cols = [f.name for f in out_schema.fields]
+
+    def assign(batches):
+        import numpy as np
+
+        pos: dict[int, int] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            s = pos.get(pid, offsets[pid])
+            pdf = pdf.drop(columns=["__pid"])
+            pdf[seq_col] = np.arange(s, s + len(pdf), dtype=np.int64)
+            pos[pid] = s + len(pdf)
+            yield pdf[out_cols]
+
+    return parted.mapInPandas(assign, out_schema)
+
+
+TOPK_THRESHOLD = 20_000  # below this, per-partition-heap TakeOrdered wins
 
 
 def emit_fetch_batch(
@@ -67,11 +91,16 @@ def emit_fetch_batch(
     ``fetch_order``; optionally truncate to ``max_batch`` (the
     maxPagesToCrawl remainder, reference src/core.ts:169-175).
 
-    With a limit this is TakeOrderedAndProject (top-K, no global sort
-    materialization); without, a distributed range-sort + the zipWithIndex
-    trick — still no single-partition window.
+    Two physical strategies by K: a small limit compiles to
+    TakeOrderedAndProject (per-partition heaps, k rows to the driver side of
+    the exchange); a large/absent limit must NOT use a global limit (Spark
+    funnels it through ONE task) — instead a distributed range-sort assigns
+    ``fetch_order`` (zipWithIndex trick) and a plain filter truncates.
     """
-    if max_batch is not None:
+    if max_batch is not None and max_batch <= TOPK_THRESHOLD:
         capped = frontier.orderBy(*claim_order()).limit(int(max_batch))
         return with_global_seq(capped, claim_order(), seq_col="fetch_order")
-    return with_global_seq(frontier, claim_order(), seq_col="fetch_order")
+    out = with_global_seq(frontier, claim_order(), seq_col="fetch_order")
+    if max_batch is not None:
+        out = out.filter(F.col("fetch_order") < int(max_batch))
+    return out

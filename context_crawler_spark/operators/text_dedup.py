@@ -86,6 +86,9 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        # materialize once: edges usually hang off an expensive UDF/LSH
+        # pipeline and are re-scanned every iteration
+        .localCheckpoint(eager=True)
     )
     labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
         "component", F.col("node")
@@ -145,6 +148,8 @@ def minhash_candidates(
         df.select(F.col(id_col).alias("id"), sig.alias("sig"))
         .select("id", F.posexplode(make_minhash_bands_udf(bands)(F.col("sig"))))
         .select("id", F.concat_ws(":", "pos", "col").alias("band_key"))
+        # signature UDF would otherwise run once per self-join side
+        .localCheckpoint(eager=False)
     )
     l = banded.select(F.col("band_key"), F.col("id").alias("id_l"))
     r = banded.select(F.col("band_key"), F.col("id").alias("id_r"))
@@ -197,7 +202,7 @@ def simhash_candidates(
     sig = df.select(F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sig"))
     banded = sig.select(
         "id", "sig", F.explode(make_simhash_bands_udf(bands)(F.col("sig"))).alias("block")
-    )
+    ).localCheckpoint(eager=False)  # one UDF pass, not one per join side
     l = banded.select("block", F.col("id").alias("id_l"), F.col("sig").alias("sig_l"))
     r = banded.select("block", F.col("id").alias("id_r"), F.col("sig").alias("sig_r"))
     return (
@@ -238,7 +243,7 @@ def embedding_near_dup_pairs(
     banded = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         F.explode(udf(F.col(vec_col))).alias("bucket"),
-    )
+    ).localCheckpoint(eager=False)
     l = banded.select("bucket", F.col("id").alias("id_l"), F.col("v").alias("v_l"))
     r = banded.select("bucket", F.col("id").alias("id_r"), F.col("v").alias("v_r"))
     dot = F.aggregate(

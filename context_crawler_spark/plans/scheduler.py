@@ -47,7 +47,7 @@ from pyspark.sql.types import (
 
 from ..config import SITEMAP_RE, CrawlConfig
 from ..functions import extract
-from ..functions.udfs import count_tokens_udf, make_extract_text_udf, extract_title_udf
+from ..functions.udfs import make_extract_page_udf
 from ..operators import bloom
 from ..operators.ids import with_url_identity
 from ..operators.links import expand_links, scope_filter
@@ -113,7 +113,7 @@ class CrawlScheduler:
         self.use_bloom = use_bloom
         self.expected_urls_per_bucket = expected_urls_per_bucket
         self.bloom_dir = f"{store.root}/bloom"
-        self._extract_text = make_extract_text_udf(config.selector)
+        self._extract_page = make_extract_page_udf(config.selector)
 
     # -- state accessors -------------------------------------------------------
 
@@ -281,23 +281,28 @@ class CrawlScheduler:
             .drop("__page_url")
             .persist()
         )
-        fetched = fetched_raw.filter(F.col("html").isNotNull())
         missed = fetched_raw.filter(F.col("html").isNull()).select(*_FRONTIER_COLS)
+        # fused extraction: title + text + links from ONE DOM parse per page
+        fetched = (
+            fetched_raw.filter(F.col("html").isNotNull())
+            .withColumn("__page", self._extract_page(F.col("html"), F.col("url")))
+            .persist()
+        )
 
-        # extract (Arrow UDFs) → per-round output table
         pages_out = fetched.select(
             F.lit(cfg.name).alias("job"),
             "url", "canonical_url", "url_hash", "host", "depth", "seq",
-            extract_title_udf(F.col("html")).alias("title"),
-            self._extract_text(F.col("html")).alias("text"),
+            F.col("__page.title").alias("title"),
+            F.col("__page.text").alias("text"),
             F.lit(r).alias("round"),
             "fetch_order",
             "warc_ts",
-        ).withColumn("n_tokens", count_tokens_udf(F.col("text"))).persist()
+            F.col("__page.n_tokens").alias("n_tokens"),
+        ).persist()
         n_fetched = pages_out.count()
 
         # link expansion → new frontier rows
-        candidates = expand_links(fetched, cfg)
+        candidates = expand_links(fetched, cfg, links_col="__page.links")
         if cfg.max_depth is not None:
             candidates = candidates.filter(F.col("depth") <= cfg.max_depth)
         seen = self.url_seen()
@@ -413,7 +418,7 @@ class CrawlScheduler:
             },
             tag=f"round-{r}",
         )
-        for df in (batch, fetched_raw, pages_out, new_links):
+        for df in (batch, fetched_raw, fetched, pages_out, new_links):
             df.unpersist()
         return metrics
 
