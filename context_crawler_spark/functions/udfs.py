@@ -144,16 +144,28 @@ def count_tokens_udf(text: pd.Series) -> pd.Series:
     return text.map(lambda t: tokens.count_tokens(t or ""))
 
 
-@F.pandas_udf(ArrayType(StringType()))
-def chunk_text_udf(title: pd.Series, url: pd.Series, text: pd.Series) -> pd.Series:
-    """Recursive character splitting with the reference's framing and
-    defaults (src/llm-service.ts:129-145)."""
-    return pd.Series(
-        [
-            chunker.split_document(t or "", u or "", x or "")
-            for t, u, x in zip(title, url, text)
-        ]
-    )
+def make_chunk_text_udf(
+    chunk_size: int = chunker.DEFAULT_CHUNK_SIZE,
+    chunk_overlap: int = chunker.DEFAULT_CHUNK_OVERLAP,
+):
+    """Recursive character splitting with the reference's framing
+    (src/llm-service.ts:129-145); size/overlap are plan-time constants like
+    the reference's env overrides (src/llm-service.ts:15-17)."""
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def chunk_text_udf(title: pd.Series, url: pd.Series, text: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                chunker.split_document(t or "", u or "", x or "",
+                                       chunk_size, chunk_overlap)
+                for t, u, x in zip(title, url, text)
+            ]
+        )
+
+    return chunk_text_udf
+
+
+chunk_text_udf = make_chunk_text_udf()
 
 
 @F.pandas_udf(LongType())

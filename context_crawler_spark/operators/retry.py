@@ -68,6 +68,23 @@ def apply_failures(
     )
 
 
+def cleanup_terminal(
+    frontier: DataFrame, round_ts: Column, ttl_days: int = 7
+) -> DataFrame:
+    """TTL cleanup: drop completed/failed rows older than ``ttl_days``
+    (reference clearCompleted, src/queue.ts:250-274; auto-run at
+    src/worker.ts:75,210). The URL-seen set is SEPARATE state, so dropping
+    terminal frontier rows never re-opens a URL — it just keeps the hot
+    frontier table small (partition pruning on status does the rest)."""
+    cutoff = round_ts - F.make_interval(days=F.lit(ttl_days))
+    expired = (
+        F.col("status").isin("completed", "failed")
+        & F.col("completed_at").isNotNull()
+        & (F.col("completed_at") < cutoff)
+    )
+    return frontier.filter(~expired)
+
+
 def release_stuck_claims(
     frontier: DataFrame, round_ts: Column, lease_timeout_min: int = 30
 ) -> DataFrame:

@@ -1,0 +1,150 @@
+"""Streaming pipelines: incremental page ingest, watermarked host stats,
+stateful sessionization.
+
+Design rules carried over from the batch engine: extraction stays in ONE
+fused Arrow UDF; aggregations are event-time windows with explicit
+watermarks (bounded state); custom state uses ``applyInPandasWithState``
+with GroupStateTimeout so idle keys expire. Checkpointing is Spark's
+streaming checkpoint (exactly-once file sink), the streaming sibling of the
+batch engine's snapshot commits.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..functions.udfs import make_extract_page_udf
+from ..sources.synthetic_web import PAGES_SCHEMA
+
+
+def stream_extract_pages(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    selector: str = "article",
+):
+    """Incremental fetch-stage: stream new page files in, extract
+    title/text/links/tokens, append parquet. ``Trigger.AvailableNow``
+    drains everything currently available then stops — the streaming
+    equivalent of one BSP round, resumable from the checkpoint."""
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
+    )
+    page_udf = make_extract_page_udf(selector)
+    extracted = pages.withColumn("__page", page_udf("html", "url")).select(
+        "url", "warc_ts", "lang",
+        F.col("__page.title").alias("title"),
+        F.col("__page.text").alias("text"),
+        F.size("__page.links").alias("n_links"),
+        F.col("__page.n_tokens").alias("n_tokens"),
+    )
+    return (
+        extracted.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_host_stats(
+    pages_stream: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window per-host fetch counts — the streaming
+    form of the engine's host_state table. Late rows beyond the watermark
+    are dropped deterministically instead of growing state forever."""
+    from ..functions.udfs import registered_domain_udf
+
+    return (
+        pages_stream.withColumn("host", registered_domain_udf("url"))
+        .withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("win"), "host")
+        .agg(F.count("*").alias("fetched"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "host",
+            "fetched",
+        )
+    )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events int"
+)
+SESSION_STATE_SCHEMA = "start long, last long, n int"
+
+SESSION_GAP_S = 1800
+
+
+def _sessionize_group(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful operator: emit a session row whenever a user's event
+    gap exceeds SESSION_GAP_S; keep the open session in GroupState and
+    close it on processing-time timeout. (The batch engine's analog is the
+    lag/running-sum sessionize query — this is the live variant.)"""
+    (user_id,) = key
+    ts: list[int] = []
+    for pdf in pdfs:
+        ts.extend(int(t.timestamp()) for t in pdf["ts"])
+    out = []
+    if state.hasTimedOut:
+        if state.exists:
+            s, last, n = state.get
+            out.append((user_id, s, last, n))
+        state.remove()
+    else:
+        ts.sort()
+        if state.exists:
+            s, last, n = state.get
+        elif ts:
+            s, last, n = ts[0], ts[0], 0
+        else:
+            s = last = n = None
+        for t in ts:
+            if n > 0 and t - last > SESSION_GAP_S:
+                out.append((user_id, s, last, n))
+                s, last, n = t, t, 1
+            else:
+                last = max(last, t)
+                n += 1
+        if n:
+            state.update((s, last, n))
+            state.setTimeoutDuration(60 * 1000)
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": u,
+                "session_start": pd.Timestamp(s0, unit="s"),
+                "session_end": pd.Timestamp(l0, unit="s"),
+                "n_events": n0,
+            }
+            for (u, s0, l0, n0) in out
+        ],
+        columns=["user_id", "session_start", "session_end", "n_events"],
+    )
+
+
+def streaming_sessionize(events_stream: DataFrame) -> DataFrame:
+    """events (user_id, ts) → closed sessions via applyInPandasWithState."""
+    return (
+        events_stream.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_group,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -1,0 +1,133 @@
+"""Dedup-family and vector-search tests on corpora with planted duplicates."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from context_crawler_spark.functions import textstats
+from context_crawler_spark.operators.search import knn_join, lsh_topk, make_lsh_bucket_udf, topk_cosine
+from context_crawler_spark.operators.text_dedup import (
+    connected_components,
+    embedding_dedup,
+    exact_dedup,
+    minhash_candidates,
+    minhash_dedup,
+    simhash_dedup,
+)
+
+
+def _dup_corpus(spark):
+    """30 base docs; ids 100+ are near-copies (one word changed) and ids
+    200+ are exact copies (whitespace/case noise only)."""
+    base = [
+        f"document number {i} about topic{i} "
+        + (f"filler{i} words{i} repeat{i} unique{i} content{i} " * 8)
+        for i in range(30)
+    ]
+    rows = [(i, t) for i, t in enumerate(base)]
+    rows += [(100 + i, base[i].replace(f"filler{i}", "changed", 1)) for i in range(10)]
+    rows += [(200 + i, "  " + base[i].upper() + " ") for i in range(10)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_catches_case_ws_noise(spark):
+    df = _dup_corpus(spark)
+    kept = {r["doc_id"] for r in exact_dedup(df).collect()}
+    # every 200+ row collapses onto its base; near-copies (100+) survive
+    assert all(200 + i not in kept for i in range(10))
+    assert all(100 + i in kept for i in range(10))
+    assert all(i in kept for i in range(30))
+
+
+def test_minhash_dedup_catches_near_copies(spark):
+    df = _dup_corpus(spark)
+    kept = {r["doc_id"] for r in
+            minhash_dedup(df, num_perm=64, bands=16, jaccard_threshold=0.5).collect()}
+    # near-copies AND exact copies deduped onto the min id
+    assert all(i in kept for i in range(30))
+    dropped = {100 + i for i in range(10)} | {200 + i for i in range(10)}
+    assert kept.isdisjoint(dropped)
+
+
+def test_minhash_candidates_recall(spark):
+    df = _dup_corpus(spark)
+    pairs = {(r["id_l"], r["id_r"]) for r in
+             minhash_candidates(df, num_perm=64, bands=16).collect()}
+    # every exact-copy pair must be a candidate (identical signatures)
+    for i in range(10):
+        assert (i, 200 + i) in pairs
+
+
+def test_simhash_dedup_exact_copies(spark):
+    df = _dup_corpus(spark)
+    kept = {r["doc_id"] for r in simhash_dedup(df, max_hamming=3).collect()}
+    for i in range(10):
+        assert (i in kept) and (200 + i not in kept)
+
+
+def test_connected_components_chain_and_islands(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "src long, dst long",
+    )
+    comp = {r["node"]: r["component"]
+            for r in connected_components(edges).collect()}
+    assert comp[1] == comp[2] == comp[3] == comp[4] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == comp[21] == 20
+
+
+def _vec_corpus(spark, n=200, dim=16, seed=3):
+    rng = np.random.RandomState(seed)
+    vecs = rng.standard_normal((n, dim))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    # plant near-dups: ids n..n+9 are tiny perturbations of 0..9
+    extra = vecs[:10] + rng.standard_normal((10, dim)) * 0.01
+    extra /= np.linalg.norm(extra, axis=1, keepdims=True)
+    rows = [(i, v.astype(float).tolist()) for i, v in enumerate(vecs)]
+    rows += [(n + i, v.astype(float).tolist()) for i, v in enumerate(extra)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, np.vstack([vecs, extra])
+
+
+def test_topk_cosine_matches_numpy(spark):
+    df, mat = _vec_corpus(spark)
+    q = mat[5].tolist()
+    got = [r["vec_id"] for r in topk_cosine(df, q, k=5).collect()]
+    scores = mat @ (np.array(q) / np.linalg.norm(q))
+    expected = list(np.argsort(-scores)[:5])
+    assert set(got) == set(int(x) for x in expected)
+    assert got[0] == 5  # self is rank 1
+
+
+def test_knn_join_matches_numpy(spark):
+    df, mat = _vec_corpus(spark)
+    queries = [(0, mat[0].tolist()), (7, mat[7].tolist())]
+    out = knn_join(df, queries, k=3)
+    got = {
+        (r["query_id"], r["vec_id"]) for r in out.collect()
+    }
+    for qid, qv in queries:
+        scores = mat @ (np.array(qv) / np.linalg.norm(qv))
+        top = set(int(x) for x in np.argsort(-scores)[:3])
+        assert {p[1] for p in got if p[0] == qid} == top
+
+
+def test_lsh_topk_finds_planted_neighbor(spark):
+    df, mat = _vec_corpus(spark)
+    udf = make_lsh_bucket_udf(dim=16, n_tables=8, bits_per_table=6)
+    indexed = df.withColumn("lsh_buckets", udf("embedding"))
+    q = mat[200].tolist()  # perturbation of id 0
+    got = [r["vec_id"] for r in
+           lsh_topk(indexed, q, k=3, dim=16, n_tables=8, bits_per_table=6).collect()]
+    assert got[0] == 200 and 0 in got[:3]  # self first, base vector close
+
+
+def test_embedding_dedup_removes_planted_dups(spark):
+    df, _ = _vec_corpus(spark)
+    kept = {r["vec_id"] for r in
+            embedding_dedup(df, dim=16, cosine_threshold=0.98).collect()}
+    for i in range(10):
+        assert i in kept and (200 + i) not in kept

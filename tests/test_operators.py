@@ -1,0 +1,224 @@
+"""Unit tests: bloom shards, politeness (salted == naive), global seq,
+retry/backoff/TTL, URL identity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from context_crawler_spark.operators import bloom
+from context_crawler_spark.operators.ids import bucket_col, with_url_identity
+from context_crawler_spark.operators.ordering import emit_fetch_batch, with_global_seq
+from context_crawler_spark.operators.politeness import apply_politeness, apply_robots
+from context_crawler_spark.operators.retry import (
+    apply_failures,
+    backoff_delay_ms,
+    cleanup_terminal,
+    eligible_pending,
+    release_stuck_claims,
+)
+
+
+def test_url_identity_dedups_dirty_variants(spark):
+    urls = [
+        ("https://Example.test/a/",),
+        ("https://example.test/a",),
+        ("https://example.test/a#frag",),
+        ("https://example.test/a?utm_source=x",),
+        ("https://example.test/a?b=1&a=2",),
+        ("not a url",),
+    ]
+    df = with_url_identity(spark.createDataFrame(urls, "url string"))
+    rows = df.select("canonical_url", "url_hash", "host").collect()
+    # the four dirty variants collapse to one canonical form
+    canon = {r["canonical_url"] for r in rows}
+    assert canon == {"https://example.test/a", "https://example.test/a?a=2&b=1"}
+    assert all(r["host"] == "example.test" for r in rows)
+    assert len(rows) == 5  # invalid URL dropped
+
+
+def test_bloom_no_false_negatives_and_useful_fpp(spark, tmp_path):
+    seen = spark.range(0, 5000).select(F.xxhash64("id").alias("url_hash"))
+    meta = bloom.build_bloom_shards(seen, str(tmp_path), n_buckets=8,
+                                    expected_per_bucket=1024)
+    # every seen key must be flagged maybe_seen (no false negatives)
+    flagged = bloom.with_maybe_seen(seen, str(tmp_path), meta)
+    assert flagged.filter(~F.col("maybe_seen")).count() == 0
+    # fresh keys: false-positive rate well under 5%
+    fresh = spark.range(100_000, 105_000).select(F.xxhash64("id").alias("url_hash"))
+    fp = bloom.with_maybe_seen(fresh, str(tmp_path), meta).filter(
+        F.col("maybe_seen")
+    ).count()
+    assert fp < 250
+
+
+def test_bloom_incremental_merge(spark, tmp_path):
+    a = spark.range(0, 1000).select(F.xxhash64("id").alias("url_hash"))
+    b = spark.range(1000, 2000).select(F.xxhash64("id").alias("url_hash"))
+    meta = bloom.build_bloom_shards(a, str(tmp_path), 4, 1024)
+    bloom.build_bloom_shards(b, str(tmp_path), 4, 1024, merge_existing=True)
+    both = a.union(b)
+    assert bloom.with_maybe_seen(both, str(tmp_path), meta).filter(
+        ~F.col("maybe_seen")
+    ).count() == 0
+
+
+def test_anti_join_seen_with_bloom_equals_exact(spark, tmp_path):
+    seen = spark.range(0, 2000).select(F.xxhash64("id").alias("url_hash"))
+    cands = spark.range(1000, 4000).select(F.xxhash64("id").alias("url_hash"))
+    meta = bloom.build_bloom_shards(seen, str(tmp_path), 4, 1024)
+    with_b = bloom.anti_join_seen(cands, seen, shards_dir=str(tmp_path),
+                                  bloom_meta=meta)
+    exact = bloom.anti_join_seen(cands, seen)
+    assert sorted(r[0] for r in with_b.collect()) == sorted(
+        r[0] for r in exact.collect()
+    )
+
+
+def _frontier_df(spark, n=500, hosts=5):
+    return spark.range(n).select(
+        F.concat(F.lit("https://h"), (F.col("id") % hosts).cast("string"),
+                 F.lit(".test/p/"), F.col("id").cast("string")).alias("url"),
+        F.concat(F.lit("h"), (F.col("id") % hosts).cast("string"),
+                 F.lit(".test")).alias("host"),
+        (F.col("id") % 3).cast("int").alias("priority"),
+        F.col("id").alias("seq"),
+    )
+
+
+def test_salted_politeness_equals_naive(spark):
+    """The salted two-phase rank must select EXACTLY the rows a single
+    global per-host window would (losslessness of phase-1 pruning)."""
+    df = _frontier_df(spark)
+    from pyspark.sql import Window
+
+    naive = df.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("seq"))
+        ),
+    ).filter(F.col("rn") <= 7).drop("rn")
+    salted = apply_politeness(df, 7, salt_shards=4)
+    assert sorted(r["seq"] for r in salted.collect()) == sorted(
+        r["seq"] for r in naive.collect()
+    )
+
+
+def test_politeness_budget_respected(spark):
+    out = apply_politeness(_frontier_df(spark), 3)
+    per_host = out.groupBy("host").count().collect()
+    assert all(r["count"] <= 3 for r in per_host)
+
+
+def test_robots_longest_match_allow_override(spark):
+    frontier = spark.createDataFrame(
+        [
+            ("https://a.test/public/x", "a.test", 0, 0),
+            ("https://a.test/private/x", "a.test", 0, 1),
+            ("https://a.test/private/ok/x", "a.test", 0, 2),
+            ("https://b.test/private/x", "b.test", 0, 3),
+        ],
+        "url string, host string, priority int, seq long",
+    )
+    robots = spark.createDataFrame(
+        [
+            ("a.test", "disallow", "/private"),
+            ("a.test", "allow", "/private/ok"),
+        ],
+        "host string, rule_type string, path_prefix string",
+    )
+    kept = {r["seq"] for r in apply_robots(frontier, robots).collect()}
+    assert kept == {0, 2, 3}  # b.test has no rules → allowed
+
+
+def test_with_global_seq_matches_sorted_order(spark):
+    df = _frontier_df(spark, n=1000)
+    out = with_global_seq(df, [F.desc("priority"), F.asc("seq")], "ix")
+    rows = out.orderBy("ix").collect()
+    expected = sorted(
+        df.collect(), key=lambda r: (-r["priority"], r["seq"])
+    )
+    assert [r["seq"] for r in rows] == [r["seq"] for r in expected]
+    assert [r["ix"] for r in rows] == list(range(1000))
+
+
+def test_emit_fetch_batch_both_strategies_agree(spark):
+    from context_crawler_spark.operators import ordering as om
+
+    df = _frontier_df(spark, n=300)
+    small = emit_fetch_batch(df, max_batch=50)  # TakeOrdered path
+    old = om.TOPK_THRESHOLD
+    om.TOPK_THRESHOLD = 1  # force the range-sort path
+    try:
+        big = emit_fetch_batch(df, max_batch=50)
+    finally:
+        om.TOPK_THRESHOLD = old
+    key = lambda rows: [(r["seq"], r["fetch_order"]) for r in rows]  # noqa: E731
+    assert key(small.orderBy("fetch_order").collect()) == key(
+        big.orderBy("fetch_order").collect()
+    )
+
+
+def test_backoff_formula_and_jitter_bounds(spark):
+    """delay = 5000 * 2^(attempts-1) (reference src/queue.ts:203), jitter
+    in [0.5, 1.0) (src/worker.ts:102-106)."""
+    df = spark.createDataFrame([(1,), (2,), (3,)], "attempts int")
+    plain = df.select(
+        backoff_delay_ms(F.col("attempts"), 5000).alias("d")
+    ).collect()
+    assert [r["d"] for r in plain] == [5000.0, 10000.0, 20000.0]
+
+    from context_crawler_spark.operators.retry import seeded_jitter
+
+    j = spark.range(1000).select(
+        seeded_jitter(F.xxhash64("id")).alias("j")
+    ).agg(F.min("j"), F.max("j")).collect()[0]
+    assert 0.5 <= j[0] and j[1] < 1.0
+
+
+def test_apply_failures_retry_then_terminal(spark):
+    base = spark.createDataFrame(
+        [("u1", 1, 1), ("u2", 2, 2), ("u3", 3, 3)],
+        "url string, url_hash long, attempts int",
+    )
+    out = apply_failures(base, F.lit("2026-01-01 00:05:00").cast("timestamp"),
+                         backoff_ms=5000, max_attempts=3).collect()
+    by = {r["url"]: r for r in out}
+    assert by["u1"]["status"] == "pending" and by["u1"]["next_retry_at"] is not None
+    assert by["u2"]["status"] == "pending"
+    assert by["u3"]["status"] == "failed" and by["u3"]["next_retry_at"] is None
+
+
+def test_eligibility_stuck_release_and_ttl(spark):
+    ts = F.lit("2026-01-08 00:00:00").cast("timestamp")
+    frontier = spark.createDataFrame(
+        [
+            ("a", "pending", None, None, None),
+            ("b", "pending", "2026-01-09 00:00:00", None, None),
+            ("c", "claimed", None, "2026-01-07 23:45:00", None),
+            ("d", "claimed", None, "2026-01-07 22:00:00", None),
+            ("e", "completed", None, None, "2025-12-31 00:00:00"),
+            ("f", "failed", None, None, "2026-01-07 00:00:00"),
+        ],
+        "url string, status string, next_retry_at string, claimed_at string,"
+        " completed_at string",
+    ).select(
+        "url", "status",
+        F.col("next_retry_at").cast("timestamp").alias("next_retry_at"),
+        F.col("claimed_at").cast("timestamp").alias("claimed_at"),
+        F.col("completed_at").cast("timestamp").alias("completed_at"),
+    )
+    elig = {r["url"] for r in eligible_pending(frontier, ts).collect()}
+    assert elig == {"a"}  # b's retry is in the future
+    released = release_stuck_claims(frontier, ts, lease_timeout_min=30)
+    st = {r["url"]: r["status"] for r in released.collect()}
+    assert st["c"] == "claimed" and st["d"] == "pending"  # 2h > 30min lease
+    kept = {r["url"] for r in cleanup_terminal(frontier, ts, ttl_days=7).collect()}
+    assert kept == {"a", "b", "c", "d", "f"}  # e is 7 days old → dropped
+
+
+def test_bucket_col_stable_range(spark):
+    df = spark.range(1000).select(F.xxhash64("id").alias("h"))
+    buckets = df.select(bucket_col("h", 16).alias("b")).distinct().collect()
+    vals = {r["b"] for r in buckets}
+    assert vals <= set(range(16)) and len(vals) > 8

@@ -1,0 +1,90 @@
+"""Structured Streaming pipelines: incremental extraction with
+Trigger.AvailableNow + checkpoint resume, watermarked host stats, and
+applyInPandasWithState sessionization."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from context_crawler_spark.sources.synthetic_web import (
+    PAGES_SCHEMA,
+    generate_pages,
+    pages_df,
+)
+from context_crawler_spark.streaming.pipelines import (
+    stream_extract_pages,
+    streaming_host_stats,
+    streaming_sessionize,
+)
+
+
+def test_stream_extract_incremental_with_resume(spark, tmp_path):
+    rows = generate_pages(seed=42, n_hosts=2, pages_per_section=3)
+    half = len(rows) // 2
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+
+    pages_df(spark, rows[:half]).write.mode("append").parquet(in_dir)
+    q = stream_extract_pages(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    got1 = spark.read.parquet(out_dir)
+    assert got1.count() == half
+
+    # drop more files; a NEW query over the same checkpoint processes ONLY
+    # the delta (exactly-once resume)
+    pages_df(spark, rows[half:]).write.mode("append").parquet(in_dir)
+    q2 = stream_extract_pages(spark, in_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(out_dir)
+    assert got2.count() == len(rows)
+    # extraction parity: streamed text == the golden pages.text
+    golden = {r["url"]: r["text"] for r in rows}
+    for r in got2.select("url", "text").collect():
+        assert r["text"] == golden[r["url"]]
+
+
+def test_streaming_host_stats_watermarked(spark, tmp_path):
+    rows = generate_pages(seed=42, n_hosts=3, pages_per_section=2)
+    in_dir = str(tmp_path / "in")
+    pages_df(spark, rows).write.parquet(in_dir)
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(in_dir)
+    agg = streaming_host_stats(stream, window="1 minute", watermark="2 minutes")
+    # complete mode for the assertion: append would hold back windows the
+    # watermark hasn't passed yet (nothing arrives after the last event)
+    q = (
+        agg.writeStream.format("memory").queryName("hostagg")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from hostagg")
+    total = got.agg(F.sum("fetched")).collect()[0][0]
+    assert total == len(rows)
+    assert {r["host"] for r in got.select("host").distinct().collect()} == {
+        "site0.test", "site1.test", "site2.test"
+    }
+
+
+def test_streaming_sessionize_state(spark, tmp_path):
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    # user 1: two sessions separated by a 2-hour gap; user 2: one session
+    for i in range(3):
+        rows.append((1, base + dt.timedelta(seconds=60 * i)))
+    for i in range(2):
+        rows.append((1, base + dt.timedelta(hours=2, seconds=60 * i)))
+    rows.append((2, base))
+    in_dir = str(tmp_path / "ev")
+    spark.createDataFrame(rows, "user_id long, ts timestamp").write.parquet(in_dir)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(in_dir)
+    q = (
+        streaming_sessionize(stream)
+        .writeStream.format("memory").queryName("sessions")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from sessions").collect()
+    # the CLOSED session (user 1's first) is emitted; open ones stay in state
+    closed = [(r["user_id"], r["n_events"]) for r in got]
+    assert (1, 3) in closed
