@@ -44,6 +44,9 @@ class OracleResult:
     failed: list[str] = field(default_factory=list)
     rounds: int = 0
     extracted: dict[str, str] = field(default_factory=dict)  # url -> text
+    # (round, host, url, priority, seq) per CLAIMED row, in claim order —
+    # for invariant checks (politeness budgets, ordering)
+    claims: list[tuple[int, str, str, int, int]] = field(default_factory=list)
 
 
 def _robots_allows(robots: list[tuple[str, str, str]] | None, host: str, url: str) -> bool:
@@ -138,6 +141,7 @@ def run_oracle(
         # fetch in claim order; collect candidates in (parent_seq, link_index)
         candidates: list[tuple[int, int, str]] = []
         for rec in batch:
+            res.claims.append((r, rec.host, rec.url, rec.priority, rec.seq))
             rec.attempts += 1
             html = pages.get(rec.url)
             if html is None:

@@ -1,0 +1,57 @@
+"""Job-queue worker tests: claim ordering, lifecycle, retry/backoff,
+multi-job isolation (reference src/queue.ts + src/worker.ts semantics)."""
+
+from __future__ import annotations
+
+from context_crawler_spark.config import CrawlConfig
+from context_crawler_spark.plans.jobs import JobWorker
+from context_crawler_spark.state import SnapshotStore
+
+
+def test_multi_job_claim_order_and_isolation(spark, tiny_pages, tmp_path):
+    store = SnapshotStore(str(tmp_path / "q"))
+    w = JobWorker(spark, store, tiny_pages)
+    cfgs = [
+        CrawlConfig(entry="https://site0.test/", match=["https://site0.test/docs/**"],
+                    selector="article", name="low"),
+        CrawlConfig(entry="https://site1.test/", match=["https://site1.test/docs/**"],
+                    selector="article", name="high"),
+        CrawlConfig(entry="https://site2.test/", match=["https://site2.test/docs/**"],
+                    selector="article", name="mid"),
+    ]
+    w.enqueue(cfgs, priorities=[0, 5, 3])
+    results = w.run_until_drained()
+    # claim order: priority DESC, created_seq ASC
+    assert [r.job_id for r in results] == ["job-000001", "job-000002", "job-000000"]
+    assert all(r.status == "completed" and r.pages > 0 for r in results)
+    s = w.stats()
+    assert s["completed"] == 3 and s["total"] == 3
+    # per-job isolated sub-stores with their own snapshots
+    for r in results:
+        sub = w._job_store(r.job_id)
+        assert sub.head_id() is not None
+        assert sub.read(spark, "frontier").count() > 0
+
+
+def test_job_failure_retry_then_terminal(spark, tiny_pages, tmp_path, monkeypatch):
+    store = SnapshotStore(str(tmp_path / "q"))
+    w = JobWorker(spark, store, tiny_pages)
+    cfg = CrawlConfig(entry="https://site0.test/", match=["https://site0.test/docs/**"],
+                      selector="article")
+    w.enqueue([cfg], max_attempts=2)
+
+    calls = {"n": 0}
+    from context_crawler_spark.plans import jobs as jobs_mod
+
+    def boom(self, row):
+        calls["n"] += 1
+        return jobs_mod.JobResult(row["job_id"], "failed", 0, error="synthetic")
+
+    monkeypatch.setattr(JobWorker, "run_job", boom)
+    results = w.run_until_drained(max_ticks=20)
+    # two attempts (max_attempts=2), then terminal failed
+    assert calls["n"] == 2
+    assert w.stats()["failed"] == 1
+    q = {r["job_id"]: r for r in w._queue()}
+    assert q["job-000000"]["error"] == "synthetic"
+    assert q["job-000000"]["attempts"] == 2

@@ -1,0 +1,92 @@
+"""Text-analysis primitives: language ID, quality gates, MinHash/SimHash
+accuracy + determinism, embedding stand-in contract."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from context_crawler_spark.functions import textstats as ts
+
+EN = ("The quick brown fox jumps over the lazy dog and then it runs to the "
+      "house because it was chased by all of them in the morning.")
+DE = ("Der schnelle braune Fuchs springt über den faulen Hund und er läuft "
+      "dann zu dem Haus weil er von ihnen auch am Morgen gejagt wird und "
+      "das ist nicht so gut für die Tiere.")
+FR = ("Le renard brun rapide saute par dessus le chien paresseux et il "
+      "court vers la maison parce que il est dans les bois avec une amie "
+      "pour tout le monde.")
+
+
+def test_langid_basic():
+    assert ts.detect_language(EN)[0] == "en"
+    assert ts.detect_language(DE)[0] == "de"
+    assert ts.detect_language(FR)[0] == "fr"
+    assert ts.detect_language("")[0] == "und"
+    assert ts.detect_language("12345 67890 +++")[0] == "und"
+
+
+def test_quality_score_gates():
+    good = ts.quality_score(EN)
+    assert good > 0.8
+    assert ts.quality_score("") == 0.0
+    assert ts.quality_score("a b") < 0.5              # too few words
+    assert ts.quality_score("!!! ??? ### $$$ %%% ^^^ &&& *** ((()))") < 0.3
+    dup = "same line of text\n" * 20
+    assert ts.quality_score(dup) < ts.quality_score(EN)
+
+
+def test_minhash_estimates_jaccard():
+    a = EN * 3
+    b = a.replace("fox", "cat").replace("dog", "bird")
+    sig_a = ts.minhash_signature(a, 128)
+    sig_b = ts.minhash_signature(b, 128)
+    est = sum(x == y for x, y in zip(sig_a, sig_b)) / 128
+    true = ts.jaccard(ts.char_shingles(a), ts.char_shingles(b))
+    assert abs(est - true) < 0.15
+    # determinism + self-identity
+    assert sig_a == ts.minhash_signature(a, 128)
+    assert ts.minhash_signature(a, 128) == ts.minhash_signature(a, 128)
+
+
+def test_minhash_bands_collision_for_identical():
+    a = ts.minhash_bands(ts.minhash_signature(EN, 64), bands=16)
+    b = ts.minhash_bands(ts.minhash_signature(EN, 64), bands=16)
+    assert a == b and len(a) == 16
+
+
+def test_simhash_hamming_tracks_similarity():
+    near = EN.replace("fox", "wolf")
+    far = FR
+    h_en = ts.simhash64(EN)
+    assert ts.hamming64(h_en, ts.simhash64(near)) < ts.hamming64(h_en, ts.simhash64(far))
+    assert ts.hamming64(h_en, ts.simhash64(EN)) == 0
+    bands = ts.simhash_bands(h_en, 4)
+    assert len(bands) == 4 and bands == ts.simhash_bands(h_en, 4)
+
+
+def test_shingle_base_hashes_vectorized_props():
+    h = ts.shingle_base_hashes("hello world hello world", k=5)
+    assert h.dtype == np.uint64
+    assert len(h) == len(set(h.tolist()))  # unique
+    assert len(ts.shingle_base_hashes("", 5)) == 0
+    assert len(ts.shingle_base_hashes("ab", 5)) == 1  # short text → one padded shingle
+
+
+def test_fake_embed_contract():
+    v = ts.fake_embed(EN)
+    assert v.shape == (384,) and v.dtype == np.float32
+    assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-5
+    # similar texts closer than dissimilar ones
+    near = float(np.dot(v, ts.fake_embed(EN.replace("fox", "wolf"))))
+    far = float(np.dot(v, ts.fake_embed(FR)))
+    assert near > far
+    # newline-strip parity (reference src/xenova-embeddings.ts:105-110)
+    assert np.allclose(ts.fake_embed(EN.replace(" ", "\n", 3)), v)
+
+
+def test_word_ngrams_and_jaccard_edges():
+    assert ts.word_ngrams("", 3) == set()
+    assert ts.word_ngrams("one two", 3) == {"one two"}
+    assert ts.jaccard(set(), set()) == 1.0
+    assert ts.jaccard({"a"}, set()) == 0.0
