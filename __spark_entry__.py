@@ -350,6 +350,32 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+def q_byte_budget(spark, sf_dir):
+    """UTF-8 byte sizing for the maxFileSize budget (reference
+    getStringByteSize, src/core.ts:391-392) — octet_length, JVM-side."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.octet_length("text").alias("n_bytes"),
+        (F.octet_length("text") > 300).alias("over_300b"),
+    )
+
+
+def q_url_slug(spark, sf_dir):
+    """generateNameFromUrl parity shape (reference src/schema.ts:122-146):
+    host minus www., first path segment, kebab-cased — pure string
+    expressions over synthesized URLs."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://www."), "source", F.lit(".test/docs/page-"),
+                   F.col("doc_id").cast("string"))
+    host = F.regexp_replace(
+        F.regexp_extract(url, r"^https://([^/]+)", 1), r"^www\.", "")
+    seg = F.regexp_extract(url, r"^https://[^/]+/([^/]+)", 1)
+    slug = F.regexp_replace(
+        F.lower(F.concat_ws("-", host, seg)), r"[^a-z0-9]+", "-")
+    return d.select("doc_id", url.alias("url"), slug.alias("slug"))
+
+
 def q_token_totals(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     n_words = F.size(F.split(F.trim("text"), r"\s+"))
@@ -592,6 +618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "exact_dup_groups": q_exact_dup_groups,
         "text_stats": q_text_stats,
+        "byte_budget": q_byte_budget,
+        "url_slug": q_url_slug,
         "token_totals": q_token_totals,
         "topk_cosine": q_topk_cosine,
         "knn_join": q_knn_join,
@@ -794,6 +822,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS INT)
                      AS n_alnum
             FROM documents
+        """,
+        "byte_budget": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                   octet_length(encode(text)) > 300 AS over_300b
+            FROM documents
+        """,
+        "url_slug": r"""
+            WITH u AS (
+              SELECT doc_id,
+                     'https://www.' || source || '.test/docs/page-' || doc_id AS url
+              FROM documents
+            )
+            SELECT doc_id, url,
+                   regexp_replace(lower(concat_ws('-',
+                     regexp_replace(regexp_extract(url, '^https://([^/]+)', 1),
+                                    '^www\.', ''),
+                     regexp_extract(url, '^https://[^/]+/([^/]+)', 1))),
+                     '[^a-z0-9]+', '-', 'g') AS slug
+            FROM u
         """,
         "token_totals": r"""
             SELECT lang, COUNT(*) AS n_docs,
