@@ -557,6 +557,20 @@ def q_output_split_plan(spark, sf_dir):
     return out.select("doc_id", "file_id")
 
 
+def q_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan: (asset, n_frames) → one row per sampled
+    frame via built-in sequence+explode (JVM-side expansion; the decode
+    stage that would consume this is the stubbed mapInPandas)."""
+    from context_crawler_spark.operators.multimodal import frame_sample_plan
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        (F.col("n_chars") % 200 + 30).cast("int").alias("n_frames"),
+    )
+    return frame_sample_plan(assets, every_n=25, ts_col="n_frames")
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal plumbing: binary payload column → typed metadata via
     Arrow-batched mapInPandas (decode stubbed — no codecs in-container)."""
@@ -637,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "embed_documents": q_embed_documents,
         "output_split_plan": q_output_split_plan,
+        "frame_sample": q_frame_sample,
         "multimodal_meta": q_multimodal_meta,
     }
 
@@ -873,6 +888,13 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY q.query_id
                     ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
                              DESC, e.vec_id ASC) <= 5
+        """,
+        "frame_sample": """
+            SELECT doc_id AS asset_id,
+                   CAST(n_chars % 200 + 30 AS INT) AS n_frames,
+                   CAST(unnest(generate_series(0, CAST(n_chars % 200 + 30 AS INT) - 1,
+                               25)) AS INT) AS frame_ix
+            FROM documents WHERE doc_id < 50
         """,
         "llms_txt": """
             SELECT source,
