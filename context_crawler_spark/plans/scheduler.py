@@ -102,7 +102,14 @@ class CrawlScheduler:
         n_buckets: int = 32,
         use_bloom: bool = True,
         expected_urls_per_bucket: int = 1 << 14,
+        visit_hook=None,
+        hook_schema: str | None = None,
     ):
+        # onVisitPage analog (reference src/schema.ts:18-21; invoked per
+        # page src/core.ts:197-199): hook(row)->list[rows] emitting into a
+        # separate hook_out table (operators/hooks.py)
+        self.visit_hook = visit_hook
+        self.hook_schema = hook_schema
         self.spark = spark
         self.store = store
         self.config = config
@@ -137,6 +144,18 @@ class CrawlScheduler:
         parts = sorted(t for t in snap.tables if t.startswith("pages_out_r"))
         if not parts:
             return None
+        out = None
+        for t in parts:
+            df = self.store.read(self.spark, t)
+            out = df if out is None else out.unionByName(df)
+        return out
+
+    def hook_out(self) -> DataFrame | None:
+        """Union of all per-round visit-hook outputs (pushData analog)."""
+        snap = self.store.snapshot()
+        if snap is None:
+            return None
+        parts = sorted(t for t in snap.tables if t.startswith("hook_out_r"))
         out = None
         for t in parts:
             df = self.store.read(self.spark, t)
@@ -301,6 +320,20 @@ class CrawlScheduler:
         ).persist()
         n_fetched = pages_out.count()
 
+        hook_out = None
+        if self.visit_hook is not None and n_fetched > 0:
+            from ..operators.hooks import apply_visit_hook
+
+            hook_out = apply_visit_hook(
+                fetched.select(
+                    "url", "canonical_url", "host", "depth", "seq", "html",
+                    F.col("__page.title").alias("title"),
+                    F.col("__page.text").alias("text"),
+                ),
+                self.visit_hook,
+                self.hook_schema,
+            )
+
         # link expansion → new frontier rows
         candidates = expand_links(fetched, cfg, links_col="__page.links")
         if cfg.max_depth is not None:
@@ -401,13 +434,16 @@ class CrawlScheduler:
             "deduped": int(n_candidates - n_new),
             "lineage": lineage,
         }
+        updates = {
+            "frontier": next_frontier,
+            "url_seen": next_seen,
+            f"pages_out_r{r}": pages_out,
+            "host_state": host_state,
+        }
+        if hook_out is not None:
+            updates[f"hook_out_r{r}"] = hook_out
         self.store.commit(
-            {
-                "frontier": next_frontier,
-                "url_seen": next_seen,
-                f"pages_out_r{r}": pages_out,
-                "host_state": host_state,
-            },
+            updates,
             metadata={
                 **meta,
                 "round": r,

@@ -1,0 +1,82 @@
+"""Visit-hook (onVisitPage/pushData analog) and sitemap-seed expansion."""
+
+from __future__ import annotations
+
+from context_crawler_spark.config import CrawlConfig
+from context_crawler_spark.plans.scheduler import CrawlScheduler
+from context_crawler_spark.state import SnapshotStore
+
+from .oracle import run_oracle
+
+
+def test_visit_hook_pushes_extra_rows(spark, tiny_pages, tmp_path):
+    """Hook receives each visited page and may emit extra rows into
+    hook_out (reference pushData, src/core.ts:197-199)."""
+
+    def hook(row):
+        out = [{"url": row["url"], "kind": "seen", "n": len(row["text"] or "")}]
+        if row["url"] == "https://site0.test/":
+            out.append({"url": row["url"], "kind": "root", "n": 0})
+        return out
+
+    config = CrawlConfig(
+        entry="https://site0.test/",
+        match=["https://site0.test/docs/**"],
+        selector="article",
+    )
+    store = SnapshotStore(str(tmp_path / "s"))
+    eng = CrawlScheduler(
+        spark, store, config, tiny_pages, n_buckets=8,
+        visit_hook=hook, hook_schema="url string, kind string, n int",
+    )
+    eng.run(max_rounds=20)
+    hooks = eng.hook_out()
+    rows = hooks.collect()
+    visited = set(eng.visit_order())
+    assert {r["url"] for r in rows} == visited
+    assert sum(1 for r in rows if r["kind"] == "root") == 1
+    assert sum(1 for r in rows if r["kind"] == "seen") == len(visited)
+
+
+def test_sitemap_seed_expansion_engine_and_oracle(spark, tmp_path):
+    """A seed matching /sitemap.*\\.xml$/ expands to its <loc> URLs in
+    document order, scope-filtered (reference src/core.ts:335-352)."""
+    from datetime import timedelta
+
+    from context_crawler_spark.sources.synthetic_web import EPOCH
+
+    web = {
+        "https://s.test/sitemap-0.xml": (
+            "<urlset>"
+            "<loc>https://s.test/docs/a</loc>"
+            "<loc>https://s.test/docs/b</loc>"
+            "<loc>https://s.test/private/x</loc>"  # excluded by globs
+            "<loc>https://other.test/docs/c</loc>"  # out of scope
+            "</urlset>"
+        ),
+        "https://s.test/docs/a": "<html><head><title>A</title></head><body>"
+                                 "<article><p>alpha</p></article></body></html>",
+        "https://s.test/docs/b": "<html><head><title>B</title></head><body>"
+                                 '<article><p>beta <a href="https://s.test/docs/a">a</a>'
+                                 "</p></article></body></html>",
+    }
+    cfg = CrawlConfig(
+        entry="https://s.test/sitemap-0.xml",
+        match=["https://s.test/docs/**"],
+        selector="article",
+        auto_discover_nav=False,
+    )
+    rows = [
+        (u, EPOCH + timedelta(seconds=i), h.encode(), "", "en")
+        for i, (u, h) in enumerate(web.items())
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    store = SnapshotStore(str(tmp_path / "s"))
+    eng = CrawlScheduler(spark, store, cfg, pages, n_buckets=4)
+    eng.run(max_rounds=20)
+    oracle = run_oracle(cfg, web)
+    # sitemap itself is replaced by its expansion; a and b visited in order
+    assert oracle.visit_order == ["https://s.test/docs/a", "https://s.test/docs/b"]
+    assert eng.visit_order() == oracle.visit_order
