@@ -537,6 +537,55 @@ def q_embed_documents(spark, sf_dir):
     )
 
 
+def q_extract_page(spark, sf_dir):
+    """Fused HTML extraction (title/text/links/tokens in one DOM parse,
+    one Arrow round-trip — reference getPageHtml + enqueueLinks,
+    src/core.ts:32-51,203-207) over synthesized pages."""
+    from context_crawler_spark.functions.udfs import make_extract_page_udf
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    html = F.encode(
+        F.concat(
+            F.lit("<html><head><title>Doc "), F.col("doc_id").cast("string"),
+            F.lit('</title></head><body><nav><a href="/docs">d</a></nav>'
+                  "<article><h1>H</h1><p>"),
+            F.col("text"),
+            F.lit('</p><p><a href="/next">n</a> <a href="#frag">skip</a>'
+                  ' <a href="javascript:void(0)">skip</a></p></article>'
+                  "</body></html>"),
+        ),
+        "utf-8",
+    )
+    url = F.concat(F.lit("https://"), "source", F.lit(".test/"),
+                   F.col("doc_id").cast("string"))
+    udf = make_extract_page_udf("article")
+    ex = d.select("doc_id", url.alias("url"), html.alias("html"))
+    return ex.withColumn("__p", udf("html", "url")).select(
+        "doc_id",
+        F.col("__p.title").alias("title"),
+        F.length("__p.text").alias("text_len"),
+        F.size("__p.links").alias("n_links"),
+        F.col("__p.n_tokens").alias("n_tokens"),
+    )
+
+
+def q_canonicalize(spark, sf_dir):
+    """crawlee-uniqueKey-parity URL canonicalization + registered-domain
+    (Arrow UDFs; functions/urlnorm.py) over dirty synthesized URLs."""
+    from context_crawler_spark.operators.ids import with_url_identity
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    dirty = F.concat(
+        F.lit("HTTPS://WWW."), "source", F.lit(".Test/Docs/p"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=x&b=2&a=1#frag"))
+         .when(F.col("doc_id") % 3 == 1, F.lit("/"))
+         .otherwise(F.lit("")),
+    )
+    out = with_url_identity(d.select("doc_id", dirty.alias("url")))
+    return out.select("doc_id", "url", "canonical_url", "host")
+
+
 def q_output_split_plan(spark, sf_dir):
     """Exact token/byte file-split state machine (reference
     src/core.ts:415-450 incl. the halving rule) via applyInPandas."""
@@ -650,6 +699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "chunk_documents": q_chunk_documents,
         "embed_documents": q_embed_documents,
+        "extract_page": q_extract_page,
+        "canonicalize": q_canonicalize,
         "output_split_plan": q_output_split_plan,
         "frame_sample": q_frame_sample,
         "multimodal_meta": q_multimodal_meta,
