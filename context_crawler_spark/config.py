@@ -156,3 +156,21 @@ def generate_name_from_url(url: str) -> str:
 def generate_output_file_name(job_name: str) -> str:
     """Parity with ``generateOutputFileName`` (reference src/schema.ts:153-155)."""
     return f"output/jobs/{job_name}.json"
+
+
+def sanitize_output_path(path: str, base_dir: str = "output/jobs") -> str:
+    """Parity with the reference's output-path sanitization (reference
+    src/core.ts:520-527): absolute paths pass through; relative paths are
+    confined under ``base_dir`` (traversal segments stripped), so a config
+    can never write outside the output tree."""
+    import posixpath
+
+    if posixpath.isabs(path):
+        return posixpath.normpath(path)
+    norm = posixpath.normpath(path)
+    parts = [p for p in norm.split("/") if p not in ("..", ".", "")]
+    if not parts:
+        parts = ["output.json"]
+    if parts[: len(base_dir.split("/"))] == base_dir.split("/"):
+        return "/".join(parts)
+    return posixpath.join(base_dir, *parts)

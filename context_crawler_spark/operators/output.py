@@ -189,6 +189,31 @@ def write_job_json(
     return paths
 
 
+def aggregate_job_outputs(
+    per_config: list[pd.DataFrame],
+    output_dir: str,
+    job_name: str,
+    max_tokens: int | None = None,
+    max_bytes_mb: int | None = None,
+) -> list[str]:
+    """Multi-config job aggregation (reference src/cli.ts:163-230,452-532):
+    each config's output concatenated in config order into ONE job output,
+    then budget-split/named like a single write. The reference streams temp
+    JSON files; here the per-config frames concatenate with a config-index
+    prefix on the visit order."""
+    frames = []
+    for ix, pdf in enumerate(per_config):
+        pdf = pdf.sort_values(["round", "fetch_order"]).reset_index(drop=True)
+        pdf = pdf.copy()
+        pdf["round"] = ix  # config order becomes the primary sort key
+        pdf["fetch_order"] = range(len(pdf))
+        frames.append(pdf)
+    merged = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+        columns=["title", "url", "text", "round", "fetch_order"]
+    )
+    return write_job_json(merged, output_dir, job_name, max_tokens, max_bytes_mb)
+
+
 def llms_txt(pages_out: DataFrame, job_col: str = "job") -> DataFrame:
     """Per-job llms.txt content: ``---\\nTitle: {t}\\nURL: {u}\\n---\\n{text}``
     blocks in visit order, joined with blank lines (reference
