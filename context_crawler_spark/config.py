@@ -64,6 +64,7 @@ class CrawlConfig:
     backoff_ms: int = DEFAULT_BACKOFF_MS
     # north-rule additions
     politeness_budget: int = 2 ** 31 - 1  # per-host fetches per round
+    host_crawl_delay_s: int | None = None  # min seconds between fetches per host
     respect_robots: bool = False
     max_depth: int | None = None
     extra: dict[str, Any] = field(default_factory=dict)
@@ -120,6 +121,7 @@ class CrawlConfig:
             "max_attempts": self.max_attempts,
             "backoff_ms": self.backoff_ms,
             "politeness_budget": self.politeness_budget,
+            "host_crawl_delay_s": self.host_crawl_delay_s,
             "respect_robots": self.respect_robots,
             "max_depth": self.max_depth,
         }

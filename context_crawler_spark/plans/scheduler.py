@@ -264,6 +264,26 @@ class CrawlScheduler:
         eligible = eligible_pending(frontier, ts_lit)
         if cfg.max_depth is not None:
             eligible = eligible.filter(F.col("depth") <= cfg.max_depth)
+        if cfg.host_crawl_delay_s:
+            # host_state gates eligibility (north rule: per-host last-fetch
+            # timestamps joined in): a host fetched less than
+            # host_crawl_delay_s ago sits this round out. host_state is one
+            # row per host → broadcast.
+            hs = self.store.read(self.spark, "host_state")
+            if hs is not None:
+                gate = hs.select(F.col("host").alias("__gh"),
+                                 F.col("last_fetch_ts").alias("__lft"))
+                eligible = (
+                    eligible.join(F.broadcast(gate),
+                                  eligible["host"] == F.col("__gh"), "left")
+                    .filter(
+                        F.col("__lft").isNull()
+                        | (F.col("__lft")
+                           + F.make_interval(secs=F.lit(cfg.host_crawl_delay_s))
+                           <= ts_lit)
+                    )
+                    .drop("__gh", "__lft")
+                )
         if cfg.respect_robots and robots is not None:
             allowed = apply_robots(eligible, robots)
             robots_blocked = eligible.join(
@@ -285,6 +305,20 @@ class CrawlScheduler:
         n_batch = batch.count()
         if n_batch == 0:
             batch.unpersist()
+            n_pending = frontier.filter(F.col("status") == "pending").count()
+            if n_pending > 0:
+                # nothing eligible THIS round (crawl-delay gate or immature
+                # retries) but work remains → commit an idle round, don't
+                # terminate
+                metrics = {"round": r, "claimed": 0, "fetched": 0,
+                           "idle": True, "pending": int(n_pending)}
+                self.store.commit(
+                    {},
+                    metadata={**meta, "round": r,
+                              "metrics": meta.get("metrics", []) + [metrics]},
+                    tag=f"round-{r}-idle",
+                )
+                return metrics
             return self._finish(meta, r, reason="frontier_empty")
 
         # fetch = left join against the web stand-in (pages table)
@@ -399,11 +433,15 @@ class CrawlScheduler:
                 self.expected_urls_per_bucket, merge_existing=True,
             )
 
-        # host_state (per-host last fetch + totals) and per-partition lineage
-        host_state = pages_out.groupBy("host").agg(
-            F.max("warc_ts").alias("last_fetch_ts"),
-            F.count("*").alias("fetched"),
-        ).withColumn("round", F.lit(r))
+        # host_state (per-host last fetch + totals) and per-partition lineage.
+        # last_fetch_ts is the ROUND clock (fetch time), not the page's
+        # warc_ts — it gates the crawl-delay eligibility join above.
+        host_state = (
+            pages_out.groupBy("host")
+            .agg(F.count("*").alias("fetched"))
+            .withColumn("last_fetch_ts", ts_lit)
+            .withColumn("round", F.lit(r))
+        )
         prev_hs = self.store.read(self.spark, "host_state")
         if prev_hs is not None:
             host_state = (

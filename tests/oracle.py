@@ -110,12 +110,24 @@ def run_oracle(
         enqueue(u, config.priority, 0)
 
     fetched_total = 0
+    # per-host last successful fetch round (crawl-delay gate; engine
+    # host_state analog — round clock spacing is ROUND_INTERVAL_S)
+    from context_crawler_spark.plans.scheduler import ROUND_INTERVAL_S
+
+    last_fetch_round: dict[str, int] = {}
     for r in range(1, max_rounds + 1):
         eligible = [
             rec for rec in frontier
             if rec.status == "pending" and (rec.retry_round is None or rec.retry_round <= r)
             and (config.max_depth is None or rec.depth <= config.max_depth)
         ]
+        if config.host_crawl_delay_s:
+            eligible = [
+                rec for rec in eligible
+                if rec.host not in last_fetch_round
+                or (r - last_fetch_round[rec.host]) * ROUND_INTERVAL_S
+                >= config.host_crawl_delay_s
+            ]
         if config.respect_robots and robots:
             blocked = [rec for rec in eligible
                        if not _robots_allows(robots, rec.host, rec.url)]
@@ -135,6 +147,11 @@ def run_oracle(
         if config.max_pages is not None:
             batch = batch[: max(0, config.max_pages - fetched_total)]
         if not batch:
+            # idle round (gated hosts / immature retries) vs drained frontier
+            if any(rec.status == "pending" for rec in frontier) and (
+                config.max_pages is None or fetched_total < config.max_pages
+            ):
+                continue
             break
         res.rounds = r
 
@@ -152,6 +169,7 @@ def run_oracle(
                     res.failed.append(rec.url)
                 continue
             rec.status = "completed"
+            last_fetch_round[rec.host] = r
             res.visit_order.append(rec.url)
             res.extracted[rec.url] = extract.extract_text(html, config.selector)
             fetched_total += 1

@@ -98,6 +98,29 @@ def test_parity_robots(spark, tiny_pages, tiny_web, tmp_path):
     _assert_parity(spark, eng, oracle)
 
 
+def test_parity_host_crawl_delay(spark, tiny_pages, tiny_web, tmp_path):
+    """Crawl-delay gating: a host fetched in round r is ineligible until
+    the delay elapses (host_state join); idle rounds must not terminate
+    the crawl. Cross-host so gated rounds still progress elsewhere."""
+    config = CrawlConfig(
+        entry="https://site0.test/",
+        match=["https://site0.test/**", "https://site1.test/**"],
+        selector="article",
+        politeness_budget=2,
+        host_crawl_delay_s=120,  # 2 round intervals
+    )
+    eng, oracle = _run_both(spark, tiny_pages, tiny_web, tmp_path, config)
+    assert len(oracle.visit_order) > 5
+    # no host fetched in consecutive rounds
+    by_round_host = {}
+    for (r, host, _u, _p, _s) in oracle.claims:
+        by_round_host.setdefault(host, []).append(r)
+    for host, rounds in by_round_host.items():
+        rs = sorted(set(rounds))
+        assert all(b - a >= 2 for a, b in zip(rs, rs[1:])), (host, rs)
+    _assert_parity(spark, eng, oracle)
+
+
 def test_resume_mid_crawl(spark, tiny_pages, tiny_web, tmp_path):
     """Kill after round k → a fresh scheduler over the same store must
     finish with state identical to an uninterrupted run (snapshot
