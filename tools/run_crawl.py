@@ -1,0 +1,107 @@
+"""spark-submit entrypoint for the frontier scheduler.
+
+Cluster usage (the north rule's deployment shape):
+
+    python tools/make_dist.py        # → dist/context_crawler_spark.zip
+    spark-submit \\
+        --master <cluster> \\
+        --py-files dist/context_crawler_spark.zip \\
+        tools/run_crawl.py \\
+        --entry https://docs.example.test/ \\
+        --match 'https://docs.example.test/**' \\
+        --exclude '**/changelog' \\
+        --selector article \\
+        --pages /data/pages_parquet \\
+        --store /data/crawl-state \\
+        --politeness-budget 64 --host-crawl-delay 5
+
+Local smoke: same command with ``python`` instead of spark-submit (the
+session factory falls back to local[*]). The store directory is the
+resumable checkpoint: re-running the identical command continues a killed
+crawl from its last committed round.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="Run a crawl job")
+    p.add_argument("--entry")
+    p.add_argument("--match", action="append", default=[])
+    p.add_argument("--exclude", action="append", default=[])
+    p.add_argument("--selector", default="body")
+    p.add_argument("--pages",
+                   help="parquet/Iceberg path of the Common-Crawl-style pages table")
+    p.add_argument("--store", required=True, help="snapshot-store directory")
+    p.add_argument("--politeness-budget", type=int, default=2 ** 31 - 1)
+    p.add_argument("--host-crawl-delay", type=int, default=None)
+    p.add_argument("--max-pages", type=int, default=None)
+    p.add_argument("--max-depth", type=int, default=None)
+    p.add_argument("--max-rounds", type=int, default=1000)
+    p.add_argument("--robots", default=None,
+                   help="optional parquet of (host, rule_type, path_prefix)")
+    p.add_argument("--artifacts", action="store_true",
+                   help="generate llms.txt/chunks/embeddings after the crawl")
+    p.add_argument("--demo", action="store_true",
+                   help="run on the built-in tiny synthetic site")
+    args = p.parse_args()
+    if args.demo:
+        args.entry = args.entry or "https://site0.test/"
+        args.match = args.match or ["https://site0.test/**"]
+        args.selector = "article" if args.selector == "body" else args.selector
+    elif not (args.entry and args.pages):
+        p.error("--entry and --pages are required (or use --demo)")
+
+    from context_crawler_spark.config import CrawlConfig
+    from context_crawler_spark.plans.scheduler import CrawlScheduler
+    from context_crawler_spark.session import get_spark
+    from context_crawler_spark.state import SnapshotStore
+
+    spark = get_spark(app_name="crawl")
+    spark.sparkContext.setLogLevel("WARN")
+    if args.demo:
+        from context_crawler_spark.sources.synthetic_web import tiny_site
+
+        pages = tiny_site(spark)
+    else:
+        pages = spark.read.parquet(args.pages)
+    robots = spark.read.parquet(args.robots) if args.robots else None
+
+    cfg = CrawlConfig(
+        entry=args.entry,
+        match=args.match or "**",
+        exclude=args.exclude or None,
+        selector=args.selector,
+        politeness_budget=args.politeness_budget,
+        host_crawl_delay_s=args.host_crawl_delay,
+        max_pages=args.max_pages,
+        max_depth=args.max_depth,
+        respect_robots=robots is not None,
+    )
+    store = SnapshotStore(args.store)
+    eng = CrawlScheduler(spark, store, cfg, pages)
+    meta = eng.run(max_rounds=args.max_rounds, robots=robots)
+    if args.artifacts and meta.get("fetched_total"):
+        from context_crawler_spark.plans.artifacts import ArtifactService
+
+        ArtifactService(spark, store).generate(eng.pages_out(), store.head_id())
+    print(json.dumps({
+        "job": cfg.name,
+        "rounds": meta.get("round"),
+        "fetched": meta.get("fetched_total"),
+        "finished": meta.get("finished"),
+        "reason": meta.get("finish_reason"),
+        "snapshot": store.head_id(),
+        "metrics_tail": (meta.get("metrics") or [])[-3:],
+    }))
+
+
+if __name__ == "__main__":
+    main()
