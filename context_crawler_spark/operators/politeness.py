@@ -79,27 +79,30 @@ def apply_robots(
         F.col("rule_type").alias("__rtype"),
         F.col("path_prefix").alias("__rprefix"),
     )
+    key = "url_hash" if "url_hash" in frontier.columns else "url"
     joined = (
-        frontier.withColumn("__path", path)
+        frontier.select(F.col(key).alias("__k"), F.col(host_col).alias("__h"),
+                        path.alias("__path"))
         .join(
             F.broadcast(rules),
-            on=(F.col(host_col) == F.col("__rhost"))
+            on=(F.col("__h") == F.col("__rhost"))
             & F.col("__path").startswith(F.col("__rprefix")),
-            how="left",
+            how="inner",
         )
     )
     # longest matching rule per URL; allow beats disallow on equal length.
-    # Unmatched rows contribute NULL, which max() skips → verdict NULL →
-    # allowed. Struct comparison is lexicographic (plen, then is_allow).
-    rule_val = F.when(
-        F.col("__rprefix").isNotNull(),
-        F.struct(
-            F.length("__rprefix").alias("plen"),
-            (F.col("__rtype") == "allow").cast("int").alias("is_allow"),
-        ),
+    # Struct comparison is lexicographic (plen, then is_allow). Only the
+    # slim (key, verdict) projection shuffles — never the full frontier row
+    # — and unmatched URLs never enter the aggregate at all (inner join):
+    # they are allowed by the left_anti against the blocked set below.
+    rule_val = F.struct(
+        F.length("__rprefix").alias("plen"),
+        (F.col("__rtype") == "allow").cast("int").alias("is_allow"),
     )
-    group_cols = list(frontier.columns)
-    decided = joined.groupBy(*group_cols).agg(F.max(rule_val).alias("__verdict"))
-    return decided.filter(
-        F.col("__verdict").isNull() | (F.col("__verdict.is_allow") == 1)
-    ).drop("__verdict")
+    blocked = (
+        joined.groupBy("__k")
+        .agg(F.max(rule_val).alias("__verdict"))
+        .filter(F.col("__verdict.is_allow") == 0)
+        .select(F.col("__k").alias(key))
+    )
+    return frontier.join(blocked, on=key, how="left_anti")

@@ -110,21 +110,33 @@ class SnapshotStore:
             return None
         return spark.read.parquet(os.path.join(self.root, snap.tables[table]))
 
+    # Tables whose scans should partition-prune: frontier by status (rounds
+    # read only status=pending; the Iceberg analog is a partition transform)
+    DEFAULT_PARTITIONING: dict[str, list[str]] = {"frontier": ["status"]}
+
     def commit(
         self,
         updates: dict[str, DataFrame],
         metadata: dict[str, Any] | None = None,
         tag: str | None = None,
+        partition_by: dict[str, list[str]] | None = None,
     ) -> Snapshot:
         """Atomically commit new versions of ``updates`` tables; tables not
         named carry forward from the parent snapshot unchanged (no rewrite).
+        ``partition_by`` (merged over DEFAULT_PARTITIONING) hive-partitions
+        a table's files so downstream filters prune whole directories.
         """
+        parts = {**self.DEFAULT_PARTITIONING, **(partition_by or {})}
         parent = self.snapshot()
         new_id = (parent.snapshot_id + 1) if parent else 0
         tables = dict(parent.tables) if parent else {}
         for name, df in updates.items():
             rel = os.path.join("data", name, f"v{new_id}-{uuid.uuid4().hex[:8]}")
-            df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+            writer = df.write.mode("overwrite")
+            cols = [c for c in parts.get(name, []) if c in df.columns]
+            if cols:
+                writer = writer.partitionBy(*cols)
+            writer.parquet(os.path.join(self.root, rel))
             tables[name] = rel
         manifest = {
             "snapshot_id": new_id,

@@ -97,6 +97,24 @@ def test_scheduler_fetch_join_prunes_pages_columns(spark, tiny_pages):
     assert set(sel.columns) == {"url", "warc_ts"}
 
 
+def test_frontier_status_partition_pruning(spark, tmp_path):
+    """The snapshot store hive-partitions the frontier by status, so the
+    round's status='pending' read prunes completed/failed directories at
+    planning time (Iceberg partition-transform analog)."""
+    from context_crawler_spark.state import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path))
+    df = spark.createDataFrame(
+        [("u1", "pending"), ("u2", "completed"), ("u3", "failed")],
+        "url string, status string",
+    )
+    store.commit({"frontier": df})
+    rd = store.read(spark, "frontier").filter(F.col("status") == "pending")
+    plan = _plan(rd)
+    assert "PartitionFilters" in plan and "status" in plan.split("PartitionFilters", 1)[1][:200]
+    assert rd.count() == 1
+
+
 def test_whole_stage_codegen_on_scheduling_path(spark):
     from context_crawler_spark.sources.synthetic_web import synthetic_frontier
 
