@@ -33,6 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     p = argparse.ArgumentParser(description="Run a crawl job")
+    p.add_argument("--job", help="named job from the registry (may be multi-config)")
     p.add_argument("--entry")
     p.add_argument("--match", action="append", default=[])
     p.add_argument("--exclude", action="append", default=[])
@@ -56,8 +57,8 @@ def main() -> None:
         args.entry = args.entry or "https://site0.test/"
         args.match = args.match or ["https://site0.test/**"]
         args.selector = "article" if args.selector == "body" else args.selector
-    elif not (args.entry and args.pages):
-        p.error("--entry and --pages are required (or use --demo)")
+    elif not args.job and not (args.entry and args.pages):
+        p.error("--entry and --pages are required (or use --job / --demo)")
 
     from context_crawler_spark.config import CrawlConfig
     from context_crawler_spark.plans.scheduler import CrawlScheduler
@@ -73,6 +74,23 @@ def main() -> None:
     else:
         pages = spark.read.parquet(args.pages)
     robots = spark.read.parquet(args.robots) if args.robots else None
+
+    if args.job:
+        # named (possibly multi-config) job → the queue worker path, the
+        # reference's `cli single/batch <job>` analog
+        from context_crawler_spark.plans.jobs import JobWorker
+        from context_crawler_spark.registry import get_job_configs
+
+        worker = JobWorker(spark, SnapshotStore(args.store), pages,
+                           generate_artifacts=args.artifacts)
+        worker.enqueue(get_job_configs(args.job))
+        results = worker.run_until_drained()
+        print(json.dumps({
+            "job": args.job,
+            "results": [r.__dict__ for r in results],
+            "stats": worker.stats(),
+        }))
+        return
 
     cfg = CrawlConfig(
         entry=args.entry,
