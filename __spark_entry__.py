@@ -339,6 +339,23 @@ def q_exact_dup_groups(spark, sf_dir):
     )
 
 
+def q_connected_components(spark, sf_dir):
+    """Distributed connected components (small-label propagation joins) —
+    the dedup-cluster resolver — on a deterministic edge set: consecutive
+    doc_ids within the same source. SQL oracle via the contiguous-run
+    grouping trick."""
+    from context_crawler_spark.operators.text_dedup import connected_components
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    edges = (
+        d.withColumn("src", F.lag("doc_id").over(w))
+        .filter(F.col("src").isNotNull())
+        .select("src", F.col("doc_id").alias("dst"))
+    )
+    return connected_components(edges, max_iter=30).select("node", "component")
+
+
 def q_text_stats(spark, sf_dir):
     """Cheap quality features as pure built-ins (C4/Gopher-style gates)."""
     d = _t(spark, sf_dir, "documents")
@@ -680,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "exact_dedup": q_exact_dedup,
         "exact_dup_groups": q_exact_dup_groups,
+        "connected_components": q_connected_components,
         "text_stats": q_text_stats,
         "byte_budget": q_byte_budget,
         "url_slug": q_url_slug,
@@ -879,6 +897,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups FROM documents
             GROUP BY substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 80)
             HAVING COUNT(*) > 1
+        """,
+        "connected_components": """
+            -- chaining successive docs per source makes each source ONE
+            -- component rooted at its min doc_id; sources with a single
+            -- doc contribute no edge hence no node
+            SELECT doc_id AS node,
+                   MIN(doc_id) OVER (PARTITION BY source) AS component
+            FROM documents
+            QUALIFY COUNT(*) OVER (PARTITION BY source) > 1
         """,
         "text_stats": r"""
             SELECT doc_id,

@@ -79,6 +79,19 @@ def test_connected_components_chain_and_islands(spark):
     assert comp[20] == comp[21] == 20
 
 
+def test_connected_components_long_path_converges_logarithmically(spark):
+    """A 120-node path must resolve well under diameter iterations —
+    pointer halving gives O(log n) rounds (would need 120 one-hop rounds
+    otherwise; max_iter=12 proves the halving works)."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 220)], "src long, dst long"
+    )
+    comp = {r["node"]: r["component"]
+            for r in connected_components(edges, max_iter=12).collect()}
+    assert set(comp.values()) == {100}
+    assert len(comp) == 121
+
+
 def _vec_corpus(spark, n=200, dim=16, seed=3):
     rng = np.random.RandomState(seed)
     vecs = rng.standard_normal((n, dim))
