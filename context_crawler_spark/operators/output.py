@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import json
 import math
-from typing import Callable, Iterator
+from typing import Callable
 
 import pandas as pd
 from pyspark.sql import DataFrame, Window

@@ -50,7 +50,7 @@ from ..functions import extract
 from ..functions.udfs import make_extract_page_udf
 from ..operators import bloom
 from ..operators.ids import with_url_identity
-from ..operators.links import expand_links, scope_filter
+from ..operators.links import expand_links
 from ..operators.ordering import emit_fetch_batch, with_global_seq
 from ..operators.politeness import apply_politeness, apply_robots
 from ..operators.retry import apply_failures, eligible_pending, release_stuck_claims
