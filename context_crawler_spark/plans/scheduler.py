@@ -308,15 +308,17 @@ class CrawlScheduler:
             n_pending = frontier.filter(F.col("status") == "pending").count()
             if n_pending > 0:
                 # nothing eligible THIS round (crawl-delay gate or immature
-                # retries) but work remains → commit an idle round, don't
-                # terminate
-                metrics = {"round": r, "claimed": 0, "fetched": 0,
+                # retries) but work remains → commit ONE idle round fast-
+                # forwarded to the earliest future eligibility instant,
+                # instead of one no-op snapshot per wall-clock interval
+                r_idle = self._fast_forward_round(r, ts)
+                metrics = {"round": r_idle, "claimed": 0, "fetched": 0,
                            "idle": True, "pending": int(n_pending)}
                 self.store.commit(
                     {},
-                    metadata={**meta, "round": r,
+                    metadata={**meta, "round": r_idle,
                               "metrics": meta.get("metrics", []) + [metrics]},
-                    tag=f"round-{r}-idle",
+                    tag=f"round-{r_idle}-idle",
                 )
                 return metrics
             return self._finish(meta, r, reason="frontier_empty")
@@ -495,6 +497,46 @@ class CrawlScheduler:
         for df in (batch, fetched_raw, fetched, pages_out, new_links):
             df.unpersist()
         return metrics
+
+    def _fast_forward_round(self, r: int, ts) -> int:
+        """Smallest round index ≥ r whose clock reaches the earliest future
+        eligibility instant (min over pending retries' next_retry_at and
+        gated hosts' last_fetch_ts + crawl delay). Returns the round to
+        RECORD (the next executed round is that + 1)."""
+        import math
+
+        frontier = self.frontier()
+        instants = []
+        row = (
+            frontier.filter(
+                (F.col("status") == "pending") & F.col("next_retry_at").isNotNull()
+            ).agg(F.min("next_retry_at")).collect()[0][0]
+        )
+        if row is not None:
+            instants.append(row)
+        if self.config.host_crawl_delay_s:
+            hs = self.store.read(self.spark, "host_state")
+            if hs is not None:
+                gated = (
+                    frontier.filter(F.col("status") == "pending")
+                    .select("host").distinct()
+                    .join(hs.select("host", "last_fetch_ts"), "host")
+                    .agg(F.min("last_fetch_ts")).collect()[0][0]
+                )
+                if gated is not None:
+                    instants.append(
+                        gated + timedelta(seconds=self.config.host_crawl_delay_s)
+                    )
+        if not instants:
+            return r
+        # collected timestamps come back session-TZ-naive (UTC values)
+        target = min(
+            t.replace(tzinfo=timezone.utc) if t.tzinfo is None else t
+            for t in instants
+        )
+        # next executed round r'+1 must satisfy round_ts(r'+1) >= target
+        need = math.ceil((target - EPOCH).total_seconds() / ROUND_INTERVAL_S)
+        return max(r, need - 1)
 
     def _finish(self, meta: dict, r: int, reason: str) -> dict[str, Any]:
         metrics = {"round": r, "claimed": 0, "fetched": 0, "finished": reason}
