@@ -51,6 +51,20 @@ def _noop_write(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _warmup(spark) -> None:
+    """Absorb one-time costs (JVM codegen, Python-worker spawn + imports)
+    so per-query timings measure the queries, not session startup."""
+    from pyspark.sql import functions as F
+
+    from context_crawler_spark.functions.udfs import quality_score_udf
+
+    spark.range(100_000).select(F.xxhash64("id")).write.mode(
+        "overwrite").format("noop").save()
+    spark.range(1000).select(
+        quality_score_udf(F.lit("warm up the python workers"))
+    ).write.mode("overwrite").format("noop").save()
+
+
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
@@ -144,6 +158,7 @@ def main() -> None:
                       extra_conf={"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
 
+    _warmup(spark)
     queries = bench_queries(spark, sf_dir)
     frontier = bench_frontier(spark, n_frontier)
     extract = bench_extract(spark, sf_dir)
