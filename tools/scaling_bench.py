@@ -30,7 +30,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-BASE_URLS = int(os.environ.get("SCALING_BASE_URLS", 600_000))
+BASE_URLS = int(os.environ.get("SCALING_BASE_URLS", 2_400_000))
 N_SMALL = int(os.environ.get("SCALING_N_SMALL", 2))
 N_BIG = int(os.environ.get("SCALING_N_BIG", 8))
 
