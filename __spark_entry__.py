@@ -237,7 +237,9 @@ def q_sessionize(spark, sf_dir):
     flagged = e.withColumn(
         "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     )
-    return flagged.groupBy("user_id").agg(F.sum("new_sess").alias("n_sessions"))
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_sess").cast("long").alias("n_sessions")
+    )
 
 
 def q_rollup_counts(spark, sf_dir):
@@ -398,7 +400,7 @@ def q_token_totals(spark, sf_dir):
     n_words = F.size(F.split(F.trim("text"), r"\s+"))
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.sum(n_words).alias("total_words"),
+        F.sum(n_words).cast("long").alias("total_words"),
     )
 
 
@@ -842,7 +844,8 @@ def oracle_sql() -> dict[str, str]:
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             )
-            SELECT user_id, SUM(new_sess) AS n_sessions FROM g GROUP BY user_id
+            SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions
+            FROM g GROUP BY user_id
         """,
         "rollup_counts": """
             SELECT lang, source, COUNT(*) AS n FROM documents
@@ -941,7 +944,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_totals": r"""
             SELECT lang, COUNT(*) AS n_docs,
-                   SUM(len(string_split_regex(trim(text), '\s+'))) AS total_words
+                   CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+                     AS total_words
             FROM documents GROUP BY lang
         """,
         "topk_cosine": """

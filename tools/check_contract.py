@@ -84,14 +84,25 @@ def main():
             n_rowsonly += 1
             continue
         try:
-            cur = con.execute(oracles[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            rel = con.sql(oracles[name])
+            ocols = list(rel.columns)
+            otypes = [str(t) for t in rel.types]
+            orows = rel.fetchall()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {exc}")
             n_fail += 1
             continue
         problems = []
+        # The driver fetches DuckDB results through a dataframe path where
+        # HUGEINT (the default type of SUM(INTEGER/BIGINT)) renders differently
+        # than Spark's BIGINT even when values are equal (r1: sessionize,
+        # token_totals). fetchall() hides that via Python int — so flag the
+        # *type* here: every integer aggregate must be CAST to BIGINT/INT.
+        huge = [c for c, t in zip(ocols, otypes) if "HUGEINT" in t.upper()]
+        if huge:
+            problems.append(
+                f"oracle returns HUGEINT column(s) {huge} — CAST(... AS BIGINT)"
+            )
         if sorted(cols) != sorted(ocols):
             problems.append(f"schema {sorted(cols)} vs {sorted(ocols)}")
         if len(rows) != len(orows):
