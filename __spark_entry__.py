@@ -69,10 +69,16 @@ def q_claim_order(spark, sf_dir):
 
 
 def q_crawl_round_sim(spark, sf_dir):
-    """One frontier round end-to-end on a synthetic URL table: per-host
-    politeness budget (row_number window, budget 2) then the globally
-    claim-ordered fetch batch of 50 (reference src/queue.ts:125-167 +
-    north-rule politeness)."""
+    """One frontier round end-to-end on a synthetic URL table, on the
+    ENGINE's operators: salted per-host politeness budget
+    (operators.politeness.apply_politeness, budget 2) then the globally
+    claim-ordered fetch batch of 50 via emit_fetch_batch — which compiles
+    to TakeOrderedAndProject + range-partitioned seq stamping, never a
+    partition-less window (reference src/queue.ts:125-167 + north-rule
+    politeness). Same rows as the window formulation, scale-safe plan."""
+    from context_crawler_spark.operators.ordering import emit_fetch_batch
+    from context_crawler_spark.operators.politeness import apply_politeness
+
     d = _t(spark, sf_dir, "documents")
     urls = d.select(
         F.concat(F.lit("https://"), "source", F.lit(".test/doc/"),
@@ -81,15 +87,12 @@ def q_crawl_round_sim(spark, sf_dir):
         (F.col("doc_id") % 5).cast("int").alias("priority"),
         F.col("doc_id").alias("seq"),
     )
-    w_host = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("seq"))
-    polite = urls.withColumn("rn", F.row_number().over(w_host)).filter(
-        F.col("rn") <= 2
-    ).drop("rn")
-    w_all = Window.orderBy(F.desc("priority"), F.asc("seq"))
-    return (
-        polite.withColumn("fetch_order", F.row_number().over(w_all))
-        .filter(F.col("fetch_order") <= 50)
-    )
+    polite = apply_politeness(urls, budget_per_host=2, host_col="host")
+    batch = emit_fetch_batch(polite, max_batch=50)
+    # engine fetch_order is 0-based long; the oracle's row_number is 1-based INT
+    return batch.withColumn(
+        "fetch_order", (F.col("fetch_order") + 1).cast("int")
+    ).select("url", "host", "priority", "seq", "fetch_order")
 
 
 def q_queue_stats(spark, sf_dir):

@@ -123,3 +123,27 @@ def test_whole_stage_codegen_on_scheduling_path(spark):
     )
     # '*(n)' marks whole-stage-codegen'd operators in the plan string
     assert "*(1)" in _plan(df)
+
+
+def test_crawl_round_sim_no_single_partition_sort(spark):
+    """Regression (VERDICT r1): the showcase frontier-round query must not
+    funnel the politeness-pruned set through a partition-less window.
+    emit_fetch_batch's TakeOrdered path + range-partitioned seq stamping
+    leaves NO single-partition exchange in the returned plan."""
+    import __spark_entry__ as m
+
+    df = m.q_crawl_round_sim(spark, SF)
+    plan = _plan(df)
+    assert "Exchange SinglePartition" not in plan
+    # the pre-checkpoint ordering is TakeOrderedAndProject — assert on the
+    # operator the engine path uses directly
+    from context_crawler_spark.operators.ordering import emit_fetch_batch
+    from context_crawler_spark.operators.politeness import apply_politeness
+    from context_crawler_spark.sources.synthetic_web import synthetic_frontier
+
+    fr = apply_politeness(synthetic_frontier(spark, 2000, n_hosts=20), 3)
+    ordered = fr.orderBy(F.desc("priority"), F.asc("seq")).limit(50)
+    assert "TakeOrderedAndProject" in _plan(ordered)
+    batch = emit_fetch_batch(fr, max_batch=50)
+    assert "Exchange SinglePartition" not in _plan(batch)
+    assert batch.count() == 50
