@@ -18,7 +18,9 @@ committed atomically to the snapshot store:
      src/core.ts:32-51)
   7. expand links (DOM order, glob scope, src/core.ts:203-207), anti-join
      the bloom-prefiltered ``url_seen`` set, assign deterministic ``seq``
-  8. MERGE next frontier + url_seen + host_state; append ``pages_out``;
+  8. MERGE next frontier + host_state; append ``pages_out_r{N}`` and the
+     ``url_seen_r{N}`` DELTA (O(new URLs), never an O(total-seen) rewrite;
+     compacted into one base table every ``seen_compact_every`` rounds);
      record metrics + per-partition lineage; commit ONE snapshot tagged
      ``round-N`` — the checkpoint a killed run resumes from
 
@@ -104,6 +106,7 @@ class CrawlScheduler:
         expected_urls_per_bucket: int = 1 << 14,
         visit_hook=None,
         hook_schema: str | None = None,
+        seen_compact_every: int = 8,
     ):
         # onVisitPage analog (reference src/schema.ts:18-21; invoked per
         # page src/core.ts:197-199): hook(row)->list[rows] emitting into a
@@ -120,6 +123,10 @@ class CrawlScheduler:
         self.use_bloom = use_bloom
         self.expected_urls_per_bucket = expected_urls_per_bucket
         self.bloom_dir = f"{store.root}/bloom"
+        # compact url_seen deltas back into one base table every K rounds:
+        # bounds read fan-in at K dirs while keeping the per-round write
+        # O(new URLs) instead of O(total seen)
+        self.seen_compact_every = seen_compact_every
         self._extract_page = make_extract_page_udf(config.selector)
 
     # -- state accessors -------------------------------------------------------
@@ -132,8 +139,34 @@ class CrawlScheduler:
     def frontier(self) -> DataFrame | None:
         return self.store.read(self.spark, "frontier")
 
+    def _seen_delta_tables(self) -> list[str]:
+        snap = self.store.snapshot()
+        if snap is None:
+            return []
+        return sorted(
+            (t for t in snap.tables if t.startswith("url_seen_r")),
+            key=lambda t: int(t[len("url_seen_r"):]),
+        )
+
     def url_seen(self) -> DataFrame | None:
-        return self.store.read(self.spark, "url_seen")
+        """Seen set at HEAD = compacted base ∪ per-round deltas.
+
+        Each round commits ONLY its delta (``url_seen_r{N}``, O(new URLs));
+        the untouched base and older deltas carry forward by manifest
+        reference. At 10^10 seen URLs a full per-round rewrite is the
+        engine's one O(total) step — this removes it; ``seen_compact_every``
+        bounds read fan-in. Iceberg analog: append-only MERGE + periodic
+        rewrite_data_files compaction."""
+        snap = self.store.snapshot()
+        if snap is None:
+            return None
+        names = (["url_seen"] if "url_seen" in snap.tables else []) + \
+            self._seen_delta_tables()
+        out = None
+        for t in names:
+            df = self.store.read(self.spark, t)
+            out = df if out is None else out.unionByName(df)
+        return out
 
     def pages_out(self) -> DataFrame | None:
         """Union of all per-round page outputs at HEAD (visit order =
@@ -237,7 +270,7 @@ class CrawlScheduler:
         else:
             bloom_meta = None
         self.store.commit(
-            {"frontier": frontier, "url_seen": seen},
+            {"frontier": frontier, "url_seen_r0": seen},
             metadata={
                 "round": 0,
                 "next_seq": int(n_seeds),
@@ -428,7 +461,6 @@ class CrawlScheduler:
         new_seen = new_links.select("url_hash", "canonical_url").withColumn(
             "first_seen_round", F.lit(r)
         )
-        next_seen = (seen.unionByName(new_seen) if seen is not None else new_seen)
         if self.use_bloom and n_new > 0 and bloom_meta:
             bloom.build_bloom_shards(
                 new_seen, self.bloom_dir, self.n_buckets,
@@ -476,14 +508,25 @@ class CrawlScheduler:
         }
         updates = {
             "frontier": next_frontier,
-            "url_seen": next_seen,
             f"pages_out_r{r}": pages_out,
             "host_state": host_state,
         }
+        # url_seen: delta commit (O(new URLs)); every seen_compact_every
+        # deltas, fold base + deltas + this round into one base table and
+        # drop the deltas in the SAME atomic commit
+        drop: list[str] = []
+        deltas = self._seen_delta_tables()
+        if n_new > 0 and len(deltas) + 1 >= self.seen_compact_every:
+            base = seen.unionByName(new_seen) if seen is not None else new_seen
+            updates["url_seen"] = base
+            drop = deltas
+        elif n_new > 0:
+            updates[f"url_seen_r{r}"] = new_seen
         if hook_out is not None:
             updates[f"hook_out_r{r}"] = hook_out
         self.store.commit(
             updates,
+            drop=drop,
             metadata={
                 **meta,
                 "round": r,

@@ -120,16 +120,23 @@ class SnapshotStore:
         metadata: dict[str, Any] | None = None,
         tag: str | None = None,
         partition_by: dict[str, list[str]] | None = None,
+        drop: list[str] | None = None,
     ) -> Snapshot:
         """Atomically commit new versions of ``updates`` tables; tables not
         named carry forward from the parent snapshot unchanged (no rewrite).
         ``partition_by`` (merged over DEFAULT_PARTITIONING) hive-partitions
         a table's files so downstream filters prune whole directories.
+        ``drop`` removes tables from the new snapshot's manifest (their data
+        dirs stay reachable from older snapshots until expire_orphans) — the
+        Iceberg analog is dropping files from the table in the same
+        transaction, used by delta compaction (url_seen_r{N} → url_seen).
         """
         parts = {**self.DEFAULT_PARTITIONING, **(partition_by or {})}
         parent = self.snapshot()
         new_id = (parent.snapshot_id + 1) if parent else 0
         tables = dict(parent.tables) if parent else {}
+        for name in drop or []:
+            tables.pop(name, None)
         for name, df in updates.items():
             rel = os.path.join("data", name, f"v{new_id}-{uuid.uuid4().hex[:8]}")
             writer = df.write.mode("overwrite")

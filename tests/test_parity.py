@@ -167,3 +167,39 @@ def test_rollback_replays_round(spark, tiny_pages, tiny_web, tmp_path):
     eng2 = CrawlScheduler(spark, store, config, tiny_pages, n_buckets=8)
     eng2.run(max_rounds=50)
     assert eng2.visit_order() == final_order
+
+
+def test_url_seen_delta_commits(spark, tiny_pages, tiny_web, tmp_path):
+    """Round N's url_seen write is the DELTA (∝ new URLs, not total seen) —
+    the r1 scale-killer fix — and compaction folds deltas back into one
+    base table in a single atomic commit."""
+    config = CrawlConfig(
+        entry="https://site0.test/", match=["https://site0.test/**"],
+        selector="article",
+    )
+    store = SnapshotStore(str(tmp_path / "s"))
+    eng = CrawlScheduler(spark, store, config, tiny_pages, n_buckets=8,
+                         seen_compact_every=100)  # never compact in this run
+    eng.seed()
+    m1 = eng.run_round()
+    snap = store.snapshot()
+    assert "url_seen_r1" in snap.tables and "url_seen" not in snap.tables
+    delta = store.read(spark, "url_seen_r1")
+    assert delta.count() == m1["new_urls"]  # write size ∝ new URLs
+    # seed delta untouched by round 1's commit (carried forward by reference)
+    parent = store.snapshot(snap.parent_id)
+    assert snap.tables["url_seen_r0"] == parent.tables["url_seen_r0"]
+    total_after_r1 = eng.url_seen().count()
+
+    # same crawl with aggressive compaction: identical seen set, deltas folded
+    store2 = SnapshotStore(str(tmp_path / "s2"))
+    eng2 = CrawlScheduler(spark, store2, config, tiny_pages, n_buckets=8,
+                          seen_compact_every=2)
+    eng2.run(max_rounds=50)
+    snap2 = store2.snapshot()
+    deltas = [t for t in snap2.tables if t.startswith("url_seen_r")]
+    assert "url_seen" in snap2.tables and len(deltas) < 2
+    seen = lambda e: {r["canonical_url"] for r in e.url_seen().collect()}  # noqa: E731
+    eng.run(max_rounds=50)
+    assert seen(eng2) == seen(eng)
+    assert eng2.visit_order() == eng.visit_order()
