@@ -43,6 +43,49 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _langid_oracle_sql() -> str:
+    """DuckDB SQL for detect_language, with the stopword profiles inlined
+    from the single source of truth (functions/textstats.py)."""
+    from context_crawler_spark.functions.textstats import _STOPWORDS
+
+    def lst(lang: str) -> str:
+        return "[" + ",".join(f"'{w}'" for w in sorted(_STOPWORDS[lang])) + "]"
+
+    def rate(lang: str) -> str:
+        return (
+            "CASE WHEN len(words)=0 THEN 0.0 ELSE "
+            f"CAST(len(list_filter(words, x -> list_contains({lst(lang)}, x)))"
+            f" AS DOUBLE)/len(words) END AS s_{lang}"
+        )
+
+    return f"""
+        WITH w AS (
+          SELECT doc_id,
+            list_transform(regexp_extract_all(text, '[a-zA-ZÀ-ÿ'']+')[1:400],
+                           x -> lower(x)) AS words
+          FROM documents
+        ), s AS (
+          SELECT doc_id, len(words) AS nw,
+            {rate('de')}, {rate('en')}, {rate('es')}, {rate('fr')}
+          FROM w
+        ), r AS (
+          SELECT doc_id, nw, s_de, s_en, s_es, s_fr,
+            list_sort([s_de, s_en, s_es, s_fr], 'DESC') AS ranked
+          FROM s
+        )
+        SELECT doc_id,
+          CASE WHEN nw = 0 OR ranked[1] = 0 THEN 'und'
+               WHEN s_de = ranked[1] THEN 'de'
+               WHEN s_en = ranked[1] THEN 'en'
+               WHEN s_es = ranked[1] THEN 'es'
+               ELSE 'fr' END AS lang_pred,
+          round(CASE WHEN nw = 0 OR ranked[1] = 0 THEN 0.0
+                ELSE least(1.0, greatest(0.0, ranked[1] - ranked[2] + ranked[1]))
+                END, 6) AS lang_score
+        FROM r
+    """
+
+
 def _ts(col):
     """Timestamp → ISO string (stable across Spark/DuckDB hashing)."""
     return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
@@ -992,5 +1035,114 @@ def oracle_sql() -> dict[str, str]:
                      chr(10) || chr(10) ORDER BY doc_id) AS llms_txt
             FROM documents WHERE doc_id < 100
             GROUP BY source
+        """,
+        # C4/Gopher-style quality gates re-derived from char-class counts —
+        # same arithmetic, same gate order, as functions/textstats.py
+        "quality_scores": r"""
+            WITH f AS (
+              SELECT doc_id,
+                len(list_filter(string_split_regex(text, '\s+'), w -> w <> ''))
+                  AS n_words,
+                len(regexp_replace(text, '\s', '', 'g')) AS nws_chars,
+                len(text) AS n_chars,
+                len(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS alnum,
+                list_filter(string_split(text, chr(10)),
+                  ln -> trim(ln, ' ' || chr(9) || chr(13) || chr(11) || chr(12)) <> '')
+                  AS lines
+              FROM documents
+            ), g AS (
+              SELECT doc_id, n_words,
+                CASE WHEN n_words > 0
+                     THEN CAST(nws_chars AS DOUBLE)/n_words ELSE 0 END AS mwl,
+                CASE WHEN n_chars > 0
+                     THEN CAST(alnum AS DOUBLE)/n_chars ELSE 0 END AS ar,
+                CASE WHEN len(lines) > 0
+                     THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)/len(lines)
+                     ELSE 0 END AS dlf
+              FROM f
+            )
+            SELECT doc_id,
+              round(CASE WHEN n_words < 1 THEN 0.0 ELSE
+                (CASE WHEN n_words < 5 THEN greatest(0.0, n_words/5.0)
+                      WHEN n_words > 1000000
+                        THEN greatest(0.0, 1.0-(n_words-1000000.0)/1000000.0)
+                      ELSE 1.0 END)
+              * (CASE WHEN mwl < 2 THEN greatest(0.0, mwl/2.0)
+                      WHEN mwl > 12 THEN greatest(0.0, 1.0-(mwl-12.0)/12.0)
+                      ELSE 1.0 END)
+              * (CASE WHEN ar < 0.55 THEN greatest(0.0, ar/0.55)
+                      WHEN ar > 1.0 THEN 0.0 ELSE 1.0 END)
+              * (CASE WHEN dlf > 0.3 THEN greatest(0.0, 1.0-(dlf-0.3)/0.3)
+                      ELSE 1.0 END)
+              END, 6) AS quality
+            FROM g
+        """,
+        # crawlee-uniqueKey normalization re-expressed as pure SQL string ops
+        # (fragment drop, utm_ filter, raw k=v sort, trailing-slash strip,
+        # lowercase scheme://host, registered domain)
+        "canonicalize": r"""
+            WITH u AS (
+              SELECT doc_id,
+                     'HTTPS://WWW.' || source || '.Test/Docs/p'
+                       || CAST(doc_id AS VARCHAR) ||
+                     CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&b=2&a=1#frag'
+                          WHEN doc_id % 3 = 1 THEN '/' ELSE '' END AS url
+              FROM documents WHERE doc_id < 300
+            ), s AS (
+              SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag FROM u
+            ), q AS (
+              SELECT doc_id, url,
+                CASE WHEN instr(nofrag, '?') > 0
+                     THEN substr(nofrag, 1, instr(nofrag,'?')-1)
+                     ELSE nofrag END AS base,
+                CASE WHEN instr(nofrag, '?') > 0
+                     THEN substr(nofrag, instr(nofrag,'?')+1)
+                     ELSE '' END AS qs
+              FROM s
+            ), r AS (
+              SELECT doc_id, url,
+                lower(regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*')) ||
+                  regexp_replace(regexp_replace(base,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', ''), '/$', '') AS canon_base,
+                array_to_string(list_sort(list_filter(string_split(qs, '&'),
+                  x -> NOT starts_with(x, 'utm_'))), '&') AS canon_q
+              FROM q
+            )
+            SELECT doc_id, url,
+              canon_base ||
+                CASE WHEN canon_q <> '' THEN '?' || canon_q ELSE '' END
+                AS canonical_url,
+              regexp_extract(lower(regexp_extract(url,
+                '^[A-Za-z]+://(?:[^/@]*@)?([^/:#?]+)', 1)),
+                '[^.]+\.[^.]+$') AS host
+            FROM r
+        """,
+        # stopword-profile language ID re-derived in SQL: per-language
+        # hit-rates over the first 400 regex words, confidence =
+        # clamp(best - second + best) with alphabetical tie-break — the
+        # exact arithmetic of functions/textstats.py:detect_language
+        "langid": _langid_oracle_sql(),
+        # the stub decoder's (w,h) derivation from the payload sha256 digest,
+        # re-done from the hex string (operators/multimodal.py:_fake_decode)
+        "multimodal_meta": """
+            WITH h AS (
+              SELECT doc_id, sha256(text) AS hx FROM documents WHERE doc_id < 200
+            ), b AS (
+              SELECT doc_id, hx,
+                (instr('0123456789abcdef', substr(hx,1,1))-1)*16
+                  + (instr('0123456789abcdef', substr(hx,2,1))-1) AS b0,
+                (instr('0123456789abcdef', substr(hx,3,1))-1)*16
+                  + (instr('0123456789abcdef', substr(hx,4,1))-1) AS b1,
+                (instr('0123456789abcdef', substr(hx,5,1))-1)*16
+                  + (instr('0123456789abcdef', substr(hx,6,1))-1) AS b2,
+                (instr('0123456789abcdef', substr(hx,7,1))-1)*16
+                  + (instr('0123456789abcdef', substr(hx,8,1))-1) AS b3
+              FROM h
+            )
+            SELECT doc_id,
+              CAST(64 + (b0 + 256*b1) % 1984 AS INT) AS width,
+              CAST(64 + (b2 + 256*b3) % 1984 AS INT) AS height,
+              CAST(3 AS INT) AS channels, 'fake' AS format, hx AS sha256
+            FROM b
         """,
     }
