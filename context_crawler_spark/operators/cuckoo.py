@@ -49,16 +49,24 @@ def _fingerprints(h: np.ndarray) -> np.ndarray:
 
 def _index1(h: np.ndarray, nb: int) -> np.ndarray:
     h1, _ = _mix(h)
-    return ((h1 >> np.uint64(16)) % np.uint64(nb)).astype(np.int64)
+    return ((h1 >> np.uint64(16)) & np.uint64(nb - 1)).astype(np.int64)
 
 
 def _fp_offset(fp: np.ndarray, nb: int) -> np.ndarray:
     # H'(fp): cheap odd-multiplier mix of the fingerprint
-    return ((fp.astype(np.uint64) * np.uint64(0x5BD1E995)) % np.uint64(nb)).astype(np.int64)
+    return ((fp.astype(np.uint64) * np.uint64(0x5BD1E995))
+            & np.uint64(nb - 1)).astype(np.int64)
 
 
 def _index2(i1: np.ndarray, fp: np.ndarray, nb: int) -> np.ndarray:
-    return (i1 ^ _fp_offset(fp, nb)) % nb
+    # XOR-involution (Fan et al.) REQUIRES nb to be a power of two: with a
+    # `% nb` of arbitrary nb, an evicted fingerprint can relocate to a
+    # bucket contains() never probes → false negatives → recrawls.
+    return (i1 ^ _fp_offset(fp, nb)) & (nb - 1)
+
+
+def _pow2(n: int) -> int:
+    return 1 << max(0, n - 1).bit_length()
 
 
 class CuckooTable:
@@ -66,6 +74,8 @@ class CuckooTable:
     mapInPandas tasks only."""
 
     def __init__(self, nb: int, table: np.ndarray | None = None):
+        if nb & (nb - 1):
+            raise ValueError(f"nb must be a power of two, got {nb}")
         self.nb = nb
         self.table = table if table is not None else np.zeros((nb, SLOTS), np.uint16)
 
@@ -146,7 +156,8 @@ def build_cuckoo_shards(
     """(Re)build/merge per-bucket cuckoo tables from (new) seen keys. Sized
     for ≤50% load at the expectation so per-round increments stay cheap."""
     os.makedirs(shards_dir, exist_ok=True)
-    nb = max(64, int(expected_per_bucket * 2 / SLOTS))
+    # power of two: the partial-key XOR pair is only involutive then
+    nb = _pow2(max(64, int(expected_per_bucket * 2 / SLOTS)))
     df = seen.select(
         F.col(hash_col).alias("h"), bucket_col(F.col(hash_col), n_buckets).alias("bucket")
     ).repartition(n_buckets, "bucket")

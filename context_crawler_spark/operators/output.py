@@ -54,11 +54,22 @@ def split_plan(
     max_tokens: int | None,
     max_bytes: int | None,
 ) -> list[int]:
+    """Per-item file assignment only; see ``split_plan_full``."""
+    return split_plan_full(items, max_tokens, max_bytes)[0]
+
+
+def split_plan_full(
+    items: list[tuple[int, int]],
+    max_tokens: int | None,
+    max_bytes: int | None,
+) -> tuple[list[int], int]:
     """The pinned sequential algorithm over per-item (token_count, byte_len).
 
-    Returns one file index (1-based) per item, or -1 for dropped items.
-    Pure function — shared by the Spark applyInPandas path and the oracle
-    tests."""
+    Returns (assignment, final_file_counter): one file index (1-based) per
+    item, or -1 for dropped items, plus the state machine's final counter —
+    needed for naming parity (a byte-flush of an empty batch advances the
+    counter without assigning any item to it). Pure function — shared by the
+    Spark applyInPandas path and the oracle tests."""
     out: list[int] = []
     batch_nonempty = False
     current_size = 0
@@ -88,18 +99,26 @@ def split_plan(
             file_counter += 1  # flush even if empty (reference quirk)
             batch_nonempty = False
             current_size = 0
-    return out
+    return out, file_counter
 
 
 def finalize_file_names(
-    assignment: list[int], base_name: str
+    assignment: list[int], base_name: str, final_counter: int | None = None
 ) -> dict[int, str]:
-    """file index → file name; a single-file output keeps the plain name
-    (reference src/core.ts:459-470)."""
-    used = sorted({i for i in assignment if i > 0})
-    if len(used) == 1:
-        return {used[0]: f"{base_name}.json"}
-    return {i: f"{base_name}-{i}.json" for i in used}
+    """file index → file name, reference naming parity (src/core.ts:394-395,
+    459-474): every mid-run flush writes ``-N.json`` — INCLUDING a
+    byte-flushed empty batch — and the final batch is written only if
+    non-empty, plain-named iff no flush ever happened (final counter == 1).
+    Without ``final_counter`` (legacy callers) the max assigned index is
+    assumed to be the final counter."""
+    used = {i for i in assignment if i > 0}
+    last = final_counter if final_counter is not None else max(used, default=1)
+    if last == 1:
+        return {1: f"{base_name}.json"} if used else {}
+    names = {i: f"{base_name}-{i}.json" for i in range(1, last)}
+    if last in used:
+        names[last] = f"{base_name}-{last}.json"
+    return names
 
 
 def assign_file_ids_exact(
@@ -174,8 +193,8 @@ def write_job_json(
         cs = content_string(t or "", u or "", x or "")
         sizes.append((count_tokens(cs), len(cs.encode("utf-8"))))
     max_bytes = max_bytes_mb * 1024 * 1024 if max_bytes_mb else None
-    assignment = split_plan(sizes, max_tokens, max_bytes)
-    names = finalize_file_names(assignment, job_name)
+    assignment, final_counter = split_plan_full(sizes, max_tokens, max_bytes)
+    names = finalize_file_names(assignment, job_name, final_counter)
     paths = []
     for fid, fname in names.items():
         rows = [

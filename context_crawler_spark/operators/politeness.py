@@ -72,8 +72,18 @@ def apply_robots(
     """
     if robots is None:
         return frontier
-    path = F.regexp_replace("url", r"^[a-z][a-z0-9+.-]*://[^/]*", "")
-    path = F.when(path == "", "/").otherwise(path)
+    # RFC 9309 match target: path + optional query, NEVER the fragment
+    # (pinned by test_parity_robots_query_urls — oracle.py mirrors this).
+    # Authority stops at / ? # so a query on an empty path survives.
+    raw = F.regexp_replace(
+        F.regexp_replace("url", r"#.*$", ""),
+        r"^[a-z][a-z0-9+.-]*://[^/?#]*", "",
+    )
+    path = (
+        F.when(raw == "", "/")
+        .when(raw.startswith("?"), F.concat(F.lit("/"), raw))
+        .otherwise(raw)
+    )
     rules = robots.select(
         F.col("host").alias("__rhost"),
         F.col("rule_type").alias("__rtype"),

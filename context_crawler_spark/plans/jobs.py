@@ -37,7 +37,7 @@ from .scheduler import CrawlScheduler
 QUEUE_SCHEMA = (
     "job_id string, name string, status string, priority int, attempts int,"
     " max_attempts int, next_retry_at int, created_seq long, config string,"
-    " error string, output_snapshot int"
+    " error string, output_snapshot int, claimed_at int"
 )
 
 
@@ -68,10 +68,10 @@ class JobWorker:
 
     def _commit_queue(self, rows: list[dict[str, Any]], tag: str) -> None:
         df = self.spark.createDataFrame(
-            [tuple(r[k] for k in [
+            [tuple(r.get(k) for k in [
                 "job_id", "name", "status", "priority", "attempts",
                 "max_attempts", "next_retry_at", "created_seq", "config",
-                "error", "output_snapshot",
+                "error", "output_snapshot", "claimed_at",
             ]) for r in rows],
             QUEUE_SCHEMA,
         )
@@ -93,7 +93,7 @@ class JobWorker:
                 "attempts": 0, "max_attempts": max_attempts,
                 "next_retry_at": None, "created_seq": base + i,
                 "config": json.dumps(cfg.to_dict()), "error": None,
-                "output_snapshot": None,
+                "output_snapshot": None, "claimed_at": None,
             })
             ids.append(job_id)
         self._commit_queue(rows, tag="enqueue")
@@ -115,8 +115,34 @@ class JobWorker:
         chosen = eligible[0]
         chosen["status"] = "claimed"
         chosen["attempts"] += 1
+        chosen["claimed_at"] = self._tick
         self._commit_queue(rows, tag=f"claim-{chosen['job_id']}")
         return chosen
+
+    def recover_stuck_jobs(self, lease_ticks: int | None = None) -> int:
+        """recoverStuckJobs parity (reference src/queue.ts:232-245): re-pend
+        claimed rows whose lease expired — a crash between the claim commit
+        and the finish commit must not orphan the job. ``lease_ticks=None``
+        (worker start) re-pends ALL claimed rows: this worker holds no
+        claims yet and the loop is single-worker, so any claim is a
+        leftover. Returns rows recovered."""
+        rows = self._queue()
+        n = 0
+        for r in rows:
+            if r["status"] != "claimed":
+                continue
+            if lease_ticks is not None and (
+                r.get("claimed_at") is None
+                or r["claimed_at"] + lease_ticks > self._tick
+            ):
+                continue
+            r["status"] = "pending"
+            r["claimed_at"] = None
+            r["error"] = "stuck_claim_recovered"
+            n += 1
+        if n:
+            self._commit_queue(rows, tag="recover-stuck")
+        return n
 
     def stats(self) -> dict[str, int]:
         """getStats parity (src/queue.ts:279-313)."""
@@ -175,6 +201,7 @@ class JobWorker:
         (the deterministic, WORKER_CONCURRENCY=1 form — parity target per
         SURVEY.md §2.5 note on concurrency races)."""
         results: list[JobResult] = []
+        self.recover_stuck_jobs()  # crash leftovers from a dead worker
         for _ in range(max_ticks):
             self._tick += 1
             row = self.claim_next()

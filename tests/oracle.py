@@ -56,7 +56,10 @@ def _robots_allows(robots: list[tuple[str, str, str]] | None, host: str, url: st
         return True
     from urllib.parse import urlsplit
 
-    path = urlsplit(url).path or "/"
+    # RFC 9309 match target: path + optional query (fragment excluded) —
+    # same semantic as operators/politeness.py:apply_robots
+    parts = urlsplit(url)
+    path = (parts.path or "/") + (f"?{parts.query}" if parts.query else "")
     best_len, best_allow = -1, True
     for h, rtype, prefix in robots:
         if h != host or not path.startswith(prefix):

@@ -54,3 +54,38 @@ def test_cuckoo_incremental_merge_and_delete(spark, tmp_path):
     assert still < 50  # only residual fp collisions
     assert cuckoo.with_maybe_seen(b, str(tmp_path), meta).filter(
         ~F.col("maybe_seen")).count() == 0  # b unaffected
+
+
+def test_non_power_of_two_sizing_is_rounded_up():
+    """ADVICE r1: i2 = (i1 XOR H'(fp)) is only involutive for power-of-two
+    nb; arbitrary sizing could relocate evicted fingerprints to buckets
+    contains() never probes (false negatives → recrawls). Sizing must
+    round up; a direct non-pow2 table must be rejected."""
+    import numpy as np
+    import pytest as _pytest
+
+    from context_crawler_spark.operators.cuckoo import CuckooTable, _pow2
+
+    with _pytest.raises(ValueError):
+        CuckooTable(nb=96)
+    assert _pow2(96) == 128 and _pow2(128) == 128 and _pow2(1) == 1
+
+    # heavy eviction pressure at a pow2-rounded size: inserted keys must
+    # all still probe positive (the involution guarantee)
+    rng = np.random.RandomState(7)
+    keys = rng.randint(-2**62, 2**62, size=900, dtype=np.int64)
+    t = CuckooTable(nb=_pow2(300))  # 512*4 slots, ~44% load → real kicking
+    fails = t.insert(keys)
+    ok = t.contains(keys)
+    assert fails == 0 and bool(ok.all())
+
+
+def test_shard_build_rounds_nb(spark, tmp_path):
+    from context_crawler_spark.operators.cuckoo import build_cuckoo_shards
+
+    df = spark.range(500).select(
+        (F.col("id") * 2654435761).alias("url_hash")
+    )
+    meta = build_cuckoo_shards(df, str(tmp_path / "ck"), n_buckets=4,
+                               expected_per_bucket=1000)  # 2*1000/4=500 → 512
+    assert meta["nb"] == 512

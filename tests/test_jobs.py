@@ -55,3 +55,38 @@ def test_job_failure_retry_then_terminal(spark, tiny_pages, tmp_path, monkeypatc
     q = {r["job_id"]: r for r in w._queue()}
     assert q["job-000000"]["error"] == "synthetic"
     assert q["job-000000"]["attempts"] == 2
+
+
+def test_stuck_claim_recovery(spark, tiny_pages, tmp_path):
+    """ADVICE r1 / reference recoverStuckJobs (src/queue.ts:232-245): a
+    crash between claim and finish leaves the row 'claimed'; a fresh worker
+    must re-pend and complete it instead of draining around an orphan."""
+    from context_crawler_spark.config import CrawlConfig
+    from context_crawler_spark.plans.jobs import JobWorker
+    from context_crawler_spark.state import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "q"))
+    cfg = CrawlConfig(entry="https://site0.test/",
+                      match=["https://site0.test/**"], selector="article")
+    w1 = JobWorker(spark, store, tiny_pages)
+    (job_id,) = w1.enqueue([cfg])
+    w1._tick = 1
+    claimed = w1.claim_next()
+    assert claimed["job_id"] == job_id
+    del w1  # crash before _finish
+
+    w2 = JobWorker(spark, store, tiny_pages)
+    assert w2.stats()["claimed"] == 1
+    results = w2.run_until_drained()
+    assert [r.status for r in results] == ["completed"]
+    st = w2.stats()
+    assert st["completed"] == 1 and st["claimed"] == 0 and st["pending"] == 0
+
+    # in-loop lease expiry: artificially claimed row with an old tick
+    rows = w2._queue()
+    rows[0]["status"] = "claimed"
+    rows[0]["claimed_at"] = 0
+    w2._commit_queue(rows, tag="simulate-stuck")
+    w2._tick = 100
+    assert w2.recover_stuck_jobs(lease_ticks=30) == 1
+    assert w2.recover_stuck_jobs(lease_ticks=1000) == 0

@@ -222,3 +222,35 @@ def test_bucket_col_stable_range(spark):
     buckets = df.select(bucket_col("h", 16).alias("b")).distinct().collect()
     vals = {r["b"] for r in buckets}
     assert vals <= set(range(16)) and len(vals) > 8
+
+
+def test_robots_query_and_fragment_semantics(spark):
+    """ADVICE r1: one pinned match target — RFC 9309 path + query, fragment
+    excluded — identical between apply_robots and the sequential oracle."""
+    from tests.oracle import _robots_allows
+
+    urls = [
+        "https://h.test/a?sort=asc",      # query makes the disallow match
+        "https://h.test/a",               # plain path: allowed
+        "https://h.test/b#?&fake",        # fragment must NOT match '?' rules
+        "https://h.test/private/x?y=1",   # prefix disallow + query tail
+        "https://h.test?tracking=1",      # query on empty path → '/?...'
+        "https://h.test/",
+    ]
+    robots_rows = [
+        ("h.test", "disallow", "/a?"),
+        ("h.test", "disallow", "/private/"),
+        ("h.test", "disallow", "/?tracking"),
+        ("h.test", "allow", "/b"),
+    ]
+    df = spark.createDataFrame([(u, "h.test") for u in urls], "url string, host string")
+    robots = spark.createDataFrame(
+        robots_rows, "host string, rule_type string, path_prefix string"
+    )
+    engine_allowed = {r["url"] for r in apply_robots(df, robots).collect()}
+    oracle_allowed = {u for u in urls if _robots_allows(robots_rows, "h.test", u)}
+    assert engine_allowed == oracle_allowed
+    assert "https://h.test/a" in engine_allowed
+    assert "https://h.test/a?sort=asc" not in engine_allowed
+    assert "https://h.test/b#?&fake" in engine_allowed
+    assert "https://h.test?tracking=1" not in engine_allowed

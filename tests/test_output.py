@@ -120,3 +120,56 @@ def test_scalable_buckets_monotone(spark):
     buckets = [r["bucket"] for r in out]
     assert buckets == sorted(buckets)
     assert buckets[0] == 0 and buckets[-1] == (30 * 49) // 100
+
+
+def test_finalize_names_empty_byte_flush_parity():
+    """ADVICE r1 edge: a byte-triggered flush of an empty batch (all items
+    token-dropped) advances fileCounter — the reference then writes an
+    empty '-1.json', and any later batch gets '-2.json'; the plain name is
+    used ONLY when no flush ever happened (final counter == 1)."""
+    from context_crawler_spark.operators.output import split_plan_full
+
+    # two oversize items (token-dropped) whose bytes trip the byte budget
+    assignment, counter = split_plan_full([(500, 300), (500, 300)], 100, 250)
+    assert assignment == [-1, -1] and counter == 3
+    names = finalize_file_names(assignment, "job", counter)
+    assert names == {1: "job-1.json", 2: "job-2.json"}  # both empty, no final
+
+    # dropped-then-kept: flush file 1 is empty, final batch non-empty → -2
+    assignment, counter = split_plan_full([(500, 300), (50, 10)], 100, 250)
+    assert assignment == [-1, 2] and counter == 2
+    assert finalize_file_names(assignment, "job", counter) == {
+        1: "job-1.json", 2: "job-2.json"}
+
+    # no flush at all → plain name
+    assignment, counter = split_plan_full([(50, 10), (20, 10)], 100, None)
+    assert counter == 1
+    assert finalize_file_names(assignment, "job", counter) == {1: "job.json"}
+
+
+def test_write_job_json_emits_empty_flush_files(tmp_path):
+    """End-to-end naming parity: an oversize token-dropped item whose bytes
+    trip the 1 MB budget produces an EMPTY job-1.json; the following kept
+    item lands in job-2.json (never a plain-named single file)."""
+    import json as _json
+    import os
+
+    import pandas as pd
+
+    from context_crawler_spark.operators.output import write_job_json
+
+    big = "x" * (1_100_000)  # content bytes > 1 MB → byte flush
+    pdf = pd.DataFrame({
+        "title": ["T1", "T2"], "url": ["u1", "u2"], "text": [big, "short"],
+        "round": [1, 1], "fetch_order": [0, 1],
+    })
+    paths = write_job_json(pdf, str(tmp_path), "job", max_tokens=1000,
+                           max_bytes_mb=1)
+    assert sorted(os.path.basename(p) for p in paths) == [
+        "job-1.json", "job-2.json"]
+    by_name = {os.path.basename(p): p for p in paths}
+    with open(by_name["job-1.json"]) as f:
+        assert _json.load(f) == []  # the empty byte-flush file
+    with open(by_name["job-2.json"]) as f:
+        rows = _json.load(f)
+    assert [r["url"] for r in rows] == ["u2"]
