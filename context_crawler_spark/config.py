@@ -67,6 +67,14 @@ class CrawlConfig:
     host_crawl_delay_s: int | None = None  # min seconds between fetches per host
     respect_robots: bool = False
     max_depth: int | None = None
+    # fetch-layer-only fields (reference src/schema.ts:80-96): accepted with
+    # the reference's validation and carried through to_dict/from_dict, but
+    # IGNORED by the dataflow — they configure the live browser fetch stage
+    # (cookies for consent banners, request blocking, selector waits), which
+    # the sandbox's pages-table join stands in for.
+    cookie: dict[str, str] | list[dict[str, str]] | None = None
+    wait_for_selector_timeout: int | None = None
+    resource_exclusions: list[str] | None = None
     extra: dict[str, Any] = field(default_factory=dict)
 
     def __post_init__(self) -> None:
@@ -81,6 +89,24 @@ class CrawlConfig:
                 raise ConfigError(f"{fld} must be a positive int or None")
         if self.politeness_budget <= 0:
             raise ConfigError("politeness_budget must be positive")
+        if self.cookie is not None:
+            cookies = self.cookie if isinstance(self.cookie, list) else [self.cookie]
+            for c in cookies:
+                if not isinstance(c, dict) or not isinstance(c.get("name"), str) \
+                        or not isinstance(c.get("value"), str):
+                    raise ConfigError(
+                        "cookie must be {name, value} or a list of them"
+                    )
+        if self.wait_for_selector_timeout is not None and (
+            not isinstance(self.wait_for_selector_timeout, int)
+            or self.wait_for_selector_timeout < 0
+        ):
+            raise ConfigError("wait_for_selector_timeout must be a non-negative int")
+        if self.resource_exclusions is not None and (
+            not isinstance(self.resource_exclusions, list)
+            or not all(isinstance(x, str) for x in self.resource_exclusions)
+        ):
+            raise ConfigError("resource_exclusions must be a list of strings")
         if self.name is None:
             self.name = generate_name_from_url(self.entry)
 
@@ -124,11 +150,34 @@ class CrawlConfig:
             "host_crawl_delay_s": self.host_crawl_delay_s,
             "respect_robots": self.respect_robots,
             "max_depth": self.max_depth,
+            "cookie": self.cookie,
+            "wait_for_selector_timeout": self.wait_for_selector_timeout,
+            "resource_exclusions": self.resource_exclusions,
         }
+
+    # reference camelCase field → dataclass field (src/schema.ts:46-111);
+    # lets a real reference job config load unchanged
+    _CAMEL_ALIASES = {
+        "autoDiscoverNav": "auto_discover_nav",
+        "discoverySelector": "discovery_selector",
+        "maxPagesToCrawl": "max_pages",
+        "maxTokens": "max_tokens",
+        "maxFileSize": "max_file_size_mb",
+        "waitForSelectorTimeout": "wait_for_selector_timeout",
+        "resourceExclusions": "resource_exclusions",
+        "maxAttempts": "max_attempts",
+        "maxDepth": "max_depth",
+    }
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "CrawlConfig":
-        known = {k: v for k, v in d.items() if k in cls.__dataclass_fields__}
+        mapped: dict[str, Any] = {}
+        for k, v in d.items():
+            k = cls._CAMEL_ALIASES.get(k, k)
+            if v == "unlimited" and k in ("max_pages", "max_tokens"):
+                v = None  # reference 'unlimited' sentinel (global.config.ts)
+            mapped[k] = v
+        known = {k: v for k, v in mapped.items() if k in cls.__dataclass_fields__}
         return cls(**known)
 
 

@@ -239,8 +239,14 @@ def ngram_jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 
 @F.pandas_udf(ArrayType(FloatType()))
 def embed_udf(text: pd.Series) -> pd.Series:
-    """Deterministic embedding stand-in (textstats.fake_embed). On a real
-    cluster this becomes a sentence-transformers/ONNX call over the same
-    Arrow batches (reference src/xenova-embeddings.ts:36-91, batch 512 ↔
-    spark.sql.execution.arrow.maxRecordsPerBatch)."""
-    return text.map(lambda t: textstats.fake_embed(t or "").tolist())
+    """Embed a text column (reference src/xenova-embeddings.ts:36-91):
+    MiniLM via sentence-transformers/ONNX when $CONTEXT_CRAWLER_EMBED_MODEL
+    names an available model (batch 512, mean-pool, L2 normalize), else the
+    deterministic stand-in — backend picked once per Python worker
+    (functions/embeddings.resolve_encoder), identical array<float>
+    unit-vector contract either way."""
+    from .embeddings import resolve_encoder
+
+    _, encode = resolve_encoder()
+    vecs = encode(text.fillna("").tolist())
+    return pd.Series([v.tolist() for v in vecs])

@@ -99,7 +99,17 @@ def emit_fetch_batch(
     """
     if max_batch is not None and max_batch <= TOPK_THRESHOLD:
         capped = frontier.orderBy(*claim_order()).limit(int(max_batch))
-        return with_global_seq(capped, claim_order(), seq_col="fetch_order")
+        # the input is BOUNDED (≤ TOPK_THRESHOLD rows out of TakeOrdered), so
+        # one single-task window over it is scale-safe by construction and
+        # avoids with_global_seq's fixed costs (checkpoint + counts job +
+        # Arrow round-trip) — the banned pattern is a global window over an
+        # UNBOUNDED input, guarded by test_plans
+        from pyspark.sql import Window
+
+        w = Window.orderBy(*claim_order())
+        return capped.withColumn(
+            "fetch_order", (F.row_number().over(w) - 1).cast("long")
+        )
     out = with_global_seq(frontier, claim_order(), seq_col="fetch_order")
     if max_batch is not None:
         out = out.filter(F.col("fetch_order") < int(max_batch))

