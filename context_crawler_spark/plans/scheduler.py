@@ -18,11 +18,14 @@ committed atomically to the snapshot store:
      src/core.ts:32-51)
   7. expand links (DOM order, glob scope, src/core.ts:203-207), anti-join
      the bloom-prefiltered ``url_seen`` set, assign deterministic ``seq``
-  8. MERGE next frontier + host_state; append ``pages_out_r{N}`` and the
-     ``url_seen_r{N}`` DELTA (O(new URLs), never an O(total-seen) rewrite;
-     compacted into one base table every ``seen_compact_every`` rounds);
-     record metrics + per-partition lineage; commit ONE snapshot tagged
-     ``round-N`` — the checkpoint a killed run resumes from
+  8. MERGE the LIVE frontier (pending/retry/new rows only — O(backlog)) +
+     host_state; append the round's ``frontier_done_r{N}`` (terminal
+     transitions, O(batch)), ``pages_out_r{N}``, and ``url_seen_r{N}``
+     deltas — never an O(total-history) rewrite; deltas compact into base
+     tables every ``seen_compact_every`` rounds (with TTL cleanup of old
+     terminal rows at compaction); record metrics + per-partition lineage;
+     commit ONE snapshot tagged ``round-N`` — the checkpoint a killed run
+     resumes from
 
 The crawl ordering produced at small scale is bit-for-bit the sequential
 reference semantics (tests/oracle.py); the same plan shapes survive 10^10
@@ -55,7 +58,12 @@ from ..operators.ids import with_url_identity
 from ..operators.links import expand_links
 from ..operators.ordering import emit_fetch_batch, with_global_seq
 from ..operators.politeness import apply_politeness, apply_robots
-from ..operators.retry import apply_failures, eligible_pending, release_stuck_claims
+from ..operators.retry import (
+    apply_failures,
+    cleanup_terminal,
+    eligible_pending,
+    release_stuck_claims,
+)
 from ..state import SnapshotStore
 
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
@@ -136,8 +144,37 @@ class CrawlScheduler:
         snap = self.store.snapshot()
         return dict(snap.metadata) if snap else {}
 
-    def frontier(self) -> DataFrame | None:
+    def live_frontier(self) -> DataFrame | None:
+        """Rows still in play (status pending, plus transient claimed) —
+        the ONLY table the per-round MERGE rewrites. Terminal rows
+        (completed / failed / robots-blocked) append to per-round
+        ``frontier_done_r{N}`` deltas instead: at 10^10 crawled URLs the
+        terminal history dwarfs the live backlog, and rewriting it every
+        round would be the same O(total) step the url_seen deltas removed."""
         return self.store.read(self.spark, "frontier")
+
+    def _done_delta_tables(self) -> list[str]:
+        snap = self.store.snapshot()
+        if snap is None:
+            return []
+        return sorted(
+            (t for t in snap.tables if t.startswith("frontier_done_r")),
+            key=lambda t: int(t[len("frontier_done_r"):]),
+        )
+
+    def frontier(self) -> DataFrame | None:
+        """Full frontier view at HEAD: live ∪ compacted done ∪ done deltas."""
+        snap = self.store.snapshot()
+        if snap is None:
+            return None
+        names = (["frontier"] if "frontier" in snap.tables else []) + \
+            (["frontier_done"] if "frontier_done" in snap.tables else []) + \
+            self._done_delta_tables()
+        out = None
+        for t in names:
+            df = self.store.read(self.spark, t)
+            out = df if out is None else out.unionByName(df)
+        return out
 
     def _seen_delta_tables(self) -> list[str]:
         snap = self.store.snapshot()
@@ -293,7 +330,7 @@ class CrawlScheduler:
         ts_lit = F.lit(ts)
         cfg = self.config
 
-        frontier = release_stuck_claims(self.frontier(), ts_lit)
+        frontier = release_stuck_claims(self.live_frontier(), ts_lit)
         eligible = eligible_pending(frontier, ts_lit)
         if cfg.max_depth is not None:
             eligible = eligible.filter(F.col("depth") <= cfg.max_depth)
@@ -438,7 +475,11 @@ class CrawlScheduler:
             F.lit(None).cast("string").alias("error"),
         )
 
-        # frontier MERGE: batch rows transition, the rest carry forward
+        # frontier MERGE, live/terminal split: the LIVE table carries only
+        # rows that can still be claimed (pending retries, untouched,
+        # new links) — O(backlog) per round; terminal transitions
+        # (completed / terminal-failed / robots-blocked) append to this
+        # round's frontier_done delta — O(batch), never O(history)
         completed = fetched.select(*_FRONTIER_COLS).withColumn(
             "status", F.lit("completed")
         ).withColumn("claimed_at", ts_lit).withColumn("completed_at", ts_lit)
@@ -446,17 +487,25 @@ class CrawlScheduler:
             missed.withColumn("error", F.lit("fetch_miss")),
             ts_lit, cfg.backoff_ms, cfg.max_attempts,
         ).withColumn("claimed_at", ts_lit)
+        failed_retry = failed.filter(F.col("status") == "pending")
+        failed_terminal = failed.filter(F.col("status") == "failed")
         untouched = frontier.join(batch.select("url_hash"), "url_hash", "left_anti")
         if robots_blocked is not None:
             untouched = untouched.join(
                 robots_blocked.select("url_hash"), "url_hash", "left_anti"
-            ).unionByName(robots_blocked.select(*_FRONTIER_COLS))
-        next_frontier = (
+            )
+        next_live = (
             untouched.select(*_FRONTIER_COLS)
-            .unionByName(completed.select(*_FRONTIER_COLS))
-            .unionByName(failed.select(*_FRONTIER_COLS))
+            .unionByName(failed_retry.select(*_FRONTIER_COLS))
             .unionByName(new_frontier_rows.select(*_FRONTIER_COLS))
         )
+        done_delta = completed.select(*_FRONTIER_COLS).unionByName(
+            failed_terminal.select(*_FRONTIER_COLS)
+        )
+        if robots_blocked is not None:
+            done_delta = done_delta.unionByName(
+                robots_blocked.select(*_FRONTIER_COLS)
+            )
 
         new_seen = new_links.select("url_hash", "canonical_url").withColumn(
             "first_seen_round", F.lit(r)
@@ -507,7 +556,8 @@ class CrawlScheduler:
             "lineage": lineage,
         }
         updates = {
-            "frontier": next_frontier,
+            "frontier": next_live,
+            f"frontier_done_r{r}": done_delta,
             f"pages_out_r{r}": pages_out,
             "host_state": host_state,
         }
@@ -522,11 +572,26 @@ class CrawlScheduler:
             drop = deltas
         elif n_new > 0:
             updates[f"url_seen_r{r}"] = new_seen
+        # frontier_done compaction on the same cadence (TTL cleanup of old
+        # terminal rows — reference clearCompleted — applies here, at the
+        # only point the history is rewritten anyway)
+        done_deltas = self._done_delta_tables()
+        if len(done_deltas) + 1 >= self.seen_compact_every:
+            done_base = self.store.read(self.spark, "frontier_done")
+            for t in done_deltas:
+                d = self.store.read(self.spark, t)
+                done_base = d if done_base is None else done_base.unionByName(d)
+            done_base = done_base.unionByName(done_delta)
+            updates["frontier_done"] = cleanup_terminal(done_base, ts_lit)
+            updates.pop(f"frontier_done_r{r}")
+            drop = drop + done_deltas
         if hook_out is not None:
             updates[f"hook_out_r{r}"] = hook_out
         self.store.commit(
             updates,
             drop=drop,
+            partition_by={f"frontier_done_r{r}": ["status"],
+                          "frontier_done": ["status"]},
             metadata={
                 **meta,
                 "round": r,
@@ -548,7 +613,7 @@ class CrawlScheduler:
         RECORD (the next executed round is that + 1)."""
         import math
 
-        frontier = self.frontier()
+        frontier = self.live_frontier()
         instants = []
         row = (
             frontier.filter(

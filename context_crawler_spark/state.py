@@ -143,7 +143,16 @@ class SnapshotStore:
             cols = [c for c in parts.get(name, []) if c in df.columns]
             if cols:
                 writer = writer.partitionBy(*cols)
-            writer.parquet(os.path.join(self.root, rel))
+            full = os.path.join(self.root, rel)
+            writer.parquet(full)
+            if cols and not any(
+                e.startswith(f"{cols[0]}=") for e in os.listdir(full)
+            ):
+                # a zero-row partitioned write leaves no partition dirs and
+                # no schema footer → unreadable; re-write a schema-bearing
+                # empty file (limit(0) folds to an empty relation — the
+                # upstream plan is NOT re-executed)
+                df.limit(0).write.mode("overwrite").parquet(full)
             tables[name] = rel
         manifest = {
             "snapshot_id": new_id,

@@ -30,7 +30,12 @@ def test_multi_job_claim_order_and_isolation(spark, tiny_pages, tmp_path):
     for r in results:
         sub = w._job_store(r.job_id)
         assert sub.head_id() is not None
-        assert sub.read(spark, "frontier").count() > 0
+        # live frontier drains to empty on a finished crawl; the terminal
+        # history lives in the frontier_done deltas (live/done split)
+        done = [t for t in sub.snapshot().tables
+                if t.startswith("frontier_done")]
+        assert done and sum(
+            sub.read(spark, t).count() for t in done) > 0
 
 
 def test_job_failure_retry_then_terminal(spark, tiny_pages, tmp_path, monkeypatch):

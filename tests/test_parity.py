@@ -203,3 +203,36 @@ def test_url_seen_delta_commits(spark, tiny_pages, tiny_web, tmp_path):
     eng.run(max_rounds=50)
     assert seen(eng2) == seen(eng)
     assert eng2.visit_order() == eng.visit_order()
+
+
+def test_frontier_live_done_split(spark, tiny_pages, tiny_web, tmp_path):
+    """The per-round frontier write is O(live backlog + batch), never
+    O(terminal history): terminal rows append to frontier_done_r{N} deltas,
+    the live table holds only claimable rows, and the full view stays
+    consistent with the oracle's seen/visit state."""
+    config = CrawlConfig(
+        entry="https://site0.test/", match=["https://site0.test/**"],
+        selector="article",
+    )
+    store = SnapshotStore(str(tmp_path / "s"))
+    eng = CrawlScheduler(spark, store, config, tiny_pages, n_buckets=8,
+                         seen_compact_every=100)
+    eng.seed()
+    m1 = eng.run_round()
+    snap = store.snapshot()
+    assert "frontier_done_r1" in snap.tables
+    d1 = store.read(spark, "frontier_done_r1")
+    # round 1's terminal transitions = fetched + misses-turned-terminal (none here)
+    assert d1.filter(d1.status == "completed").count() == m1["fetched"]
+    live = eng.live_frontier()
+    assert live.filter(live.status == "pending").count() > 0
+    assert live.filter(live.status.isin("completed", "failed")).count() == 0
+    eng.run(max_rounds=50)
+    # after drain: live is empty, full view has every visited row completed
+    assert eng.live_frontier().count() == 0
+    full = eng.frontier()
+    oracle = run_oracle(config, tiny_web)
+    completed_urls = {
+        r["url"] for r in full.filter(full.status == "completed").collect()
+    }
+    assert completed_urls == set(oracle.visit_order)
