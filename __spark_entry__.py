@@ -575,6 +575,22 @@ def q_ann_lsh_topk(spark, sf_dir):
     return out.select("vec_id", F.round("score", 6).alias("score"))
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-ANN top-k (the partition-pruned scale path): deterministic
+    coarse quantizer, probe nprobe nearest cells, exact score inside them.
+    Probing every cell degrades to the exact search (pytest-pinned)."""
+    from context_crawler_spark.operators.search import (
+        ivf_topk, train_ivf_centroids, with_ivf_cells,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = list(e.filter(F.col("vec_id") == 2).select("embedding").head()[0])
+    cents = train_ivf_centroids(e, n_cells=16, iters=2)
+    indexed = with_ivf_cells(e, cents)
+    out = ivf_topk(indexed, cents, qvec, k=10, nprobe=6)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
 def q_chunk_documents(spark, sf_dir):
     """Recursive character chunking (reference src/llm-service.ts:129-145)."""
     d = _t(spark, sf_dir, "documents")
@@ -766,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": q_simhash_dedup,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "chunk_documents": q_chunk_documents,
         "embed_documents": q_embed_documents,
         "extract_page": q_extract_page,

@@ -1,7 +1,7 @@
-"""Vector similarity search: brute-force cosine top-k + LSH-bucketed ANN.
+"""Vector similarity search: brute-force top-k + LSH and IVF ANN paths.
 
 Capability parity with the reference's semantic search (HNSW top-k,
-reference src/llm-service.ts:216-259) plus the scale path a 100 TB corpus
+reference src/llm-service.ts:216-259) plus the scale paths a 100 TB corpus
 needs. Design:
 
   * single-query top-k: the dot product runs JVM-side via
@@ -15,6 +15,12 @@ needs. Design:
   * LSH ANN: random-hyperplane sign buckets (fixed seed) over multiple
     tables; probing joins on bucket keys so only colliding candidates get
     exact scoring — sublinear candidate sets at 10^9+ vectors
+  * IVF ANN: a deterministic coarse quantizer (hash-sampled init + Lloyd
+    iterations whose heavy pass is a broadcast-GEMM mapInPandas emitting
+    per-cell partial sums, metadata-sized to the driver) assigns each
+    vector an ``ivf_cell``; storing the table PARTITIONED BY that cell
+    turns a probe into partition pruning — only nprobe/n_cells of the
+    corpus is even scanned
 """
 
 from __future__ import annotations
@@ -159,3 +165,128 @@ def lsh_topk(
     )
     return topk_cosine(candidates.drop(bucket_col), query, k,
                        vec_col=vec_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the partition-pruned scale path
+# ---------------------------------------------------------------------------
+
+IVF_SEED = 104729
+
+
+def _normalize_rows(mat: np.ndarray) -> np.ndarray:
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 64,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic spherical-k-means coarse quantizer: (n_cells, dim)
+    unit centroids.
+
+    Init = the n_cells vectors with the smallest ``xxhash64(id)`` (a
+    reproducible uniform sample via TakeOrdered — no Sample nondeterminism).
+    Each Lloyd iteration broadcasts the centroid matrix and runs ONE
+    mapInPandas pass emitting per-batch per-cell partial (sum, count) —
+    n_cells × n_batches tiny rows to the driver, never vectors — then
+    recenters in numpy. All heavy math is Arrow-batched GEMM."""
+    seed_rows = (
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(IVF_SEED)))
+        .limit(n_cells)
+        .collect()
+    )
+    cents = _normalize_rows(
+        np.stack([np.asarray(r[0], dtype=np.float64) for r in seed_rows])
+    )
+    sc = corpus.sparkSession.sparkContext
+    for _ in range(iters):
+        bc = sc.broadcast(cents)
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            c = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                mat = _normalize_rows(
+                    np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+                cells = np.argmax(mat @ c.T, axis=1)
+                out = []
+                for cell in np.unique(cells):
+                    sel = mat[cells == cell]
+                    out.append((int(cell), sel.sum(axis=0).tolist(),
+                                int(sel.shape[0])))
+                yield pd.DataFrame(out, columns=["cell", "vsum", "cnt"])
+
+        agg = corpus.select(vec_col).mapInPandas(
+            partials, "cell int, vsum array<double>, cnt long"
+        ).collect()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents))
+        for r in agg:
+            sums[r["cell"]] += np.asarray(r["vsum"])
+            counts[r["cell"]] += r["cnt"]
+        nonempty = counts > 0
+        cents[nonempty] = _normalize_rows(
+            sums[nonempty] / counts[nonempty, None])
+        bc.destroy()
+    return cents
+
+
+def with_ivf_cells(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """Assign each vector its nearest-centroid cell id. Stored with the
+    table (ideally as its partition column) like ``lsh_buckets`` — the
+    index lives WITH the data, rebuildable from the centroid matrix."""
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast(np.asarray(centroids, dtype=np.float64))
+    cols = corpus.columns
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = _normalize_rows(
+                np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            out = pdf.copy()
+            out[cell_col] = np.argmax(mat @ c.T, axis=1).astype(np.int32)
+            yield out
+
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in corpus.schema.fields
+    ) + f", {cell_col} int"
+    return corpus.mapInPandas(assign, schema)[[*cols, cell_col]]
+
+
+def ivf_topk(
+    corpus_with_cells: DataFrame,
+    centroids: np.ndarray,
+    query: list[float],
+    k: int = 5,
+    nprobe: int = 8,
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """ANN top-k probing only the ``nprobe`` cells nearest the query.
+    The cell filter is a plain equality-IN predicate — when the corpus is
+    written ``partitionBy(ivf_cell)`` it prunes whole directories at plan
+    time (guarded by test_ivf_partition_pruning). ``nprobe == n_cells``
+    degrades gracefully to the exact search."""
+    c = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(float(np.linalg.norm(q)), 1e-12)
+    nprobe = max(1, min(nprobe, len(c)))
+    cells = np.argsort(-(c @ q))[:nprobe].tolist()
+    candidates = corpus_with_cells.filter(
+        F.col(cell_col).isin([int(x) for x in cells])
+    )
+    return topk_cosine(candidates.drop(cell_col), query, k, vec_col=vec_col)

@@ -144,3 +144,55 @@ def test_embedding_dedup_removes_planted_dups(spark):
             embedding_dedup(df, dim=16, cosine_threshold=0.98).collect()}
     for i in range(10):
         assert i in kept and (200 + i) not in kept
+
+
+def test_ivf_topk_recall_and_exact_degradation(spark):
+    """IVF ANN: deterministic quantizer; probing all cells = exact top-k;
+    probing a quarter of them keeps usable recall on the synthetic corpus."""
+    import numpy as np
+
+    from context_crawler_spark.operators.search import (
+        ivf_topk,
+        topk_cosine,
+        train_ivf_centroids,
+        with_ivf_cells,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = list(e.filter(F.col("vec_id") == 3).select("embedding").head()[0])
+    cents = train_ivf_centroids(e, n_cells=16, iters=2)
+    assert cents.shape[1] == len(q)
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0, atol=1e-9)
+    # determinism: retraining yields identical centroids
+    cents2 = train_ivf_centroids(e, n_cells=16, iters=2)
+    assert np.allclose(cents, cents2)
+
+    indexed = with_ivf_cells(e, cents).persist()
+    exact = [r["vec_id"] for r in topk_cosine(e, q, k=10).collect()]
+    full_probe = [r["vec_id"]
+                  for r in ivf_topk(indexed, cents, q, k=10, nprobe=16).collect()]
+    assert full_probe == exact  # nprobe == n_cells ⇒ exact
+
+    approx = {r["vec_id"]
+              for r in ivf_topk(indexed, cents, q, k=10, nprobe=4).collect()}
+    recall = len(approx & set(exact)) / 10
+    assert recall >= 0.5, recall
+    indexed.unpersist()
+
+
+def test_ivf_partition_pruning(spark, tmp_path):
+    """The 100 TB story: corpus written partitionBy(ivf_cell) → a probe's
+    cell filter prunes whole directories at plan time."""
+    from context_crawler_spark.operators.search import (
+        train_ivf_centroids,
+        with_ivf_cells,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = train_ivf_centroids(e, n_cells=8, iters=1)
+    p = str(tmp_path / "ivf")
+    with_ivf_cells(e, cents).write.partitionBy("ivf_cell").parquet(p)
+    rd = spark.read.parquet(p).filter(F.col("ivf_cell").isin([0, 3]))
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "ivf_cell" in plan.split("PartitionFilters", 1)[1][:300]
