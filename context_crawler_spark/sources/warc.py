@@ -1,0 +1,178 @@
+"""WARC source — Common-Crawl-native ingestion into the pages table.
+
+The north rule's input is "an Iceberg table of Common-Crawl-style web pages
+(url, warc_ts, html, text, lang)"; this source produces exactly that table
+from raw WARC files (ISO 28500), the format Common Crawl actually ships —
+so a user can point the engine at `s3://commoncrawl/.../*.warc.gz` paths
+instead of a pre-built table.
+
+Spark shape (the standard CC-processing layout):
+  * ``spark.read.format("binaryFile")`` → one task per WARC file (CC files
+    are ~1 GB — a natural partition; list many files for parallelism)
+  * record parsing + per-record-gzip-member decompression + HTTP header
+    stripping run in ONE ``mapInPandas`` pass — Arrow-batched, pure
+    stdlib ``zlib`` (CC gzips each record as its own member, so a plain
+    ``gzip.decompress`` would stop after the first record)
+  * only ``WARC-Type: response`` records with an HTML content type emit
+    rows; request/metadata/warcinfo records are skipped
+  * the binary html column is carried as-is; text extraction stays in the
+    crawl plan's existing fused Arrow UDF (functions/extract.py) so the
+    byte-identical-extraction contract is one code path for every source
+
+Parser is from scratch off the public WARC/1.1 spec (headers block,
+``Content-Length`` payload, CRLF CRLF framing) — no external WARC libs.
+"""
+
+from __future__ import annotations
+
+import zlib
+from datetime import datetime, timezone
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary"
+
+
+def gunzip_members(raw: bytes) -> bytes:
+    """Decompress a concatenation of gzip members (the WARC.gz layout:
+    one member per record). Plain bytes pass through unchanged."""
+    if raw[:2] != b"\x1f\x8b":
+        return raw
+    out = []
+    data = raw
+    while data:
+        d = zlib.decompressobj(wbits=31)
+        out.append(d.decompress(data))
+        out.append(d.flush())
+        data = d.unused_data
+        if not data.strip(b"\x00"):
+            break
+    return b"".join(out)
+
+
+def iter_warc_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
+    """Yield (headers, payload) per WARC record. Headers are lowercased.
+    Tolerates trailing garbage / truncated tails (stops cleanly)."""
+    pos, n = 0, len(data)
+    while pos < n:
+        while data[pos:pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        end = data.find(b"\r\n\r\n", pos)
+        if end < 0:
+            break
+        block = data[pos:end].decode("utf-8", "replace")
+        lines = block.split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            break
+        headers: dict[str, str] = {}
+        for ln in lines[1:]:
+            if ":" in ln:
+                k, v = ln.split(":", 1)
+                headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            break
+        body = data[end + 4:end + 4 + length]
+        if len(body) < length:  # truncated tail — drop the partial record
+            break
+        yield headers, body
+        pos = end + 4 + length
+
+
+def split_http_payload(body: bytes) -> tuple[dict[str, str], bytes]:
+    """(http_headers, entity_body) of a response record's payload; a
+    payload that isn't an HTTP message passes through with empty headers."""
+    if not body.startswith(b"HTTP/"):
+        return {}, body
+    sep = body.find(b"\r\n\r\n")
+    if sep < 0:
+        return {}, body
+    head = body[:sep].decode("utf-8", "replace")
+    headers: dict[str, str] = {}
+    for ln in head.split("\r\n")[1:]:
+        if ":" in ln:
+            k, v = ln.split(":", 1)
+            headers[k.strip().lower()] = v.strip()
+    return headers, body[sep + 4:]
+
+
+def parse_warc_date(s: str) -> datetime | None:
+    """WARC-Date is ISO 8601 UTC (e.g. 2017-03-06T04:02:06Z)."""
+    try:
+        return datetime.fromisoformat(s.replace("Z", "+00:00")).astimezone(
+            timezone.utc
+        ).replace(tzinfo=None)
+    except ValueError:
+        return None
+
+
+def _is_html(content_type: str) -> bool:
+    ct = content_type.split(";")[0].strip().lower()
+    return ct in ("text/html", "application/xhtml+xml") or ct == ""
+
+
+def records_from_file(raw: bytes) -> list[tuple[str, datetime, bytes]]:
+    """(url, warc_ts, html) rows from one WARC file's bytes — the pure
+    kernel shared by the Spark source and unit tests."""
+    rows = []
+    for headers, body in iter_warc_records(gunzip_members(raw)):
+        if headers.get("warc-type") not in ("response", "resource"):
+            continue
+        url = headers.get("warc-target-uri")
+        ts = parse_warc_date(headers.get("warc-date", ""))
+        if not url or ts is None:
+            continue
+        http_headers, entity = (
+            split_http_payload(body)
+            if headers.get("warc-type") == "response" else ({}, body)
+        )
+        if not _is_html(http_headers.get("content-type", "")):
+            continue
+        rows.append((url, ts, entity))
+    return rows
+
+
+def read_warc(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """WARC file(s) → DataFrame(url, warc_ts, html binary) — the engine's
+    pages-table contract (join target of the fetch stage; feed the fused
+    extraction UDF for text/lang downstream)."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(paths).select("content")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for raw in pdf["content"]:
+                out.extend(records_from_file(bytes(raw)))
+            yield pd.DataFrame(out, columns=["url", "warc_ts", "html"])
+
+    return files.mapInPandas(parse, PAGES_SCHEMA)
+
+
+def write_warc(rows: list[tuple[str, datetime, bytes]], gzip_members: bool = False) -> bytes:
+    """Serialize (url, ts, html) rows as a WARC/1.1 byte stream (response
+    records wrapping a minimal HTTP/1.1 200). Test/fixture helper — also
+    handy for emitting crawl output back into the CC-native format."""
+    import gzip as _gzip
+
+    chunks = []
+    for i, (url, ts, html) in enumerate(rows):
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                + f"Content-Length: {len(html)}\r\n\r\n".encode() + html)
+        header = (
+            "WARC/1.1\r\n"
+            f"WARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:test-{i:08d}>\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
+            f"Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        rec = header + http + b"\r\n\r\n"
+        chunks.append(_gzip.compress(rec) if gzip_members else rec)
+    return b"".join(chunks)

@@ -1,0 +1,126 @@
+"""WARC source: parse round-trip, gzip-member handling, record filtering,
+and end-to-end WARC → pages table → fused extraction."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from context_crawler_spark.sources.warc import (
+    gunzip_members,
+    iter_warc_records,
+    read_warc,
+    records_from_file,
+    write_warc,
+)
+
+ROWS = [
+    ("https://a.test/page1", datetime(2017, 3, 6, 4, 2, 6),
+     b"<html><head><title>P1</title></head><body><article>Alpha one."
+     b"</article></body></html>"),
+    ("https://b.test/page2", datetime(2020, 1, 2, 3, 4, 5),
+     "<html><body><article>Unicodé 世界</article></body></html>"
+     .encode()),
+]
+
+
+def test_roundtrip_plain_and_gzipped():
+    for gz in (False, True):
+        raw = write_warc(ROWS, gzip_members=gz)
+        got = records_from_file(raw)
+        assert [(u, t) for u, t, _ in got] == [(u, t) for u, t, _ in ROWS]
+        assert [h for *_x, h in got] == [h for *_y, h in ROWS]
+
+
+def test_gzip_member_concatenation_not_single_stream():
+    """CC gzips each record as its own member — a parser that stops after
+    the first member would drop every record but the first."""
+    raw = write_warc(ROWS, gzip_members=True)
+    # sanity: two distinct gzip magic headers present
+    assert raw.count(b"\x1f\x8b") >= 2
+    plain = gunzip_members(raw)
+    assert len(list(iter_warc_records(plain))) == 2
+
+
+def test_non_response_and_non_html_records_skipped():
+    body = b"software: test"
+    warcinfo = (
+        "WARC/1.1\r\nWARC-Type: warcinfo\r\n"
+        "WARC-Date: 2017-03-06T04:02:06Z\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body + b"\r\n\r\n"
+    png_http = (b"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\n" +
+                b"\x89PNG....")
+    png = (
+        "WARC/1.1\r\nWARC-Type: response\r\n"
+        "WARC-Target-URI: https://a.test/x.png\r\n"
+        "WARC-Date: 2017-03-06T04:02:06Z\r\n"
+        f"Content-Length: {len(png_http)}\r\n\r\n"
+    ).encode() + png_http + b"\r\n\r\n"
+    raw = warcinfo + png + write_warc(ROWS[:1])
+    got = records_from_file(raw)
+    assert len(got) == 1 and got[0][0] == "https://a.test/page1"
+
+
+def test_truncated_tail_stops_cleanly():
+    raw = write_warc(ROWS)
+    assert len(records_from_file(raw[: len(raw) - 40])) == 1
+
+
+def test_read_warc_to_pages_and_extract(spark, tmp_path):
+    """End to end: .warc.gz files on disk → read_warc → the pages-table
+    contract → the engine's extraction path produces the expected text."""
+    from context_crawler_spark.functions.extract import extract_text
+
+    p1 = tmp_path / "part1.warc.gz"
+    p1.write_bytes(write_warc(ROWS[:1], gzip_members=True))
+    p2 = tmp_path / "part2.warc"
+    p2.write_bytes(write_warc(ROWS[1:]))
+
+    pages = read_warc(spark, str(tmp_path)).orderBy("url")
+    rows = pages.collect()
+    assert [r["url"] for r in rows] == ["https://a.test/page1",
+                                        "https://b.test/page2"]
+    assert rows[0]["warc_ts"] == ROWS[0][1]
+    assert bytes(rows[0]["html"]) == ROWS[0][2]  # byte-identical payload
+    texts = [
+        extract_text(bytes(r["html"]).decode("utf-8"), "article")
+        for r in rows
+    ]
+    assert texts == ["Alpha one.", "Unicodé 世界"]
+    # schema is the pages contract the scheduler's fetch join expects
+    assert dict((f.name, f.dataType.simpleString())
+                for f in pages.schema.fields) == {
+        "url": "string", "warc_ts": "timestamp", "html": "binary"}
+
+
+def test_crawl_scheduler_over_warc_pages(spark, tmp_path):
+    """The full engine path on a WARC-backed pages table: read_warc feeds
+    the scheduler's fetch join exactly like a parquet pages table — link
+    discovery, politeness, extraction, visit order all unchanged."""
+    from context_crawler_spark.config import CrawlConfig
+    from context_crawler_spark.plans.scheduler import CrawlScheduler
+    from context_crawler_spark.state import SnapshotStore
+
+    rows = [
+        ("https://w.test/", datetime(2020, 1, 1),
+         b'<html><body><nav><a href="/a">A</a><a href="/b">B</a></nav>'
+         b'<article>Home</article></body></html>'),
+        ("https://w.test/a", datetime(2020, 1, 1),
+         b"<html><body><article>Page A</article></body></html>"),
+        ("https://w.test/b", datetime(2020, 1, 1),
+         b"<html><body><article>Page B</article></body></html>"),
+    ]
+    (tmp_path / "crawl.warc.gz").write_bytes(
+        write_warc(rows, gzip_members=True))
+    pages = read_warc(spark, str(tmp_path))
+    cfg = CrawlConfig(entry="https://w.test/", match=["https://w.test/**"],
+                      selector="article")
+    eng = CrawlScheduler(spark, SnapshotStore(str(tmp_path / "st")), cfg,
+                         pages, n_buckets=4)
+    eng.run(max_rounds=10)
+    assert eng.visit_order() == [
+        "https://w.test/", "https://w.test/a", "https://w.test/b"]
+    texts = {r["url"]: r["text"] for r in eng.pages_out().collect()}
+    assert texts["https://w.test/a"] == "Page A"

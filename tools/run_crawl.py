@@ -39,7 +39,8 @@ def main() -> None:
     p.add_argument("--exclude", action="append", default=[])
     p.add_argument("--selector", default="body")
     p.add_argument("--pages",
-                   help="parquet/Iceberg path of the Common-Crawl-style pages table")
+                   help="parquet/Iceberg path of the Common-Crawl-style pages "
+                        "table, or a directory of .warc/.warc.gz files")
     p.add_argument("--store", required=True, help="snapshot-store directory")
     p.add_argument("--politeness-budget", type=int, default=2 ** 31 - 1)
     p.add_argument("--host-crawl-delay", type=int, default=None)
@@ -72,7 +73,15 @@ def main() -> None:
 
         pages = tiny_site(spark)
     else:
-        pages = spark.read.parquet(args.pages)
+        if args.pages.rstrip("/").endswith((".warc", ".warc.gz")) or any(
+            n.endswith((".warc", ".warc.gz"))
+            for n in (os.listdir(args.pages) if os.path.isdir(args.pages) else [])
+        ):
+            from context_crawler_spark.sources.warc import read_warc
+
+            pages = read_warc(spark, args.pages)
+        else:
+            pages = spark.read.parquet(args.pages)
     robots = spark.read.parquet(args.robots) if args.robots else None
 
     if args.job:
