@@ -144,6 +144,18 @@ class JobWorker:
             self._commit_queue(rows, tag="recover-stuck")
         return n
 
+    def clear_completed(self) -> int:
+        """clearCompletedJobs parity (reference scripts/clear-queue.js,
+        src/queue.ts clearCompletedJobs): drop completed/failed rows from
+        the queue; returns rows removed. Per-job sub-stores are untouched
+        (output snapshots stay resolvable by id)."""
+        rows = self._queue()
+        keep = [r for r in rows if r["status"] not in ("completed", "failed")]
+        removed = len(rows) - len(keep)
+        if removed:
+            self._commit_queue(keep, tag="clear-completed")
+        return removed
+
     def stats(self) -> dict[str, int]:
         """getStats parity (src/queue.ts:279-313)."""
         rows = self._queue()

@@ -95,3 +95,25 @@ def test_stuck_claim_recovery(spark, tiny_pages, tmp_path):
     w2._tick = 100
     assert w2.recover_stuck_jobs(lease_ticks=30) == 1
     assert w2.recover_stuck_jobs(lease_ticks=1000) == 0
+
+
+def test_clear_completed_jobs(spark, tiny_pages, tmp_path):
+    """clearCompletedJobs parity (reference scripts/clear-queue.js):
+    completed/failed rows drop from the queue, pending rows survive."""
+    from context_crawler_spark.config import CrawlConfig
+    from context_crawler_spark.plans.jobs import JobWorker
+    from context_crawler_spark.state import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "q"))
+    w = JobWorker(spark, store, tiny_pages)
+    cfg = CrawlConfig(entry="https://site0.test/",
+                      match=["https://site0.test/**"], selector="article")
+    w.enqueue([cfg, cfg, cfg])
+    rows = w._queue()
+    rows[0]["status"] = "completed"
+    rows[1]["status"] = "failed"
+    w._commit_queue(rows, tag="simulate")
+    assert w.clear_completed() == 2
+    s = w.stats()
+    assert s["total"] == 1 and s["pending"] == 1
+    assert w.clear_completed() == 0
