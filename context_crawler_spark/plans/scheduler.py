@@ -205,32 +205,34 @@ class CrawlScheduler:
             out = df if out is None else out.unionByName(df)
         return out
 
-    def pages_out(self) -> DataFrame | None:
-        """Union of all per-round page outputs at HEAD (visit order =
-        (round, fetch_order))."""
+    def _read_rounds(self, prefix: str) -> DataFrame | None:
+        """All per-round append tables with ``prefix`` as ONE multi-path
+        parquet read — a 10^4-round crawl must not build 10^4 Union plan
+        nodes (driver-side plan explosion); the reader lists every dir into
+        a single scan instead. Requires the tables to be unpartitioned and
+        share a schema, which per-round appends do."""
+        import os as _os
+
         snap = self.store.snapshot()
         if snap is None:
             return None
-        parts = sorted(t for t in snap.tables if t.startswith("pages_out_r"))
-        if not parts:
+        paths = [
+            _os.path.join(self.store.root, rel)
+            for t, rel in sorted(snap.tables.items())
+            if t.startswith(prefix)
+        ]
+        if not paths:
             return None
-        out = None
-        for t in parts:
-            df = self.store.read(self.spark, t)
-            out = df if out is None else out.unionByName(df)
-        return out
+        return self.spark.read.parquet(*paths)
+
+    def pages_out(self) -> DataFrame | None:
+        """All per-round page outputs at HEAD (visit order =
+        (round, fetch_order)) — one multi-path scan, not a union chain."""
+        return self._read_rounds("pages_out_r")
 
     def hook_out(self) -> DataFrame | None:
-        """Union of all per-round visit-hook outputs (pushData analog)."""
-        snap = self.store.snapshot()
-        if snap is None:
-            return None
-        parts = sorted(t for t in snap.tables if t.startswith("hook_out_r"))
-        out = None
-        for t in parts:
-            df = self.store.read(self.spark, t)
-            out = df if out is None else out.unionByName(df)
-        return out
+        """All per-round visit-hook outputs (pushData analog)."""
+        return self._read_rounds("hook_out_r")
 
     def visit_order(self) -> list[str]:
         po = self.pages_out()
