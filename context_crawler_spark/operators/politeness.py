@@ -64,11 +64,16 @@ def apply_robots(
 ) -> DataFrame:
     """Filter out URLs a robots rule disallows.
 
-    ``robots`` schema: (host, rule_type in ('allow','disallow'), path_prefix).
-    Google-style longest-match-wins: among matching rules for a URL, the one
-    with the longest path_prefix decides; ties → allow wins; no matching rule
-    → allowed. The robots table is per-host metadata (tiny next to the
-    frontier) → BROADCAST join; matching is pure built-in string expressions.
+    ``robots`` schema: (host, rule_type in ('allow','disallow'), path_prefix)
+    where path_prefix is an RFC 9309 pattern — literal prefix, ``*``
+    wildcards, optional trailing ``$`` anchor (functions/robots.py parses
+    robots.txt text into this shape). Longest-pattern-wins: among matching
+    rules for a URL the longest pattern decides; ties → allow wins; no
+    matching rule → allowed. The robots table is per-host metadata (tiny
+    next to the frontier) → BROADCAST join; the pattern→regex translation
+    AND the match both run as built-in JVM expressions (no Python on
+    either join side), pinned equal to functions/robots.pattern_to_regex
+    by tests.
     """
     if robots is None:
         return frontier
@@ -84,10 +89,30 @@ def apply_robots(
         .when(raw.startswith("?"), F.concat(F.lit("/"), raw))
         .otherwise(raw)
     )
-    rules = robots.select(
-        F.col("host").alias("__rhost"),
-        F.col("rule_type").alias("__rtype"),
-        F.col("path_prefix").alias("__rprefix"),
+    # pattern → anchored regex, all built-ins: escape regex metachars,
+    # un-escape * into .*, turn a trailing (escaped) $ back into an anchor
+    esc = F.regexp_replace(
+        F.col("path_prefix"), r"([.^$*+?(){}\[\]|\\])", r"\\$1"
+    )
+    star = F.regexp_replace(esc, r"\\\*", ".*")
+    rules = (
+        robots.select(
+            F.col("host").alias("__rhost"),
+            F.col("rule_type").alias("__rtype"),
+            F.col("path_prefix").alias("__rprefix"),
+            star.alias("__star"),
+        )
+        .withColumn(
+            "__rx",
+            F.concat(
+                F.lit("^"),
+                F.when(
+                    F.col("__star").endswith("\\$"),
+                    F.expr("substring(__star, 1, length(__star)-2) || '$'"),
+                ).otherwise(F.col("__star")),
+            ),
+        )
+        .drop("__star")
     )
     key = "url_hash" if "url_hash" in frontier.columns else "url"
     joined = (
@@ -96,7 +121,7 @@ def apply_robots(
         .join(
             F.broadcast(rules),
             on=(F.col("__h") == F.col("__rhost"))
-            & F.col("__path").startswith(F.col("__rprefix")),
+            & F.expr("__path rlike __rx"),
             how="inner",
         )
     )

@@ -115,6 +115,7 @@ class CrawlScheduler:
         visit_hook=None,
         hook_schema: str | None = None,
         seen_compact_every: int = 8,
+        host_delays: DataFrame | None = None,
     ):
         # onVisitPage analog (reference src/schema.ts:18-21; invoked per
         # page src/core.ts:197-199): hook(row)->list[rows] emitting into a
@@ -135,6 +136,10 @@ class CrawlScheduler:
         # bounds read fan-in at K dirs while keeping the per-round write
         # O(new URLs) instead of O(total seen)
         self.seen_compact_every = seen_compact_every
+        # per-host Crawl-delay overrides (host, crawl_delay_s) — typically
+        # functions/robots.robots_tables() output; rows override the global
+        # config.host_crawl_delay_s for their host
+        self.host_delays = host_delays
         self._extract_page = make_extract_page_udf(config.selector)
 
     # -- state accessors -------------------------------------------------------
@@ -336,25 +341,38 @@ class CrawlScheduler:
         eligible = eligible_pending(frontier, ts_lit)
         if cfg.max_depth is not None:
             eligible = eligible.filter(F.col("depth") <= cfg.max_depth)
-        if cfg.host_crawl_delay_s:
+        if cfg.host_crawl_delay_s or self.host_delays is not None:
             # host_state gates eligibility (north rule: per-host last-fetch
-            # timestamps joined in): a host fetched less than
-            # host_crawl_delay_s ago sits this round out. host_state is one
-            # row per host → broadcast.
+            # timestamps joined in): a host fetched less than its crawl
+            # delay ago sits this round out. Per-host robots Crawl-delay
+            # rows override the global config value. host_state and the
+            # delay table are one row per host → broadcast.
             hs = self.store.read(self.spark, "host_state")
             if hs is not None:
                 gate = hs.select(F.col("host").alias("__gh"),
                                  F.col("last_fetch_ts").alias("__lft"))
+                if self.host_delays is not None:
+                    gate = gate.join(
+                        self.host_delays.select(
+                            F.col("host").alias("__gh"),
+                            F.col("crawl_delay_s").alias("__delay")),
+                        on="__gh", how="left",
+                    )
+                else:
+                    gate = gate.withColumn("__delay", F.lit(None).cast("double"))
+                delay_s = F.coalesce(
+                    F.col("__delay"),
+                    F.lit(float(cfg.host_crawl_delay_s or 0)),
+                )
                 eligible = (
                     eligible.join(F.broadcast(gate),
                                   eligible["host"] == F.col("__gh"), "left")
                     .filter(
                         F.col("__lft").isNull()
-                        | (F.col("__lft")
-                           + F.make_interval(secs=F.lit(cfg.host_crawl_delay_s))
+                        | (F.col("__lft") + F.make_interval(secs=delay_s)
                            <= ts_lit)
                     )
-                    .drop("__gh", "__lft")
+                    .drop("__gh", "__lft", "__delay")
                 )
         if cfg.respect_robots and robots is not None:
             allowed = apply_robots(eligible, robots)
@@ -624,19 +642,32 @@ class CrawlScheduler:
         )
         if row is not None:
             instants.append(row)
-        if self.config.host_crawl_delay_s:
+        if self.config.host_crawl_delay_s or self.host_delays is not None:
             hs = self.store.read(self.spark, "host_state")
             if hs is not None:
-                gated = (
+                gated_hosts = (
                     frontier.filter(F.col("status") == "pending")
                     .select("host").distinct()
                     .join(hs.select("host", "last_fetch_ts"), "host")
-                    .agg(F.min("last_fetch_ts")).collect()[0][0]
+                )
+                if self.host_delays is not None:
+                    gated_hosts = gated_hosts.join(
+                        self.host_delays, on="host", how="left")
+                else:
+                    gated_hosts = gated_hosts.withColumn(
+                        "crawl_delay_s", F.lit(None).cast("double"))
+                delay_s = F.coalesce(
+                    F.col("crawl_delay_s"),
+                    F.lit(float(self.config.host_crawl_delay_s or 0)),
+                )
+                gated = (
+                    gated_hosts
+                    .select((F.col("last_fetch_ts")
+                             + F.make_interval(secs=delay_s)).alias("__elig"))
+                    .agg(F.min("__elig")).collect()[0][0]
                 )
                 if gated is not None:
-                    instants.append(
-                        gated + timedelta(seconds=self.config.host_crawl_delay_s)
-                    )
+                    instants.append(gated)
         if not instants:
             return r
         # collected timestamps come back session-TZ-naive (UTC values)

@@ -49,9 +49,22 @@ class OracleResult:
     claims: list[tuple[int, str, str, int, int]] = field(default_factory=list)
 
 
+def _pattern_matches(pattern: str, path: str) -> bool:
+    """RFC 9309 pattern match (* wildcard, trailing $ anchor) — sequential
+    mirror, implemented independently of the engine's JVM translation."""
+    import re as _re
+
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    pieces = pattern.split("*")
+    rx = "^" + ".*".join(_re.escape(p) for p in pieces) + ("$" if anchored else "")
+    return _re.match(rx, path) is not None
+
+
 def _robots_allows(robots: list[tuple[str, str, str]] | None, host: str, url: str) -> bool:
-    """Google-style longest-match; allow wins ties; no match → allowed.
-    robots rows: (host, rule_type, path_prefix)."""
+    """RFC 9309 longest-pattern-wins; allow wins ties; no match → allowed.
+    robots rows: (host, rule_type, path_pattern)."""
     if not robots:
         return True
     from urllib.parse import urlsplit
@@ -61,12 +74,12 @@ def _robots_allows(robots: list[tuple[str, str, str]] | None, host: str, url: st
     parts = urlsplit(url)
     path = (parts.path or "/") + (f"?{parts.query}" if parts.query else "")
     best_len, best_allow = -1, True
-    for h, rtype, prefix in robots:
-        if h != host or not path.startswith(prefix):
+    for h, rtype, pattern in robots:
+        if h != host or not _pattern_matches(pattern, path):
             continue
         is_allow = rtype == "allow"
-        if len(prefix) > best_len or (len(prefix) == best_len and is_allow):
-            best_len, best_allow = len(prefix), is_allow
+        if len(pattern) > best_len or (len(pattern) == best_len and is_allow):
+            best_len, best_allow = len(pattern), is_allow
     return best_allow
 
 

@@ -1,0 +1,139 @@
+"""robots.txt parsing + RFC 9309 wildcard matching: parser semantics,
+JVM-vs-Python translation parity, and the per-host crawl-delay gate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from context_crawler_spark.functions.robots import (
+    allows,
+    pattern_matches,
+    pattern_to_regex,
+    robots_tables,
+    select_rules,
+)
+
+ROBOTS_TXT = """
+# example robots
+User-agent: *
+Disallow: /private/
+Allow: /private/ok
+Crawl-delay: 10
+
+User-agent: contextcrawler
+User-agent: otherbot
+Disallow: /*.pdf$
+Disallow: /search?
+Allow: /search?allowed=
+Crawl-delay: 2
+
+User-agent: contextcrawler-images
+Disallow: /
+"""
+
+
+def test_group_selection_longest_prefix():
+    # our token 'contextcrawler' matches the 'contextcrawler' group, not *
+    rules, delay = select_rules(ROBOTS_TXT, "contextcrawler")
+    assert ("disallow", "/*.pdf$") in rules
+    assert ("disallow", "/private/") not in rules  # * group not merged
+    assert delay == 2.0
+    # a longer product token picks the more specific group
+    rules_img, _ = select_rules(ROBOTS_TXT, "contextcrawler-images/1.0")
+    assert rules_img == [("disallow", "/")]
+    # unknown bot falls back to the * group
+    rules_star, delay_star = select_rules(ROBOTS_TXT, "nobody")
+    assert ("disallow", "/private/") in rules_star and delay_star == 10.0
+
+
+def test_empty_disallow_and_garbage_lines():
+    rules, _ = select_rules("User-agent: *\nDisallow:\nNoise\nAllow: /a\n", "x")
+    assert rules == [("allow", "/a")]
+    assert select_rules("", "x") == ([], None)
+
+
+@pytest.mark.parametrize("pattern,path,expected", [
+    ("/private/", "/private/x", True),
+    ("/private/", "/privateer", False),
+    ("/*.pdf$", "/docs/a.pdf", True),
+    ("/*.pdf$", "/docs/a.pdf?x=1", False),   # $ anchors the end
+    ("/search?", "/search?q=1", True),
+    ("/search?", "/search", False),
+    ("/a*b*c", "/aXXbYYc", True),
+    ("/a*b*c", "/acb", False),
+    ("/", "/anything", True),
+    ("/p$", "/p", True),
+    ("/p$", "/pq", False),
+])
+def test_pattern_matching(pattern, path, expected):
+    assert pattern_matches(pattern, path) is expected
+
+
+def test_longest_pattern_wins_allow_ties():
+    rules = [("disallow", "/private/"), ("allow", "/private/ok")]
+    assert not allows(rules, "/private/x")
+    assert allows(rules, "/private/ok/page")
+    # tie on length → allow
+    assert allows([("disallow", "/ab"), ("allow", "/ab")], "/abc")
+
+
+def test_jvm_translation_matches_python(spark):
+    """The built-in-expression pattern→regex in apply_robots must agree
+    with functions/robots.pattern_to_regex on an adversarial corpus."""
+    from context_crawler_spark.operators.politeness import apply_robots
+    from tests.oracle import _robots_allows
+
+    patterns = ["/private/", "/*.pdf$", "/search?", "/a*b*c", "/", "/p$",
+                "/w(e)i[r]d{2}", "/dot.path", "/back\\slash", "/$", "/*$"]
+    paths = ["/private/x", "/privateer", "/docs/a.pdf", "/docs/a.pdf?x=1",
+             "/search?q=1", "/search", "/aXXbYYc", "/acb", "/p", "/pq",
+             "/w(e)i[r]d{2}/x", "/dot.path/y", "/dotXpath", "/back\\slash",
+             "/", "/anything"]
+    rows = [(f"https://h.test{p}", "h.test") for p in paths]
+    df = spark.createDataFrame(rows, "url string, host string")
+    for pattern in patterns:
+        for rtype in ("disallow",):
+            robots_rows = [("h.test", rtype, pattern)]
+            robots = spark.createDataFrame(
+                robots_rows, "host string, rule_type string, path_prefix string")
+            engine = {r["url"] for r in apply_robots(df, robots).collect()}
+            python = {u for u, _h in rows
+                      if _robots_allows(robots_rows, "h.test", u)}
+            assert engine == python, pattern
+            spec = {u for u, _h in rows
+                    if allows([(rtype, pattern)],
+                              u.replace("https://h.test", "") or "/")}
+            assert engine == spec, pattern
+
+
+def test_robots_tables_and_per_host_crawl_delay(spark, tiny_pages):
+    """End-to-end: robots.txt text → (rules, delays) tables → the scheduler
+    honors a per-host Crawl-delay (host sits out rounds) while an
+    un-delayed host is fetched every round."""
+    from context_crawler_spark.config import CrawlConfig
+    from context_crawler_spark.plans.scheduler import CrawlScheduler
+    from context_crawler_spark.state import SnapshotStore
+    import tempfile
+
+    rules, delays = robots_tables(
+        spark,
+        {"site0.test": "User-agent: *\nCrawl-delay: 120\n"},  # 2 rounds
+        user_agent="contextcrawler",
+    )
+    assert rules.count() == 0
+    assert delays.collect()[0]["crawl_delay_s"] == 120.0
+
+    cfg = CrawlConfig(
+        entry="https://site0.test/", match=["https://site0.test/**"],
+        selector="article", politeness_budget=2,
+    )
+    store = SnapshotStore(tempfile.mkdtemp())
+    eng = CrawlScheduler(spark, store, cfg, tiny_pages, n_buckets=8,
+                         host_delays=delays)
+    eng.run(max_rounds=40)
+    rounds = [r["round"] for r in
+              eng.pages_out().select("round").distinct().collect()]
+    rs = sorted(rounds)
+    # delayed host: ≥2 round gaps between consecutive fetch rounds
+    assert len(rs) > 1 and all(b - a >= 2 for a, b in zip(rs, rs[1:])), rs
