@@ -155,3 +155,96 @@ def test_randomized_engine_oracle_parity(spark, tmp_path, seed):
         r["canonical_url"] for r in eng.url_seen().select("canonical_url").collect()
     }
     assert seen_engine == oracle.seen
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    items=st.lists(
+        st.tuples(st.integers(0, 400), st.integers(0, 4000)), max_size=40),
+    max_tokens=st.one_of(st.none(), st.integers(1, 300)),
+    max_bytes=st.one_of(st.none(), st.integers(1, 6000)),
+)
+def test_split_plan_invariants(items, max_tokens, max_bytes):
+    """Pure-state-machine invariants of the output splitter, any input:
+    ids are -1 or 1..final_counter, non-decreasing over the sequence, and
+    file names are plain iff no flush ever happened."""
+    from context_crawler_spark.operators.output import (
+        finalize_file_names,
+        split_plan_full,
+    )
+
+    assignment, counter = split_plan_full(items, max_tokens, max_bytes)
+    assert len(assignment) == len(items)
+    assert counter >= 1
+    kept = [a for a in assignment if a != -1]
+    assert all(1 <= a <= counter for a in kept)
+    assert kept == sorted(kept)  # file ids never go backwards
+    if max_tokens is None:
+        assert -1 not in assignment  # drops only exist under a token budget
+    names = finalize_file_names(assignment, "j", counter)
+    if counter == 1:
+        assert set(names.values()) <= {"j.json"}
+        assert bool(names) == bool(kept)
+    else:
+        assert "j.json" not in names.values()
+        # every mid-run flush file exists (even if empty of items)
+        assert set(range(1, counter)) <= set(names)
+        assert (counter in names) == (counter in kept)
+
+
+def _brute_pattern_match(pattern: str, path: str) -> bool:
+    """Exponential-but-tiny reference matcher for robots patterns."""
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+
+    def m(p: str, s: str) -> bool:
+        if not p:
+            return not s if anchored else True
+        if p[0] == "*":
+            return any(m(p[1:], s[i:]) for i in range(len(s) + 1))
+        return bool(s) and s[0] == p[0] and m(p[1:], s[1:])
+
+    return m(pattern, path)
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    pattern=st.text(alphabet="/ab.?*$", min_size=0, max_size=8),
+    path=st.text(alphabet="/ab.?x", min_size=0, max_size=10),
+)
+def test_robots_pattern_matches_brute_force(pattern, path):
+    from context_crawler_spark.functions.robots import pattern_matches
+
+    assert pattern_matches(pattern, path) == _brute_pattern_match(
+        pattern, path), (pattern, path)
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    n=st.integers(1, 400),
+    nb_exp=st.integers(6, 9),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_cuckoo_never_false_negative(n, nb_exp, seed):
+    """Inserted keys ALWAYS probe positive (the involution guarantee),
+    for any load the insert loop accepts; deleted keys stop matching
+    unless another key shares bucket+fingerprint (FPs allowed, FNs not)."""
+    import numpy as np
+
+    from context_crawler_spark.operators.cuckoo import CuckooTable
+
+    rng = np.random.RandomState(seed)
+    keys = np.unique(rng.randint(-2**62, 2**62, size=n, dtype=np.int64))
+    t = CuckooTable(nb=1 << nb_exp)
+    fails = t.insert(keys)
+    assert fails == 0 or (len(keys) > (1 << nb_exp) * 2)  # only under load
+    if fails == 0:
+        assert bool(t.contains(keys).all())
+        half = keys[: len(keys) // 2]
+        if len(half):
+            t.delete(half)
+            rest = keys[len(keys) // 2:]
+            if len(rest):
+                assert bool(t.contains(rest).all())  # survivors still match
