@@ -148,3 +148,61 @@ def streaming_sessionize(events_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def stream_job_intake(
+    spark: SparkSession,
+    intake_dir: str,
+    checkpoint_dir: str,
+    store_root: str,
+    pages: DataFrame,
+    generate_artifacts: bool = False,
+    available_now: bool = True,
+):
+    """Continuous job intake: JSON job configs dropped into ``intake_dir``
+    stream into the queue and run — the reference's always-on worker
+    (src/worker.ts:220-236 polling loop + POST /jobs intake) as Structured
+    Streaming. ``foreachBatch`` is the right tool because each micro-batch
+    drives the BATCH engine (enqueue + drain on the snapshot store), giving
+    exactly-once intake via the streaming checkpoint while the queue/crawl
+    state keeps its own snapshot-commit semantics. AvailableNow drains
+    what's present then stops (resumable); pass ``available_now=False`` for
+    a live continuous worker."""
+    import json as _json
+
+    from ..config import CrawlConfig
+    from ..plans.jobs import JobWorker
+    from ..state import SnapshotStore
+
+    raw = (
+        spark.readStream.schema("value string")
+        .option("wholetext", True)
+        .text(intake_dir)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        worker = JobWorker(
+            spark, SnapshotStore(store_root), pages,
+            generate_artifacts=generate_artifacts,
+        )
+        configs = []
+        for row in batch_df.collect():  # config payloads: tiny, driver-side
+            try:
+                d = _json.loads(row["value"])
+            except ValueError:
+                continue
+            for item in d if isinstance(d, list) else [d]:
+                try:
+                    configs.append(CrawlConfig.from_dict(item))
+                except Exception:  # noqa: BLE001 — malformed job: skip, don't kill the stream
+                    continue
+        if configs:
+            worker.enqueue(configs)
+        worker.run_until_drained()
+
+    writer = raw.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -88,3 +88,50 @@ def test_streaming_sessionize_state(spark, tmp_path):
     # the CLOSED session (user 1's first) is emitted; open ones stay in state
     closed = [(r["user_id"], r["n_events"]) for r in got]
     assert (1, 3) in closed
+
+
+def test_stream_job_intake_runs_jobs(spark, tiny_pages, tmp_path):
+    """Config JSONs dropped in the intake dir are enqueued and crawled by
+    the streaming worker; re-running the stream does NOT re-run processed
+    files (exactly-once intake via the streaming checkpoint)."""
+    import json
+    import os
+
+    from context_crawler_spark.plans.jobs import JobWorker
+    from context_crawler_spark.state import SnapshotStore
+    from context_crawler_spark.streaming.pipelines import stream_job_intake
+
+    intake = tmp_path / "intake"
+    os.makedirs(intake)
+    (intake / "job1.json").write_text(json.dumps({
+        "entry": "https://site0.test/",
+        "match": ["https://site0.test/**"],
+        "selector": "article",
+        "name": "stream-job-1",
+    }))
+    store_root = str(tmp_path / "store")
+    q = stream_job_intake(spark, str(intake), str(tmp_path / "ckpt"),
+                          store_root, tiny_pages)
+    q.awaitTermination(600)
+    w = JobWorker(spark, SnapshotStore(store_root), tiny_pages)
+    s = w.stats()
+    assert s["completed"] == 1 and s["total"] == 1
+
+    # second drain with no new files: nothing re-runs
+    q2 = stream_job_intake(spark, str(intake), str(tmp_path / "ckpt"),
+                           store_root, tiny_pages)
+    q2.awaitTermination(600)
+    assert JobWorker(spark, SnapshotStore(store_root), tiny_pages).stats() == s
+
+    # a newly dropped config is picked up by the next drain
+    (intake / "job2.json").write_text(json.dumps({
+        "entry": "https://site1.test/",
+        "match": ["https://site1.test/**"],
+        "selector": "article",
+        "name": "stream-job-2",
+    }))
+    q3 = stream_job_intake(spark, str(intake), str(tmp_path / "ckpt"),
+                           store_root, tiny_pages)
+    q3.awaitTermination(600)
+    s3 = JobWorker(spark, SnapshotStore(store_root), tiny_pages).stats()
+    assert s3["completed"] == 2 and s3["total"] == 2
