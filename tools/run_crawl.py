@@ -48,7 +48,9 @@ def main() -> None:
     p.add_argument("--max-depth", type=int, default=None)
     p.add_argument("--max-rounds", type=int, default=1000)
     p.add_argument("--robots", default=None,
-                   help="optional parquet of (host, rule_type, path_prefix)")
+                   help="optional robots rules: a parquet of (host, rule_type, "
+                        "path_prefix) OR a directory of robots.txt files named "
+                        "<host>[.txt] (parsed per RFC 9309, Crawl-delay honored)")
     p.add_argument("--artifacts", action="store_true",
                    help="generate llms.txt/chunks/embeddings after the crawl")
     p.add_argument("--demo", action="store_true",
@@ -82,7 +84,24 @@ def main() -> None:
             pages = read_warc(spark, args.pages)
         else:
             pages = spark.read.parquet(args.pages)
-    robots = spark.read.parquet(args.robots) if args.robots else None
+    robots = None
+    host_delays = None
+    if args.robots:
+        if os.path.isdir(args.robots) and any(
+            not n.endswith(".parquet") for n in os.listdir(args.robots)
+        ):
+            # directory of robots.txt files named <host> or <host>.txt →
+            # parse (RFC 9309) into rules + per-host Crawl-delay tables
+            from context_crawler_spark.functions.robots import robots_tables
+
+            texts = {}
+            for n in os.listdir(args.robots):
+                host = n[:-4] if n.endswith(".txt") else n
+                with open(os.path.join(args.robots, n)) as f:
+                    texts[host] = f.read()
+            robots, host_delays = robots_tables(spark, texts)
+        else:
+            robots = spark.read.parquet(args.robots)
 
     if args.job:
         # named (possibly multi-config) job → the queue worker path, the
@@ -113,7 +132,7 @@ def main() -> None:
         respect_robots=robots is not None,
     )
     store = SnapshotStore(args.store)
-    eng = CrawlScheduler(spark, store, cfg, pages)
+    eng = CrawlScheduler(spark, store, cfg, pages, host_delays=host_delays)
     meta = eng.run(max_rounds=args.max_rounds, robots=robots)
     if args.artifacts and meta.get("fetched_total"):
         from context_crawler_spark.plans.artifacts import ArtifactService
