@@ -40,9 +40,13 @@ HEADLINE = [
     "token_split_buckets",
     "exact_dedup",
     "minhash_dedup",
+    "simhash_dedup",
+    "embedding_near_dup",
     "text_stats",
     "topk_cosine",
     "knn_join",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
     "chunk_documents",
 ]
 
@@ -163,10 +167,18 @@ def main() -> None:
     frontier = bench_frontier(spark, n_frontier)
     extract = bench_extract(spark, sf_dir)
 
+    # r2 widened the suite from 16 to 20 queries (simhash_dedup,
+    # embedding_near_dup, ann_lsh_topk, ann_ivf_topk); r1_comparable_total
+    # keeps the original-16 subtotal so round-over-round totals compare
+    # like for like.
+    r2_added = {"simhash_dedup", "embedding_near_dup",
+                "ann_lsh_topk", "ann_ivf_topk"}
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
+        "r1_comparable_total": round(
+            sum(v for k, v in queries.items() if k not in r2_added), 3),
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
