@@ -82,7 +82,7 @@ def apply_robots(
     # Authority stops at / ? # so a query on an empty path survives.
     raw = F.regexp_replace(
         F.regexp_replace("url", r"#.*$", ""),
-        r"^[a-z][a-z0-9+.-]*://[^/?#]*", "",
+        r"(?i)^[a-z][a-z0-9+.-]*://[^/?#]*", "",  # scheme is case-insensitive
     )
     path = (
         F.when(raw == "", "/")

@@ -196,3 +196,20 @@ def test_ivf_partition_pruning(spark, tmp_path):
     plan = rd._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "ivf_cell" in plan.split("PartitionFilters", 1)[1][:300]
+
+
+def test_connected_components_log_iterations_on_path_graph(spark):
+    """Pointer halving must converge a 512-node path graph well inside
+    O(log n) iterations — the property that keeps CC's round count at ~30
+    even for 10^9-node dup graphs (a plain min-propagation would need
+    O(diameter) = 511 rounds here and would time out max_iter=12)."""
+    from context_crawler_spark.operators.text_dedup import connected_components
+
+    n = 512
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    ).repartition(8)
+    comp = connected_components(edges, max_iter=12)  # 12 ≥ log2(512)+margin
+    rows = comp.collect()
+    assert len(rows) == n
+    assert {r["component"] for r in rows} == {0}  # one component, min label

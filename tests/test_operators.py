@@ -236,6 +236,7 @@ def test_robots_query_and_fragment_semantics(spark):
         "https://h.test/private/x?y=1",   # prefix disallow + query tail
         "https://h.test?tracking=1",      # query on empty path → '/?...'
         "https://h.test/",
+        "HTTPS://h.test/private/upper",   # scheme case must not skip the strip
     ]
     robots_rows = [
         ("h.test", "disallow", "/a?"),
