@@ -193,7 +193,13 @@ def train_ivf_centroids(
     Each Lloyd iteration broadcasts the centroid matrix and runs ONE
     mapInPandas pass emitting per-batch per-cell partial (sum, count) —
     n_cells × n_batches tiny rows to the driver, never vectors — then
-    recenters in numpy. All heavy math is Arrow-batched GEMM."""
+    recenters in numpy. All heavy math is Arrow-batched GEMM.
+
+    Determinism: exact for a fixed partitioning (partials accumulate in a
+    canonical sort order); across DIFFERENT partitionings the refined
+    centroids can differ by float ulps (association order), which is why
+    the centroid matrix — not the training call — is the stored artifact:
+    ``with_ivf_cells``/``ivf_topk`` are pure functions of it."""
     seed_rows = (
         corpus.select(vec_col)
         .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(IVF_SEED)))
@@ -225,6 +231,8 @@ def train_ivf_centroids(
         agg = corpus.select(vec_col).mapInPandas(
             partials, "cell int, vsum array<double>, cnt long"
         ).collect()
+        # canonical accumulation order: collect() order is not stable
+        agg.sort(key=lambda r: (r["cell"], r["cnt"], tuple(r["vsum"][:4])))
         sums = np.zeros_like(cents)
         counts = np.zeros(len(cents))
         for r in agg:

@@ -142,7 +142,15 @@ def read_warc(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     extraction UDF for text/lang downstream)."""
     import pandas as pd
 
-    files = spark.read.format("binaryFile").load(paths).select("content")
+    files = (
+        spark.read.format("binaryFile")
+        # directories may hold non-WARC files (checkpoints, indexes);
+        # explicit *.warc / *.warc.gz paths still match the glob
+        .option("pathGlobFilter", "*.warc*")
+        .option("recursiveFileLookup", "true")
+        .load(paths)
+        .select("content")
+    )
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
