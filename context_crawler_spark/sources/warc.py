@@ -162,6 +162,28 @@ def read_warc(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     return files.mapInPandas(parse, PAGES_SCHEMA)
 
 
+def warc_to_pages(
+    spark: SparkSession, paths: str | list[str], selector: str = "body"
+) -> DataFrame:
+    """WARC files → the FULL north-rule pages schema
+    (url, warc_ts, html binary, text, lang): raw records plus extracted
+    text (the pinned fused extraction UDF) and language ID — one Arrow
+    pass each. ``read_warc`` is the raw 3-column form the crawl scheduler
+    joins; this is the analytics-ready table."""
+    from pyspark.sql import functions as F
+
+    from ..functions.udfs import detect_language_udf, make_extract_page_udf
+
+    page_udf = make_extract_page_udf(selector)
+    return (
+        read_warc(spark, paths)
+        .withColumn("__page", page_udf("html", "url"))
+        .withColumn("text", F.col("__page.text"))
+        .withColumn("lang", detect_language_udf("text")["lang"])
+        .drop("__page")
+    )
+
+
 def write_warc(rows: list[tuple[str, datetime, bytes]], gzip_members: bool = False) -> bytes:
     """Serialize (url, ts, html) rows as a WARC/1.1 byte stream (response
     records wrapping a minimal HTTP/1.1 200). Test/fixture helper — also

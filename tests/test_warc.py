@@ -124,3 +124,20 @@ def test_crawl_scheduler_over_warc_pages(spark, tmp_path):
         "https://w.test/", "https://w.test/a", "https://w.test/b"]
     texts = {r["url"]: r["text"] for r in eng.pages_out().collect()}
     assert texts["https://w.test/a"] == "Page A"
+
+
+def test_warc_to_pages_full_schema(spark, tmp_path):
+    """warc_to_pages emits the exact north-rule input shape:
+    (url, warc_ts, html binary, text, lang)."""
+    from context_crawler_spark.sources.warc import warc_to_pages
+
+    (tmp_path / "x.warc.gz").write_bytes(write_warc(ROWS, gzip_members=True))
+    pages = warc_to_pages(spark, str(tmp_path), selector="article")
+    assert [(f.name, f.dataType.simpleString()) for f in pages.schema.fields] == [
+        ("url", "string"), ("warc_ts", "timestamp"), ("html", "binary"),
+        ("text", "string"), ("lang", "string"),
+    ]
+    got = {r["url"]: (r["text"], r["lang"]) for r in pages.collect()}
+    assert got["https://a.test/page1"][0] == "Alpha one."
+    assert got["https://b.test/page2"][0] == "Unicodé 世界"
+    assert all(isinstance(v[1], str) for v in got.values())
