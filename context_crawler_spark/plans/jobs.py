@@ -79,24 +79,36 @@ class JobWorker:
 
     def enqueue(self, configs: list[CrawlConfig],
                 priorities: list[int] | None = None,
-                max_attempts: int = 3) -> list[str]:
+                max_attempts: int = 3,
+                job_ids: list[str] | None = None) -> list[str]:
         """add() parity (src/queue.ts:100-123): pending rows, created_seq =
-        enqueue order (the rowid analog)."""
+        enqueue order (the rowid analog). ``job_ids`` makes the call
+        IDEMPOTENT: explicit ids already present in the queue are skipped,
+        so an at-least-once replay (streaming intake re-running a batch
+        after a crash) enqueues nothing twice."""
         rows = self._queue()
-        base = max((r["created_seq"] for r in rows), default=-1) + 1
+        existing = {r["job_id"] for r in rows}
+        seq = max((r["created_seq"] for r in rows), default=-1) + 1
         ids = []
+        added = 0
         for i, cfg in enumerate(configs):
-            job_id = f"job-{base + i:06d}"
+            job_id = job_ids[i] if job_ids else f"job-{seq:06d}"
+            ids.append(job_id)
+            if job_id in existing:
+                continue
+            existing.add(job_id)
             rows.append({
                 "job_id": job_id, "name": cfg.name, "status": "pending",
                 "priority": (priorities[i] if priorities else cfg.priority),
                 "attempts": 0, "max_attempts": max_attempts,
-                "next_retry_at": None, "created_seq": base + i,
+                "next_retry_at": None, "created_seq": seq,
                 "config": json.dumps(cfg.to_dict()), "error": None,
                 "output_snapshot": None, "claimed_at": None,
             })
-            ids.append(job_id)
-        self._commit_queue(rows, tag="enqueue")
+            seq += 1
+            added += 1
+        if added:
+            self._commit_queue(rows, tag="enqueue")
         return ids
 
     def claim_next(self) -> dict[str, Any] | None:
@@ -131,9 +143,12 @@ class JobWorker:
         for r in rows:
             if r["status"] != "claimed":
                 continue
+            # NULL claimed_at (rows persisted by the pre-claimed_at queue
+            # schema) counts as EXPIRED, not permanently leased — otherwise
+            # such rows could never be lease-recovered.
             if lease_ticks is not None and (
-                r.get("claimed_at") is None
-                or r["claimed_at"] + lease_ticks > self._tick
+                r.get("claimed_at") is not None
+                and r["claimed_at"] + lease_ticks > self._tick
             ):
                 continue
             r["status"] = "pending"

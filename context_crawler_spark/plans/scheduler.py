@@ -508,7 +508,12 @@ class CrawlScheduler:
             ts_lit, cfg.backoff_ms, cfg.max_attempts,
         ).withColumn("claimed_at", ts_lit)
         failed_retry = failed.filter(F.col("status") == "pending")
-        failed_terminal = failed.filter(F.col("status") == "failed")
+        # terminal rows need completed_at stamped (= this round's clock):
+        # cleanup_terminal's TTL keys on it, so a NULL here would make
+        # failed/robots-blocked history immortal on failure-heavy crawls
+        failed_terminal = failed.filter(F.col("status") == "failed").withColumn(
+            "completed_at", ts_lit
+        )
         untouched = frontier.join(batch.select("url_hash"), "url_hash", "left_anti")
         if robots_blocked is not None:
             untouched = untouched.join(
@@ -525,6 +530,7 @@ class CrawlScheduler:
         if robots_blocked is not None:
             done_delta = done_delta.unionByName(
                 robots_blocked.select(*_FRONTIER_COLS)
+                .withColumn("completed_at", ts_lit)
             )
 
         new_seen = new_links.select("url_hash", "canonical_url").withColumn(

@@ -112,7 +112,15 @@ def parse_warc_date(s: str) -> datetime | None:
 
 def _is_html(content_type: str) -> bool:
     ct = content_type.split(";")[0].strip().lower()
-    return ct in ("text/html", "application/xhtml+xml") or ct == ""
+    return ct in ("text/html", "application/xhtml+xml")
+
+
+def _sniff_html(entity: bytes) -> bool:
+    """Content sniff for records with NO declared payload type: accept only
+    bytes that look like an HTML document. Keeps images/CSS/PDFs shipped as
+    type-less ``resource`` records out of the pages table."""
+    head = entity[:1024].lstrip()[:64].lower()
+    return head.startswith((b"<!doctype", b"<html"))
 
 
 def records_from_file(raw: bytes) -> list[tuple[str, datetime, bytes]]:
@@ -126,11 +134,22 @@ def records_from_file(raw: bytes) -> list[tuple[str, datetime, bytes]]:
         ts = parse_warc_date(headers.get("warc-date", ""))
         if not url or ts is None:
             continue
-        http_headers, entity = (
-            split_http_payload(body)
-            if headers.get("warc-type") == "response" else ({}, body)
-        )
-        if not _is_html(http_headers.get("content-type", "")):
+        if headers.get("warc-type") == "response":
+            http_headers, entity = split_http_payload(body)
+            # payload type: HTTP Content-Type, else the CC-written
+            # WARC-Identified-Payload-Type (the record-level Content-Type is
+            # just "application/http" here — not the payload's)
+            ct = http_headers.get("content-type") or headers.get(
+                "warc-identified-payload-type", ""
+            )
+        else:
+            # resource records carry no HTTP message; the WARC Content-Type
+            # IS the payload type
+            entity = body
+            ct = headers.get("warc-identified-payload-type") or headers.get(
+                "content-type", ""
+            )
+        if not (_is_html(ct) if ct else _sniff_html(entity)):
             continue
         rows.append((url, ts, entity))
     return rows

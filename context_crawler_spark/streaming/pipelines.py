@@ -163,11 +163,16 @@ def stream_job_intake(
     stream into the queue and run — the reference's always-on worker
     (src/worker.ts:220-236 polling loop + POST /jobs intake) as Structured
     Streaming. ``foreachBatch`` is the right tool because each micro-batch
-    drives the BATCH engine (enqueue + drain on the snapshot store), giving
-    exactly-once intake via the streaming checkpoint while the queue/crawl
-    state keeps its own snapshot-commit semantics. AvailableNow drains
-    what's present then stops (resumable); pass ``available_now=False`` for
-    a live continuous worker."""
+    drives the BATCH engine (enqueue + drain on the snapshot store).
+    foreachBatch side effects are AT-LEAST-ONCE (a crash between enqueue()
+    and the checkpoint commit replays the batch), so intake is made
+    IDEMPOTENT: job_ids derive deterministically from the config content
+    hash, and enqueue() skips ids already in the queue — a replayed batch
+    enqueues nothing and re-drains already-terminal jobs as a no-op,
+    yielding effectively-once intake. AvailableNow drains what's present
+    then stops (resumable); pass ``available_now=False`` for a live
+    continuous worker."""
+    import hashlib as _hashlib
     import json as _json
 
     from ..config import CrawlConfig
@@ -197,7 +202,14 @@ def stream_job_intake(
                 except Exception:  # noqa: BLE001 — malformed job: skip, don't kill the stream
                     continue
         if configs:
-            worker.enqueue(configs)
+            # deterministic ids ⇒ batch replay is a no-op (see docstring)
+            ids = [
+                "intake-" + _hashlib.sha256(
+                    _json.dumps(cfg.to_dict(), sort_keys=True).encode()
+                ).hexdigest()[:16]
+                for cfg in configs
+            ]
+            worker.enqueue(configs, job_ids=ids)
         worker.run_until_drained()
 
     writer = raw.writeStream.foreachBatch(process).option(

@@ -117,3 +117,45 @@ def test_clear_completed_jobs(spark, tiny_pages, tmp_path):
     s = w.stats()
     assert s["total"] == 1 and s["pending"] == 1
     assert w.clear_completed() == 0
+
+
+def test_null_claimed_at_counts_as_expired(spark, tiny_pages, tmp_path):
+    """ADVICE r2: rows persisted by the pre-claimed_at queue schema read
+    back claimed_at=NULL — a lease-bounded sweep must recover them, not
+    treat them as permanently leased."""
+    store = SnapshotStore(str(tmp_path / "q"))
+    w = JobWorker(spark, store, tiny_pages)
+    cfg = CrawlConfig(entry="https://site0.test/",
+                      match=["https://site0.test/**"], selector="article")
+    w.enqueue([cfg])
+    rows = w._queue()
+    rows[0]["status"] = "claimed"
+    rows[0]["claimed_at"] = None  # legacy row
+    w._commit_queue(rows, tag="simulate-legacy")
+    w._tick = 5
+    assert w.recover_stuck_jobs(lease_ticks=30) == 1
+    assert w.stats()["pending"] == 1
+
+
+def test_enqueue_idempotent_with_explicit_ids(spark, tiny_pages, tmp_path):
+    """Explicit job_ids make enqueue a no-op on replay (the streaming-intake
+    at-least-once contract), while fresh ids still append."""
+    store = SnapshotStore(str(tmp_path / "q"))
+    w = JobWorker(spark, store, tiny_pages)
+    a = CrawlConfig(entry="https://site0.test/",
+                    match=["https://site0.test/**"], selector="article",
+                    name="a")
+    b = CrawlConfig(entry="https://site1.test/",
+                    match=["https://site1.test/**"], selector="article",
+                    name="b")
+    ids1 = w.enqueue([a], job_ids=["intake-aaaa"])
+    assert ids1 == ["intake-aaaa"] and w.stats()["total"] == 1
+    # replay of the same batch: nothing added, same ids returned
+    ids2 = w.enqueue([a], job_ids=["intake-aaaa"])
+    assert ids2 == ["intake-aaaa"] and w.stats()["total"] == 1
+    # mixed batch: only the new id lands, created_seq stays dense
+    ids3 = w.enqueue([a, b], job_ids=["intake-aaaa", "intake-bbbb"])
+    assert ids3 == ["intake-aaaa", "intake-bbbb"]
+    q = {r["job_id"]: r for r in w._queue()}
+    assert len(q) == 2
+    assert q["intake-bbbb"]["created_seq"] == 1

@@ -236,3 +236,35 @@ def test_frontier_live_done_split(spark, tiny_pages, tiny_web, tmp_path):
         r["url"] for r in full.filter(full.status == "completed").collect()
     }
     assert completed_urls == set(oracle.visit_order)
+
+
+def test_terminal_rows_carry_completed_at(spark, tiny_pages, tmp_path):
+    """ADVICE r2: terminal-FAILED (fetch_miss after max_attempts) and
+    robots-blocked rows must be stamped completed_at, or cleanup_terminal's
+    TTL can never expire them and frontier_done grows unboundedly on
+    failure-heavy crawls."""
+    from pyspark.sql import functions as F
+
+    from context_crawler_spark.functions.robots import robots_tables
+
+    rules, _delays = robots_tables(
+        spark, {"site0.test": "User-agent: *\nDisallow: /guide\n"},
+    )
+    # drop one discoverable page so its row terminal-fails on fetch_miss
+    pages = tiny_pages.filter(
+        F.col("url") != "https://site0.test/docs/page-3"
+    )
+    config = CrawlConfig(
+        entry="https://site0.test/", match=["https://site0.test/**"],
+        selector="article", max_attempts=1, respect_robots=True,
+    )
+    store = SnapshotStore(str(tmp_path / "s"))
+    eng = CrawlScheduler(spark, store, config, pages, n_buckets=8,
+                         seen_compact_every=100)
+    eng.run(max_rounds=50, robots=rules)
+    full = eng.frontier()
+    term = full.filter(F.col("status").isin("completed", "failed"))
+    errs = {r["error"] for r in term.select("error").distinct().collect()}
+    assert "fetch_miss" in errs and "robots_disallowed" in errs
+    # EVERY terminal row is stamped
+    assert term.filter(F.col("completed_at").isNull()).count() == 0

@@ -137,3 +137,32 @@ def test_robots_tables_and_per_host_crawl_delay(spark, tiny_pages):
     rs = sorted(rounds)
     # delayed host: ≥2 round gaps between consecutive fetch rounds
     assert len(rs) > 1 and all(b - a >= 2 for a, b in zip(rs, rs[1:])), rs
+
+
+def test_run_crawl_robots_input_detection(tmp_path):
+    """ADVICE r2: a Spark-written parquet rules dir (part files + _SUCCESS
+    + .crc sidecars) must be detected as parquet, NOT parsed as robots.txt
+    text; a true robots.txt dir skips hidden files and sidecars."""
+    import os
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from run_crawl import _is_parquet_dataset, _read_robots_txt_dir
+
+    pq = tmp_path / "rules_parquet"
+    os.makedirs(pq)
+    (pq / "_SUCCESS").write_bytes(b"")
+    (pq / "part-00000-abc.snappy.parquet").write_bytes(b"PAR1...")
+    (pq / ".part-00000-abc.snappy.parquet.crc").write_bytes(b"\x00")
+    assert _is_parquet_dataset(str(pq))
+
+    txt = tmp_path / "robots_txt"
+    os.makedirs(txt)
+    (txt / "a.test.txt").write_text("User-agent: *\nDisallow: /x\n")
+    (txt / "b.test").write_text("User-agent: *\nCrawl-delay: 3\n")
+    (txt / ".hidden").write_text("junk")
+    (txt / "c.crc").write_bytes(b"\x00")
+    assert not _is_parquet_dataset(str(txt))
+    texts = _read_robots_txt_dir(str(txt))
+    assert set(texts) == {"a.test", "b.test"}
+    assert "Disallow: /x" in texts["a.test"]

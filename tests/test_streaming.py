@@ -135,3 +135,40 @@ def test_stream_job_intake_runs_jobs(spark, tiny_pages, tmp_path):
     q3.awaitTermination(600)
     s3 = JobWorker(spark, SnapshotStore(store_root), tiny_pages).stats()
     assert s3["completed"] == 2 and s3["total"] == 2
+
+
+def test_stream_job_intake_replay_is_idempotent(spark, tiny_pages, tmp_path):
+    """foreachBatch side effects are at-least-once: a crash between
+    enqueue() and the checkpoint commit replays the batch. Deterministic
+    content-hash job_ids must make the replay a no-op (ADVICE r2)."""
+    import json
+    import os
+    import shutil
+
+    from context_crawler_spark.plans.jobs import JobWorker
+    from context_crawler_spark.state import SnapshotStore
+    from context_crawler_spark.streaming.pipelines import stream_job_intake
+
+    intake = tmp_path / "intake"
+    os.makedirs(intake)
+    (intake / "job1.json").write_text(json.dumps({
+        "entry": "https://site0.test/",
+        "match": ["https://site0.test/**"],
+        "selector": "article",
+        "name": "replayed-job",
+    }))
+    store_root = str(tmp_path / "store")
+    q = stream_job_intake(spark, str(intake), str(tmp_path / "ckpt"),
+                          store_root, tiny_pages)
+    q.awaitTermination(600)
+    s1 = JobWorker(spark, SnapshotStore(store_root), tiny_pages).stats()
+    assert s1["completed"] == 1 and s1["total"] == 1
+
+    # simulate the crash-replay: wipe the checkpoint so the SAME file is
+    # reprocessed as a fresh batch against the surviving queue state
+    shutil.rmtree(tmp_path / "ckpt")
+    q2 = stream_job_intake(spark, str(intake), str(tmp_path / "ckpt2"),
+                           store_root, tiny_pages)
+    q2.awaitTermination(600)
+    s2 = JobWorker(spark, SnapshotStore(store_root), tiny_pages).stats()
+    assert s2 == s1  # no duplicate job, nothing re-crawled

@@ -63,6 +63,56 @@ def test_non_response_and_non_html_records_skipped():
     assert len(got) == 1 and got[0][0] == "https://a.test/page1"
 
 
+def test_resource_records_payload_typing():
+    """`resource` records carry no HTTP message — the WARC Content-Type /
+    WARC-Identified-Payload-Type header decides, and untyped non-HTML bytes
+    (images, CSS, PDFs) must NOT default into the pages table."""
+    def resource(uri, body, extra=""):
+        return (
+            "WARC/1.1\r\nWARC-Type: resource\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            "WARC-Date: 2017-03-06T04:02:06Z\r\n"
+            f"{extra}"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body + b"\r\n\r\n"
+
+    raw = (
+        resource("https://a.test/img.png", b"\x89PNG\r\n....")  # untyped binary
+        + resource("https://a.test/style.css", b"body { color: red }",
+                   "Content-Type: text/css\r\n")
+        + resource("https://a.test/doc.html", b"<html><body>ok</body></html>",
+                   "Content-Type: text/html\r\n")
+        + resource("https://a.test/sniffed.html",
+                   b"<!DOCTYPE html><html><body>s</body></html>")  # untyped HTML
+        + resource("https://a.test/idpt.html", b"<p>via idpt</p>",
+                   "WARC-Identified-Payload-Type: text/html\r\n")
+    )
+    got = records_from_file(raw)
+    assert [u for u, *_ in got] == [
+        "https://a.test/doc.html",
+        "https://a.test/sniffed.html",
+        "https://a.test/idpt.html",
+    ]
+
+
+def test_response_without_content_type_sniffs():
+    """A response lacking an HTTP Content-Type header is kept only when the
+    entity sniffs as HTML."""
+    def response(uri, http):
+        return (
+            "WARC/1.1\r\nWARC-Type: response\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            "WARC-Date: 2017-03-06T04:02:06Z\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode() + http + b"\r\n\r\n"
+
+    html_http = b"HTTP/1.1 200 OK\r\n\r\n  <!doctype html><html>x</html>"
+    bin_http = b"HTTP/1.1 200 OK\r\n\r\n\x89PNG\r\n...."
+    got = records_from_file(response("https://a.test/h", html_http)
+                            + response("https://a.test/b", bin_http))
+    assert [u for u, *_ in got] == ["https://a.test/h"]
+
+
 def test_truncated_tail_stops_cleanly():
     raw = write_warc(ROWS)
     assert len(records_from_file(raw[: len(raw) - 40])) == 1

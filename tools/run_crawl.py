@@ -31,6 +31,33 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _is_parquet_dataset(path: str) -> bool:
+    """Detect parquet datasets POSITIVELY: Spark-written rule tables always
+    carry _SUCCESS / part-*.parquet / .crc sidecars, so "contains a
+    non-.parquet entry" would misdetect them as robots.txt dirs."""
+    if not os.path.isdir(path):
+        return path.endswith(".parquet")
+    names = os.listdir(path)
+    return any(
+        n == "_SUCCESS" or (n.startswith("part-") and ".parquet" in n)
+        or n.endswith(".parquet")
+        for n in names
+    )
+
+
+def _read_robots_txt_dir(path: str) -> dict[str, str]:
+    """{host: robots.txt text} from a directory of <host>[.txt] files,
+    skipping hidden files and Spark sidecars."""
+    texts = {}
+    for n in sorted(os.listdir(path)):
+        if n.startswith((".", "_")) or n.endswith(".crc"):
+            continue
+        host = n[:-4] if n.endswith(".txt") else n
+        with open(os.path.join(path, n)) as f:
+            texts[host] = f.read()
+    return texts
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description="Run a crawl job")
     p.add_argument("--job", help="named job from the registry (may be multi-config)")
@@ -87,21 +114,16 @@ def main() -> None:
     robots = None
     host_delays = None
     if args.robots:
-        if os.path.isdir(args.robots) and any(
-            not n.endswith(".parquet") for n in os.listdir(args.robots)
-        ):
+        if _is_parquet_dataset(args.robots):
+            robots = spark.read.parquet(args.robots)
+        else:
             # directory of robots.txt files named <host> or <host>.txt →
             # parse (RFC 9309) into rules + per-host Crawl-delay tables
             from context_crawler_spark.functions.robots import robots_tables
 
-            texts = {}
-            for n in os.listdir(args.robots):
-                host = n[:-4] if n.endswith(".txt") else n
-                with open(os.path.join(args.robots, n)) as f:
-                    texts[host] = f.read()
-            robots, host_delays = robots_tables(spark, texts)
-        else:
-            robots = spark.read.parquet(args.robots)
+            robots, host_delays = robots_tables(
+                spark, _read_robots_txt_dir(args.robots)
+            )
 
     if args.job:
         # named (possibly multi-config) job → the queue worker path, the
