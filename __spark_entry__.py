@@ -614,7 +614,7 @@ def q_embed_documents(spark, sf_dir):
     v = embed_udf("text")
     return d.select(
         "doc_id",
-        F.round(F.element_at(v, 1), 6).alias("v0"),
+        F.round(F.element_at(v, 1).cast("double"), 6).alias("v0"),
         F.round(
             F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)), 4
         ).alias("norm"),
@@ -671,8 +671,12 @@ def q_canonicalize(spark, sf_dir):
 
 
 def q_output_split_plan(spark, sf_dir):
-    """Exact token/byte file-split state machine (reference
-    src/core.ts:415-450 incl. the halving rule) via applyInPandas."""
+    """Exact token file-split state machine (reference src/core.ts:415-450
+    incl. the halving rule) via applyInPandas. Token measure here is the
+    whitespace count so the DuckDB oracle (recursive-CTE fold) can replicate
+    the WHOLE plan hash-exactly; the BPE-ish default tokenizer keeps its own
+    query (token_counts_bpe — its lookahead regex is not SQL-expressible)."""
+    from context_crawler_spark.functions.tokens import count_whitespace_tokens
     from context_crawler_spark.operators.output import assign_file_ids_exact
 
     d = _t(spark, sf_dir, "documents")
@@ -686,7 +690,8 @@ def q_output_split_plan(spark, sf_dir):
         F.col("doc_id").alias("fetch_order"),
         F.col("doc_id").alias("doc_id"),
     )
-    out = assign_file_ids_exact(pages, max_tokens=2000, max_bytes_mb=None)
+    out = assign_file_ids_exact(pages, max_tokens=2000, max_bytes_mb=None,
+                                count_tokens_fn=count_whitespace_tokens)
     return out.select("doc_id", "file_id")
 
 
@@ -1161,5 +1166,116 @@ def oracle_sql() -> dict[str, str]:
               CAST(64 + (b2 + 256*b3) % 1984 AS INT) AS height,
               CAST(3 AS INT) AS channels, 'fake' AS format, hx AS sha256
             FROM b
+        """,
+        # the deterministic embedding stand-in, mirrored bucket-for-bucket:
+        # _h64(word) = md5 over 4 NUL seed bytes + utf-8 word, little-endian
+        # first 8 bytes == DuckDB md5_number_upper(chr(0)*4 || word); hashed
+        # bag-of-words into 384 buckets, sign from bit 63, L2 normalize in
+        # double, per-component float32 cast (functions/textstats.py:fake_embed)
+        "embed_documents": r"""
+            WITH d AS (
+              SELECT doc_id,
+                trim(regexp_replace(lower(replace(COALESCE(text,''), chr(10), ' ')),
+                                    '\s+', ' ', 'g')) AS t
+              FROM documents WHERE doc_id < 200
+            ), w AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(t, ' '), x -> x <> '')) AS word
+              FROM d
+            ), h AS (
+              SELECT doc_id,
+                md5_number_upper(chr(0)||chr(0)||chr(0)||chr(0)||word) AS hv
+              FROM w
+            ), comp AS (
+              SELECT doc_id, hv % 384 AS idx,
+                SUM(CASE WHEN (hv >> 63) & 1 = 1 THEN 1.0 ELSE -1.0 END) AS c
+              FROM h GROUP BY doc_id, idx
+            ), n AS (
+              SELECT doc_id, sqrt(SUM(c*c)) AS nrm,
+                COALESCE(SUM(CASE WHEN idx = 0 THEN c END), 0.0) AS c0
+              FROM comp GROUP BY doc_id
+            ), sq AS (
+              SELECT comp.doc_id,
+                SUM(POWER(CAST(CAST(comp.c / n.nrm AS FLOAT) AS DOUBLE), 2)) AS ss
+              FROM comp JOIN n USING (doc_id) WHERE n.nrm > 0
+              GROUP BY comp.doc_id
+            )
+            SELECT d.doc_id,
+              round(CASE WHEN n.nrm IS NULL OR n.nrm = 0 THEN 1.0
+                    ELSE CAST(CAST(n.c0 / n.nrm AS FLOAT) AS DOUBLE) END, 6) AS v0,
+              round(CASE WHEN n.nrm IS NULL OR n.nrm = 0 THEN 1.0
+                    ELSE sqrt(sq.ss) END, 4) AS norm
+            FROM d LEFT JOIN n USING (doc_id) LEFT JOIN sq USING (doc_id)
+        """,
+        # Charikar simhash mirrored bit-for-bit: md5-seeded 64-bit feature
+        # hashes (words + bigrams, duplicates counted), per-bit ±1 votes,
+        # sign-bit handled as int64 two's complement (textstats.py:simhash64)
+        "simhash": r"""
+            WITH d AS (
+              SELECT doc_id,
+                trim(regexp_replace(lower(COALESCE(text,'')),'\s+',' ','g')) AS t
+              FROM documents
+            ), wl AS (
+              SELECT doc_id, list_filter(string_split(t,' '), x -> x <> '') AS ws
+              FROM d
+            ), feats AS (
+              SELECT doc_id, unnest(ws) AS f FROM wl
+              UNION ALL
+              SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-1),
+                                                   i -> ws[i] || ' ' || ws[i+1])) AS f
+              FROM wl WHERE len(ws) > 1
+            ), h AS (
+              SELECT doc_id, md5_number_upper(chr(0)||chr(0)||chr(0)||chr(0)||f) AS hv
+              FROM feats
+            ), bits AS (
+              SELECT doc_id, g.i,
+                SUM(CASE WHEN (hv >> g.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM h CROSS JOIN (SELECT unnest(generate_series(0,63)) AS i) g
+              GROUP BY doc_id, g.i
+            ), sig AS (
+              SELECT doc_id,
+                CAST(SUM(CASE WHEN v > 0 THEN
+                  CASE WHEN i = 63 THEN -9223372036854775808
+                       ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END
+                  ELSE 0 END) AS BIGINT) AS simhash
+              FROM bits GROUP BY doc_id
+            )
+            SELECT d.doc_id, COALESCE(sig.simhash, 0) AS simhash
+            FROM d LEFT JOIN sig USING (doc_id)
+        """,
+        # the write() file-split state machine (halving rule, drop rule,
+        # flush-on-budget — operators/output.py:split_plan_full) as a
+        # recursive-CTE fold: one row per step, state threaded through rn
+        "output_split_plan": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                CAST(len(list_filter(string_split_regex(
+                  '{"title":' || to_json('Doc ' || CAST(doc_id AS VARCHAR))
+                  || ',"url":' || to_json('https://' || source || '.test/'
+                                          || CAST(doc_id AS VARCHAR))
+                  || ',"html":' || to_json(COALESCE(text,'')) || '}',
+                  '\s+'), x -> x <> '')) AS BIGINT) AS tok,
+                row_number() OVER (ORDER BY doc_id ASC) AS rn
+              FROM documents
+            ), fold AS (
+              SELECT CAST(0 AS BIGINT) AS rn, 1 AS fc, CAST(0 AS BIGINT) AS est,
+                     FALSE AS nonempty, CAST(NULL AS INT) AS file_id,
+                     CAST(NULL AS BIGINT) AS doc_id
+              UNION ALL
+              SELECT i.rn,
+                CASE WHEN i.tok > 2000 THEN f.fc
+                     WHEN f.est + i.tok > 2000 AND f.nonempty THEN f.fc + 1
+                     ELSE f.fc END,
+                CASE WHEN i.tok > 2000 THEN f.est
+                     WHEN f.est + i.tok > 2000 THEN i.tok // 2
+                     ELSE f.est + i.tok END,
+                CASE WHEN i.tok > 2000 THEN f.nonempty ELSE TRUE END,
+                CAST(CASE WHEN i.tok > 2000 THEN -1
+                     WHEN f.est + i.tok > 2000 AND f.nonempty THEN f.fc + 1
+                     ELSE f.fc END AS INT),
+                i.doc_id
+              FROM fold f JOIN toks i ON i.rn = f.rn + 1
+            )
+            SELECT doc_id, file_id FROM fold WHERE rn > 0
         """,
     }
