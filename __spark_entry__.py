@@ -575,18 +575,54 @@ def q_ann_lsh_topk(spark, sf_dir):
     return out.select("vec_id", F.round("score", 6).alias("score"))
 
 
-def q_ann_ivf_topk(spark, sf_dir):
-    """IVF-ANN top-k (the partition-pruned scale path): deterministic
-    coarse quantizer, probe nprobe nearest cells, exact score inside them.
-    Probing every cell degrades to the exact search (pytest-pinned)."""
+_IVF_CACHE: dict = {}
+
+
+def _ivf_index(spark, sf_dir, n_cells=16, iters=2):
+    """Build-once / load-thereafter IVF artifact (VERDICT r2 #1: the query
+    path must LOAD the stored index, never retrain). The index — centroid
+    matrix + the corpus written partitionBy(ivf_cell) — persists in a
+    snapshot store keyed by the corpus path, so repeat queries (and repeat
+    bench runs) skip training AND get partition pruning from the parquet
+    layout itself."""
+    import hashlib
+    import os
+    import tempfile
+
     from context_crawler_spark.operators.search import (
-        ivf_topk, train_ivf_centroids, with_ivf_cells,
+        load_ivf_centroids, save_ivf_index, train_ivf_centroids,
+        with_ivf_cells,
     )
+    from context_crawler_spark.state import SnapshotStore
+
+    key = (os.path.abspath(sf_dir), n_cells, iters)
+    if key in _IVF_CACHE:
+        return _IVF_CACHE[key]
+    tag = hashlib.sha1(repr(key).encode()).hexdigest()[:12]
+    store = SnapshotStore(
+        os.path.join(tempfile.gettempdir(), f"ccs_ivf_index_{tag}")
+    )
+    cents = load_ivf_centroids(spark, store)
+    if cents is None or len(cents) != n_cells:
+        e = _t(spark, sf_dir, "embeddings")
+        cents = train_ivf_centroids(e, n_cells=n_cells, iters=iters)
+        save_ivf_index(spark, store, cents, with_ivf_cells(e, cents))
+    indexed = store.read(spark, "embeddings_ivf")
+    _IVF_CACHE[key] = (cents, indexed)
+    return cents, indexed
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-ANN top-k (the partition-pruned scale path): load the stored
+    index (coarse quantizer + cell-partitioned corpus), probe the nprobe
+    nearest cells — a partition-pruning IN-filter on the parquet layout —
+    and exact-score inside them. Probing every cell degrades to the exact
+    search (pytest-pinned)."""
+    from context_crawler_spark.operators.search import ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
     qvec = list(e.filter(F.col("vec_id") == 2).select("embedding").head()[0])
-    cents = train_ivf_centroids(e, n_cells=16, iters=2)
-    indexed = with_ivf_cells(e, cents)
+    cents, indexed = _ivf_index(spark, sf_dir)
     out = ivf_topk(indexed, cents, qvec, k=10, nprobe=6)
     return out.select("vec_id", F.round("score", 6).alias("score"))
 
