@@ -63,6 +63,31 @@ def _sentence_transformers_encoder(model_name: str) -> Callable | None:
     return encode
 
 
+def make_onnx_encode(sess, tok) -> Callable:
+    """The ONNX inference loop, separated from runtime construction so the
+    I/O contract (int64 input_ids/attention_mask/token_type_ids feeds, one
+    last-hidden-state output, mean-pool + L2 after) is testable with a
+    duck-typed fake session — onnxruntime itself isn't in this sandbox.
+    ``sess`` needs ``.run(None, feeds) -> [hidden]``; ``tok`` needs
+    ``.encode_batch(texts) -> [obj with .ids/.attention_mask]``."""
+
+    def encode(texts: list[str]) -> np.ndarray:
+        encs = tok.encode_batch(texts)
+        width = max((len(e.ids) for e in encs), default=1) or 1
+        ids = np.zeros((len(encs), width), dtype=np.int64)
+        mask = np.zeros((len(encs), width), dtype=np.int64)
+        for i, e in enumerate(encs):
+            ids[i, : len(e.ids)] = e.ids
+            mask[i, : len(e.attention_mask)] = e.attention_mask
+        (hidden,) = sess.run(
+            None, {"input_ids": ids, "attention_mask": mask,
+                   "token_type_ids": np.zeros_like(ids)}
+        )
+        return mean_pool_normalize(np.asarray(hidden), mask)
+
+    return encode
+
+
 def _onnx_encoder(model_path: str) -> Callable | None:
     try:  # pragma: no cover - runtime absent in sandbox
         import onnxruntime as ort
@@ -73,18 +98,7 @@ def _onnx_encoder(model_path: str) -> Callable | None:
         return None
     sess = ort.InferenceSession(model_path)  # pragma: no cover
     tok = Tokenizer.from_pretrained("sentence-transformers/all-MiniLM-L6-v2")  # pragma: no cover
-
-    def encode(texts: list[str]) -> np.ndarray:  # pragma: no cover
-        encs = tok.encode_batch(texts)
-        ids = np.array([e.ids for e in encs], dtype=np.int64)
-        mask = np.array([e.attention_mask for e in encs], dtype=np.int64)
-        (hidden,) = sess.run(
-            None, {"input_ids": ids, "attention_mask": mask,
-                   "token_type_ids": np.zeros_like(ids)}
-        )
-        return mean_pool_normalize(hidden, mask)
-
-    return encode
+    return make_onnx_encode(sess, tok)  # pragma: no cover
 
 
 def _fake_encoder() -> Callable:

@@ -18,6 +18,7 @@ vectorization-friendly (called from pandas UDFs over Arrow batches).
 
 from __future__ import annotations
 
+import re
 from urllib.parse import urlsplit
 
 # Minimal embedded public-suffix data for registered-domain extraction.
@@ -92,6 +93,10 @@ def registered_domain(host: str) -> str | None:
     if not host:
         return None
     host = host.strip(".").lower()
+    # IP literals are not DNS names: an IPv4/IPv6 host IS its own politeness
+    # domain (grouping by "last two octets" would collapse unrelated hosts)
+    if host.startswith("[") or re.fullmatch(r"[0-9.]+", host):
+        return host
     labels = host.split(".")
     if len(labels) <= 2:
         return host

@@ -1,0 +1,207 @@
+"""Real HTTP fetch stage — the reference's live requestHandler
+(reference src/core.ts:164-262) as a politeness-aware ``mapInPandas``
+operator over the claimed batch.
+
+GUARDED: network access is strictly opt-in. The engine's default fetch
+stage is the pages-table join (plans/scheduler.py); an ``HttpFetcher`` runs
+only when the caller constructs one and passes it to
+``CrawlScheduler(fetcher=...)``. Pure stdlib ``urllib`` — no new deps.
+
+Spark shape (why this scales):
+  * the batch repartitions by ``host`` and sorts within partitions by
+    (host, seq), so ONE task owns each host's requests for the round and
+    issues them in claim order — the distributed analog of the reference's
+    per-job maxConcurrency=2 browser (src/core.ts:214): politeness is a
+    per-host serialization, so hash-partitioning on host parallelizes
+    across hosts while keeping each host sequential
+  * the per-host crawl delay (broadcast-joined ``__delay`` column from
+    robots Crawl-delay rows, else the config default) is slept between
+    same-host requests inside the task; cross-round spacing is already
+    enforced by the scheduler's host_state gate
+  * failures (timeouts, HTTP errors, refused connections) keep ``html``
+    NULL — the miss flows into the scheduler's existing retry/backoff
+    machinery (src/queue.ts:186-227) with no new code path
+  * config honored (reference src/schema.ts:80-96): ``cookie`` → Cookie
+    header (consent banners, src/core.ts:167-180);
+    ``wait_for_selector_timeout`` → socket timeout;
+    ``resource_exclusions`` → pre-fetch extension skip (the request-block
+    list the reference installs at src/core.ts:243-250)
+  * ``warc_ts`` is stamped with the ROUND clock passed by the scheduler,
+    keeping pages_out deterministic and consistent with host_state
+"""
+
+from __future__ import annotations
+
+import re
+import time
+from datetime import datetime
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_USER_AGENT = "contextcrawler"
+DEFAULT_TIMEOUT_S = 10.0
+DEFAULT_MAX_BYTES = 8 * 1024 * 1024  # cap pathological responses
+
+
+def _cookie_header(cookie) -> str | None:
+    """config.cookie ({name,value} or a list of them) → one Cookie header."""
+    if not cookie:
+        return None
+    items = cookie if isinstance(cookie, list) else [cookie]
+    return "; ".join(f"{c['name']}={c['value']}" for c in items)
+
+
+def _exclusion_regex(resource_exclusions) -> str | None:
+    """Extension skip-list → an anchored path regex (case-insensitive)."""
+    if not resource_exclusions:
+        return None
+    exts = "|".join(re.escape(e.lstrip(".")) for e in resource_exclusions)
+    return rf"(?i)\.({exts})([?#].*)?$"
+
+
+def fetch_url(
+    url: str,
+    headers: dict[str, str],
+    timeout_s: float = DEFAULT_TIMEOUT_S,
+    max_bytes: int = DEFAULT_MAX_BYTES,
+) -> tuple[int, bytes | None]:
+    """One guarded GET: (status, body) on 2xx, (status-or-0, None) on any
+    failure. http/https only. Shared by the executor loop and the driver's
+    seed-time lookup."""
+    import urllib.error
+    import urllib.request
+
+    if not url.startswith(("http://", "https://")):
+        return 0, None
+    req = urllib.request.Request(url, headers=headers)
+    try:
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            status = getattr(resp, "status", 200)
+            body = resp.read(max_bytes + 1)
+            if len(body) > max_bytes:
+                return status, None  # oversized: treat as a miss (retryable)
+            return status, body
+    except urllib.error.HTTPError as e:
+        return e.code, None
+    except Exception:  # noqa: BLE001 — network failure == retryable miss
+        return 0, None
+
+
+class HttpFetcher:
+    """The live fetch stage. Construct explicitly (network opt-in) and pass
+    as ``CrawlScheduler(fetcher=...)``; it replaces the pages-table join
+    with real GETs while every other plan stage (claim order, robots,
+    politeness budget, retries, extraction, link expansion) is unchanged —
+    a parity test drives both paths over the same site and asserts
+    identical visit order and extracted text (tests/test_fetch.py)."""
+
+    def __init__(
+        self,
+        config,
+        host_delays: DataFrame | None = None,
+        user_agent: str = DEFAULT_USER_AGENT,
+        timeout_s: float = DEFAULT_TIMEOUT_S,
+        max_bytes: int = DEFAULT_MAX_BYTES,
+        allow_hosts: set[str] | None = None,
+    ):
+        self.headers = {"User-Agent": user_agent}
+        ck = _cookie_header(getattr(config, "cookie", None))
+        if ck:
+            self.headers["Cookie"] = ck
+        wst = getattr(config, "wait_for_selector_timeout", None)
+        self.timeout_s = (wst / 1000.0) if wst else timeout_s
+        self.max_bytes = max_bytes
+        self.exclusion_re = _exclusion_regex(
+            getattr(config, "resource_exclusions", None))
+        self.default_delay_s = float(getattr(config, "host_crawl_delay_s", None)
+                                     or 0.0)
+        self.host_delays = host_delays
+        # optional allowlist (tests pin it to the local server) — a plain
+        # safety rail, not part of crawl semantics
+        self.allow_hosts = allow_hosts
+
+    # -- driver-side single fetch (seed-time nav/sitemap discovery) ---------
+
+    def fetch_text(self, url: str) -> str | None:
+        if self.allow_hosts is not None:
+            from urllib.parse import urlsplit
+
+            if urlsplit(url).hostname not in self.allow_hosts:
+                return None
+        _, body = fetch_url(url, self.headers, self.timeout_s, self.max_bytes)
+        return body.decode("utf-8", "replace") if body is not None else None
+
+    # -- the distributed batch stage ----------------------------------------
+
+    def __call__(self, batch: DataFrame, fetch_ts: datetime) -> DataFrame:
+        """claimed batch (+host,seq) → same rows + (html binary, warc_ts).
+        NULL html = miss (scheduler turns it into a retry)."""
+        import pandas as pd
+
+        headers = dict(self.headers)
+        timeout_s = self.timeout_s
+        max_bytes = self.max_bytes
+        exclusion_re = re.compile(self.exclusion_re) if self.exclusion_re else None
+        default_delay = self.default_delay_s
+        allow_hosts = self.allow_hosts
+
+        work = batch
+        if self.host_delays is not None:
+            work = work.join(
+                F.broadcast(self.host_delays.select(
+                    F.col("host").alias("__dh"),
+                    F.col("crawl_delay_s").alias("__delay"),
+                )),
+                work["host"] == F.col("__dh"), "left",
+            ).drop("__dh")
+        else:
+            work = work.withColumn("__delay", F.lit(None).cast("double"))
+
+        in_cols = [c for c in batch.columns]
+        schema = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in batch.schema.fields
+        ) + ", html binary, warc_ts timestamp"
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from urllib.parse import urlsplit as _urlsplit
+
+            last_hit: dict[str, float] = {}  # host → monotonic last-request
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                htmls: list[bytes | None] = []
+                for url, host, delay in zip(pdf["url"], pdf["host"],
+                                            pdf["__delay"]):
+                    # allowlist checks the URL's REAL hostname — the batch's
+                    # host column is the registered (politeness) domain
+                    if allow_hosts is not None and (
+                            _urlsplit(url).hostname not in allow_hosts):
+                        htmls.append(None)
+                        continue
+                    if exclusion_re is not None and exclusion_re.search(
+                            url.split("?")[0].split("#")[0]):
+                        htmls.append(None)
+                        continue
+                    d = float(delay) if pd.notna(delay) else default_delay
+                    if d > 0 and host in last_hit:
+                        wait = last_hit[host] + d - time.monotonic()
+                        if wait > 0:
+                            time.sleep(wait)
+                    last_hit[host] = time.monotonic()
+                    _status, body = fetch_url(url, headers, timeout_s,
+                                              max_bytes)
+                    htmls.append(body)
+                out = pdf[in_cols].copy()
+                out["html"] = pd.Series(htmls, index=pdf.index, dtype=object)
+                out["warc_ts"] = fetch_ts
+                yield out
+
+        # one task per host (hash-partitioned), claim order inside it
+        return (
+            work.repartition(F.col("host"))
+            .sortWithinPartitions("host", "seq")
+            .mapInPandas(run, schema)
+        )

@@ -108,7 +108,7 @@ class CrawlScheduler:
         spark: SparkSession,
         store: SnapshotStore,
         config: CrawlConfig,
-        pages: DataFrame,
+        pages: DataFrame | None = None,
         n_buckets: int = 32,
         use_bloom: bool = True,
         expected_urls_per_bucket: int = 1 << 14,
@@ -116,7 +116,14 @@ class CrawlScheduler:
         hook_schema: str | None = None,
         seen_compact_every: int = 8,
         host_delays: DataFrame | None = None,
+        fetcher=None,
     ):
+        # live-fetch alternative to the pages-table join (opt-in;
+        # operators/fetch.HttpFetcher): fetcher(batch_df, round_ts) must
+        # return the batch rows + (html binary, warc_ts timestamp)
+        if pages is None and fetcher is None:
+            raise ValueError("provide a pages table or a fetcher")
+        self.fetcher = fetcher
         # onVisitPage analog (reference src/schema.ts:18-21; invoked per
         # page src/core.ts:197-199): hook(row)->list[rows] emitting into a
         # separate hook_out table (operators/hooks.py)
@@ -251,6 +258,9 @@ class CrawlScheduler:
     # -- seeding (reference src/core.ts:265-352) -------------------------------
 
     def _lookup_page_html(self, url: str) -> str | None:
+        if self.pages is None:
+            # live-fetch mode: seed-time discovery is one driver-side GET
+            return self.fetcher.fetch_text(url)
         row = self.pages.filter(F.col("url") == url).select("html").limit(1).collect()
         if not row:
             return None
@@ -413,19 +423,24 @@ class CrawlScheduler:
                 return metrics
             return self._finish(meta, r, reason="frontier_empty")
 
-        # fetch = left join against the web stand-in (pages table)
-        fetched_raw = (
-            batch.withColumn("attempts", F.col("attempts") + 1)
-            .join(
-                self.pages.select(
-                    F.col("url").alias("__page_url"), "html", "warc_ts"
-                ),
-                F.col("url") == F.col("__page_url"),
-                "left",
+        # fetch stage: real HTTP (opt-in HttpFetcher) or the default left
+        # join against the web stand-in (pages table); both emit the batch
+        # rows + (html, warc_ts) with NULL html as a retryable miss
+        claimed = batch.withColumn("attempts", F.col("attempts") + 1)
+        if self.fetcher is not None:
+            fetched_raw = self.fetcher(claimed, ts).persist()
+        else:
+            fetched_raw = (
+                claimed.join(
+                    self.pages.select(
+                        F.col("url").alias("__page_url"), "html", "warc_ts"
+                    ),
+                    F.col("url") == F.col("__page_url"),
+                    "left",
+                )
+                .drop("__page_url")
+                .persist()
             )
-            .drop("__page_url")
-            .persist()
-        )
         missed = fetched_raw.filter(F.col("html").isNull()).select(*_FRONTIER_COLS)
         # fused extraction: title + text + links from ONE DOM parse per page
         fetched = (
