@@ -154,6 +154,58 @@ def bench_extract(spark, sf_dir: str) -> dict[str, float]:
             "extract_pages_per_sec": round(n / dt, 1)}
 
 
+def bench_ann_recall(spark, sf_dir: str, n_queries: int = 5,
+                     k: int = 10) -> dict:
+    """recall@10 of the ANN paths vs exact ground truth on the benchmark
+    embeddings (VERDICT r2 #8: fast-but-low-recall is a silent quality
+    bug). Ground truth = ONE knn_join pass for all query vectors; each ANN
+    path answers at the same settings the headline queries use. Reported,
+    not asserted: recall here is data-dependent — the synthetic benchmark
+    vectors are near-orthogonal (ANN's worst case, no angular
+    neighborhoods); tests/test_ann_recall.py pins ≥0.9 floors on clustered
+    embeddings where the ANN contract is meaningful."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from context_crawler_spark.operators.search import (
+        ivf_topk, knn_join, lsh_topk, make_lsh_bucket_udf,
+    )
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in e.filter(F.col("vec_id") < n_queries).collect()
+    ]
+    gt: dict[int, set] = {}
+    for r in knn_join(e, queries, k=k).collect():
+        gt.setdefault(r["query_id"], set()).add(r["vec_id"])
+    udf = make_lsh_bucket_udf(dim=64, n_tables=8, bits_per_table=8)
+    indexed_lsh = e.withColumn("lsh_buckets", udf("embedding")).persist()
+    indexed_lsh.count()
+    cents, indexed_ivf = entrymod._ivf_index(spark, sf_dir)
+
+    def _avg_recall(answer) -> float:
+        vals = []
+        for qid, qv in queries:
+            got = {r["vec_id"] for r in answer(qv).collect()}
+            vals.append(len(got & gt[qid]) / k)
+        return round(sum(vals) / len(vals), 3)
+
+    out = {
+        "k": k,
+        "n_queries": n_queries,
+        "lsh": _avg_recall(lambda qv: lsh_topk(
+            indexed_lsh, qv, k=k, dim=64, n_tables=8, bits_per_table=8)),
+        "lsh_multiprobe1": _avg_recall(lambda qv: lsh_topk(
+            indexed_lsh, qv, k=k, dim=64, n_tables=8, bits_per_table=8,
+            probe_flips=1)),
+        "ivf_nprobe6": _avg_recall(lambda qv: ivf_topk(
+            indexed_ivf, cents, qv, k=k, nprobe=6)),
+    }
+    indexed_lsh.unpersist()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -170,6 +222,7 @@ def main() -> None:
     queries = bench_queries(spark, sf_dir)
     frontier = bench_frontier(spark, n_frontier)
     extract = bench_extract(spark, sf_dir)
+    ann_recall = bench_ann_recall(spark, sf_dir)
 
     # r2 widened the suite from 16 to 20 queries (simhash_dedup,
     # embedding_near_dup, ann_lsh_topk, ann_ivf_topk); r1_comparable_total
@@ -187,6 +240,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
         "frontier": {**frontier, **extract},
+        "ann_recall_at_10": ann_recall,
     }
     print(json.dumps(result))
 

@@ -139,6 +139,26 @@ def lsh_bucket_keys(
     ]
 
 
+def lsh_probe_keys(qbuckets: list[int], bits_per_table: int,
+                   flips: int = 1) -> list[int]:
+    """Multi-probe expansion (Lv et al., VLDB'07): the query's own buckets
+    plus every key within ``flips`` flipped sign-bits. Probing near-miss
+    buckets recovers neighbors that landed one hyperplane away — the
+    standard recall knob that costs extra probe keys, not extra index."""
+    keys = set(qbuckets)
+    frontier = list(qbuckets)
+    for _ in range(max(0, flips)):
+        nxt = []
+        for kk in frontier:
+            for b in range(bits_per_table):
+                flipped = kk ^ (1 << b)
+                if flipped not in keys:
+                    keys.add(flipped)
+                    nxt.append(flipped)
+        frontier = nxt
+    return sorted(keys)
+
+
 def make_lsh_bucket_udf(dim: int, n_tables: int = 8, bits_per_table: int = 12,
                         seed: int = LSH_SEED):
     """Random-hyperplane LSH bucket keys: ``n_tables`` int64 keys per vector
@@ -173,14 +193,19 @@ def lsh_topk(
     dim: int | None = None,
     n_tables: int = 8,
     bits_per_table: int = 12,
+    probe_flips: int = 0,
 ) -> DataFrame:
     """ANN top-k: score only rows sharing ≥1 LSH bucket with the query.
     ``corpus_with_buckets`` is the corpus with a precomputed (stored)
     ``lsh_buckets`` column — the index lives WITH the table, rebuildable,
-    partition-prunable."""
+    partition-prunable. ``probe_flips`` > 0 enables multi-probe (also
+    check buckets ≤ that many sign-bits away) — higher recall, more
+    candidates, same stored index."""
     dim = dim or len(query)
     # query buckets on the DRIVER — no 1-row Spark job (VERDICT r2 wart)
     qbuckets = lsh_bucket_keys(query, dim, n_tables, bits_per_table)
+    if probe_flips > 0:
+        qbuckets = lsh_probe_keys(qbuckets, bits_per_table, probe_flips)
     candidates = corpus_with_buckets.filter(
         F.arrays_overlap(F.col(bucket_col), F.array(*[F.lit(b) for b in qbuckets]))
     )

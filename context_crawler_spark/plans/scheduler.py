@@ -18,13 +18,17 @@ committed atomically to the snapshot store:
      src/core.ts:32-51)
   7. expand links (DOM order, glob scope, src/core.ts:203-207), anti-join
      the bloom-prefiltered ``url_seen`` set, assign deterministic ``seq``
-  8. MERGE the LIVE frontier (pending/retry/new rows only — O(backlog)) +
-     host_state; append the round's ``frontier_done_r{N}`` (terminal
-     transitions, O(batch)), ``pages_out_r{N}``, and ``url_seen_r{N}``
-     deltas — never an O(total-history) rewrite; deltas compact into base
-     tables every ``seen_compact_every`` rounds (with TTL cleanup of old
-     terminal rows at compaction); record metrics + per-partition lineage;
-     commit ONE snapshot tagged ``round-N`` — the checkpoint a killed run
+  8. MERGE the LIVE frontier per hash-bucket (``pmod(url_hash, NB)``):
+     ONLY buckets holding a claimed/retry/new/robots-blocked row are
+     rewritten — O(touched); untouched buckets carry forward by manifest
+     reference (Iceberg ``overwritePartitions`` analog). Append the
+     round's ``frontier_done_r{N}`` (terminal transitions, O(batch)),
+     ``pages_out_r{N}``, ``url_seen_r{N}``, and ``host_state_r{N}``
+     (hosts fetched this round) deltas — never an O(total-history)
+     rewrite; deltas compact into base tables every
+     ``seen_compact_every`` rounds (with TTL cleanup of old terminal
+     rows at compaction); record metrics + per-partition lineage; commit
+     ONE snapshot tagged ``round-N`` — the checkpoint a killed run
      resumes from
 
 The crawl ordering produced at small scale is bit-for-bit the sequential
@@ -92,6 +96,10 @@ FRONTIER_SCHEMA = StructType(
 
 _FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA.fields]
 
+# live-frontier bucket partition column (a directory name in the snapshot
+# store, never file data — readers get _FRONTIER_COLS back unchanged)
+FRONTIER_BUCKET_COL = "__fb"
+
 
 def round_ts(round_ix: int) -> datetime:
     """Deterministic round clock (replaces wall-clock now(); reference
@@ -117,6 +125,7 @@ class CrawlScheduler:
         seen_compact_every: int = 8,
         host_delays: DataFrame | None = None,
         fetcher=None,
+        frontier_buckets: int = 32,
     ):
         # live-fetch alternative to the pages-table join (opt-in;
         # operators/fetch.HttpFetcher): fetcher(batch_df, round_ts) must
@@ -147,7 +156,18 @@ class CrawlScheduler:
         # functions/robots.robots_tables() output; rows override the global
         # config.host_crawl_delay_s for their host
         self.host_delays = host_delays
+        # live-frontier hash buckets (pmod(url_hash, NB)): the per-round
+        # MERGE rewrites ONLY buckets containing a touched row; untouched
+        # buckets carry forward by manifest reference — write cost is
+        # O(touched), not O(backlog), at a 10^10-URL pending frontier
+        self.frontier_buckets = frontier_buckets
         self._extract_page = make_extract_page_udf(config.selector)
+
+    def _with_fbucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            FRONTIER_BUCKET_COL,
+            F.pmod(F.col("url_hash"), F.lit(self.frontier_buckets)).cast("int"),
+        )
 
     # -- state accessors -------------------------------------------------------
 
@@ -162,8 +182,19 @@ class CrawlScheduler:
         (completed / failed / robots-blocked) append to per-round
         ``frontier_done_r{N}`` deltas instead: at 10^10 crawled URLs the
         terminal history dwarfs the live backlog, and rewriting it every
-        round would be the same O(total) step the url_seen deltas removed."""
-        return self.store.read(self.spark, "frontier")
+        round would be the same O(total) step the url_seen deltas removed.
+        Stored hash-bucketed (``frontier#b{K}`` manifest entries); reads are
+        one multi-path scan. Falls back to a pre-bucketing monolithic
+        ``frontier`` table (migrated on the next run_round)."""
+        df = self.store.read_buckets(self.spark, "frontier")
+        if df is None:
+            df = self.store.read(self.spark, "frontier")
+        if df is None and self.store.snapshot() is not None:
+            # seeded store whose every bucket drained empty (a dropped
+            # bucket IS an empty bucket) — an empty frontier, not an
+            # unseeded one
+            df = self.spark.createDataFrame([], FRONTIER_SCHEMA)
+        return df
 
     def _done_delta_tables(self) -> list[str]:
         snap = self.store.snapshot()
@@ -179,10 +210,9 @@ class CrawlScheduler:
         snap = self.store.snapshot()
         if snap is None:
             return None
-        names = (["frontier"] if "frontier" in snap.tables else []) + \
-            (["frontier_done"] if "frontier_done" in snap.tables else []) + \
+        out = self.live_frontier()
+        names = (["frontier_done"] if "frontier_done" in snap.tables else []) + \
             self._done_delta_tables()
-        out = None
         for t in names:
             df = self.store.read(self.spark, t)
             out = df if out is None else out.unionByName(df)
@@ -216,6 +246,40 @@ class CrawlScheduler:
             df = self.store.read(self.spark, t)
             out = df if out is None else out.unionByName(df)
         return out
+
+    def _host_delta_tables(self) -> list[str]:
+        snap = self.store.snapshot()
+        if snap is None:
+            return []
+        return sorted(
+            (t for t in snap.tables if t.startswith("host_state_r")),
+            key=lambda t: int(t[len("host_state_r"):]),
+        )
+
+    def host_state(self) -> DataFrame | None:
+        """Per-host crawl state at HEAD: compacted base ∪ per-round deltas,
+        folded by host. Each round appends ONLY the hosts it fetched
+        (``host_state_r{N}``, O(hosts touched)); at web scale (10^8-10^9
+        hosts) a per-round full rewrite would be the same O(total) step the
+        url_seen/frontier deltas removed. Deltas compact into the base on
+        the ``seen_compact_every`` cadence."""
+        snap = self.store.snapshot()
+        if snap is None:
+            return None
+        names = (["host_state"] if "host_state" in snap.tables else []) + \
+            self._host_delta_tables()
+        out = None
+        for t in names:
+            df = self.store.read(self.spark, t).select(
+                "host", "last_fetch_ts", "fetched", "round")
+            out = df if out is None else out.unionByName(df)
+        if out is None:
+            return None
+        return out.groupBy("host").agg(
+            F.max("last_fetch_ts").alias("last_fetch_ts"),
+            F.sum("fetched").alias("fetched"),
+            F.max("round").alias("round"),
+        )
 
     def _read_rounds(self, prefix: str) -> DataFrame | None:
         """All per-round append tables with ``prefix`` as ONE multi-path
@@ -324,7 +388,10 @@ class CrawlScheduler:
         else:
             bloom_meta = None
         self.store.commit(
-            {"frontier": frontier, "url_seen_r0": seen},
+            {"url_seen_r0": seen},
+            bucketed={"frontier": (
+                self._with_fbucket(frontier), FRONTIER_BUCKET_COL,
+                list(range(self.frontier_buckets)))},
             metadata={
                 "round": 0,
                 "next_seq": int(n_seeds),
@@ -347,7 +414,10 @@ class CrawlScheduler:
         ts_lit = F.lit(ts)
         cfg = self.config
 
-        frontier = release_stuck_claims(self.live_frontier(), ts_lit)
+        live = self.live_frontier()
+        if live is None:  # fully drained (every bucket empty)
+            return self._finish(meta, r, reason="frontier_empty")
+        frontier = release_stuck_claims(live, ts_lit)
         eligible = eligible_pending(frontier, ts_lit)
         if cfg.max_depth is not None:
             eligible = eligible.filter(F.col("depth") <= cfg.max_depth)
@@ -357,7 +427,7 @@ class CrawlScheduler:
             # delay ago sits this round out. Per-host robots Crawl-delay
             # rows override the global config value. host_state and the
             # delay table are one row per host → broadcast.
-            hs = self.store.read(self.spark, "host_state")
+            hs = self.host_state()
             if hs is not None:
                 gate = hs.select(F.col("host").alias("__gh"),
                                  F.col("last_fetch_ts").alias("__lft"))
@@ -386,11 +456,14 @@ class CrawlScheduler:
                 )
         if cfg.respect_robots and robots is not None:
             allowed = apply_robots(eligible, robots)
+            # persisted: consumed by the done-delta append, the live-merge
+            # anti-join, AND the touched-bucket calc — each would otherwise
+            # recompute the whole eligibility+robots plan
             robots_blocked = eligible.join(
                 allowed.select("url_hash"), "url_hash", "left_anti"
             ).withColumn("status", F.lit("failed")).withColumn(
                 "error", F.lit("robots_disallowed")
-            )
+            ).persist()
             eligible = allowed
         else:
             robots_blocked = None
@@ -405,6 +478,8 @@ class CrawlScheduler:
         n_batch = batch.count()
         if n_batch == 0:
             batch.unpersist()
+            if robots_blocked is not None:
+                robots_blocked.unpersist()
             n_pending = frontier.filter(F.col("status") == "pending").count()
             if n_pending > 0:
                 # nothing eligible THIS round (crawl-delay gate or immature
@@ -529,7 +604,35 @@ class CrawlScheduler:
         failed_terminal = failed.filter(F.col("status") == "failed").withColumn(
             "completed_at", ts_lit
         )
-        untouched = frontier.join(batch.select("url_hash"), "url_hash", "left_anti")
+        # which buckets changed: claimed rows (→ done/retry), robots-blocked
+        # removals, newly discovered links. A ≤frontier_buckets metadata
+        # collect — untouched buckets are never read OR written below.
+        touched_keys = batch.select("url_hash")
+        if robots_blocked is not None:
+            touched_keys = touched_keys.unionByName(
+                robots_blocked.select("url_hash"))
+        touched_keys = touched_keys.unionByName(new_links.select("url_hash"))
+        touched_ids = sorted(
+            row["b"]
+            for row in touched_keys.select(
+                F.pmod(F.col("url_hash"), F.lit(self.frontier_buckets))
+                .cast("int").alias("b")
+            ).distinct().collect()
+        )
+        legacy = self.store.read(self.spark, "frontier")
+        if legacy is not None:
+            # one-time migration of a pre-bucketing store: fold the whole
+            # monolithic live table into buckets, drop it in this commit
+            touched_live = release_stuck_claims(legacy, ts_lit)
+            touched_ids = list(range(self.frontier_buckets))
+        else:
+            touched_live = release_stuck_claims(
+                self.store.read_buckets(self.spark, "frontier", touched_ids)
+                or self.spark.createDataFrame([], FRONTIER_SCHEMA),
+                ts_lit,
+            )
+        untouched = touched_live.join(
+            batch.select("url_hash"), "url_hash", "left_anti")
         if robots_blocked is not None:
             untouched = untouched.join(
                 robots_blocked.select("url_hash"), "url_hash", "left_anti"
@@ -557,27 +660,17 @@ class CrawlScheduler:
                 self.expected_urls_per_bucket, merge_existing=True,
             )
 
-        # host_state (per-host last fetch + totals) and per-partition lineage.
+        # host_state delta (per-host last fetch + totals): append ONLY the
+        # hosts fetched this round — O(hosts touched), never O(all hosts).
         # last_fetch_ts is the ROUND clock (fetch time), not the page's
         # warc_ts — it gates the crawl-delay eligibility join above.
-        host_state = (
+        host_delta = (
             pages_out.groupBy("host")
             .agg(F.count("*").alias("fetched"))
             .withColumn("last_fetch_ts", ts_lit)
             .withColumn("round", F.lit(r))
+            .select("host", "last_fetch_ts", "fetched", "round")
         )
-        prev_hs = self.store.read(self.spark, "host_state")
-        if prev_hs is not None:
-            host_state = (
-                prev_hs.select("host", "last_fetch_ts", F.col("fetched"), "round")
-                .unionByName(host_state)
-                .groupBy("host")
-                .agg(
-                    F.max("last_fetch_ts").alias("last_fetch_ts"),
-                    F.sum("fetched").alias("fetched"),
-                    F.max("round").alias("round"),
-                )
-            )
         lineage = [
             {"partition": int(row["pid"]), "rows": int(row["cnt"])}
             for row in pages_out.groupBy(
@@ -597,11 +690,27 @@ class CrawlScheduler:
             "lineage": lineage,
         }
         updates = {
-            "frontier": next_live,
             f"frontier_done_r{r}": done_delta,
             f"pages_out_r{r}": pages_out,
-            "host_state": host_state,
         }
+        # host_state: delta commit when hosts were fetched; fold base +
+        # deltas into one base table on the compaction cadence
+        host_deltas = self._host_delta_tables()
+        host_drop: list[str] = []
+        if n_fetched > 0:
+            if len(host_deltas) + 1 >= self.seen_compact_every:
+                prev = self.host_state()
+                folded = (
+                    prev.unionByName(host_delta).groupBy("host").agg(
+                        F.max("last_fetch_ts").alias("last_fetch_ts"),
+                        F.sum("fetched").alias("fetched"),
+                        F.max("round").alias("round"),
+                    ) if prev is not None else host_delta
+                )
+                updates["host_state"] = folded
+                host_drop = host_deltas
+            else:
+                updates[f"host_state_r{r}"] = host_delta
         # url_seen: delta commit (O(new URLs)); every seen_compact_every
         # deltas, fold base + deltas + this round into one base table and
         # drop the deltas in the SAME atomic commit
@@ -630,7 +739,10 @@ class CrawlScheduler:
             updates[f"hook_out_r{r}"] = hook_out
         self.store.commit(
             updates,
-            drop=drop,
+            drop=drop + host_drop + (["frontier"] if legacy is not None else []),
+            bucketed={"frontier": (
+                self._with_fbucket(next_live), FRONTIER_BUCKET_COL,
+                touched_ids)},
             partition_by={f"frontier_done_r{r}": ["status"],
                           "frontier_done": ["status"]},
             metadata={
@@ -645,6 +757,8 @@ class CrawlScheduler:
         )
         for df in (batch, fetched_raw, fetched, pages_out, new_links):
             df.unpersist()
+        if robots_blocked is not None:
+            robots_blocked.unpersist()
         return metrics
 
     def _fast_forward_round(self, r: int, ts) -> int:
@@ -664,7 +778,7 @@ class CrawlScheduler:
         if row is not None:
             instants.append(row)
         if self.config.host_crawl_delay_s or self.host_delays is not None:
-            hs = self.store.read(self.spark, "host_state")
+            hs = self.host_state()
             if hs is not None:
                 gated_hosts = (
                     frontier.filter(F.col("status") == "pending")

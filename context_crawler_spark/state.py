@@ -114,6 +114,45 @@ class SnapshotStore:
     # read only status=pending; the Iceberg analog is a partition transform)
     DEFAULT_PARTITIONING: dict[str, list[str]] = {"frontier": ["status"]}
 
+    @staticmethod
+    def bucket_table(name: str, bucket: int) -> str:
+        """Manifest key for one bucket of a bucketed table."""
+        return f"{name}#b{bucket}"
+
+    def bucket_tables(self, name: str,
+                      snapshot_id: int | None = None) -> dict[int, str]:
+        """bucket id → data dir (relative) for a bucketed table at a
+        snapshot. Empty when the table has no live buckets."""
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            return {}
+        prefix = f"{name}#b"
+        return {
+            int(t[len(prefix):]): rel
+            for t, rel in snap.tables.items()
+            if t.startswith(prefix)
+        }
+
+    def read_buckets(
+        self,
+        spark: SparkSession,
+        name: str,
+        buckets: list[int] | None = None,
+        snapshot_id: int | None = None,
+    ) -> DataFrame | None:
+        """ONE multi-path parquet scan over a bucketed table's live bucket
+        dirs (``buckets=None`` → all; ids with no live dir are skipped —
+        an absent bucket is an empty bucket). None when nothing is live.
+        The bucket column is a partition dir name, not file data, so the
+        result carries the table's schema without it."""
+        live = self.bucket_tables(name, snapshot_id)
+        if buckets is not None:
+            live = {k: rel for k, rel in live.items() if k in set(buckets)}
+        if not live:
+            return None
+        paths = [os.path.join(self.root, rel) for _, rel in sorted(live.items())]
+        return spark.read.parquet(*paths)
+
     def commit(
         self,
         updates: dict[str, DataFrame],
@@ -121,6 +160,7 @@ class SnapshotStore:
         tag: str | None = None,
         partition_by: dict[str, list[str]] | None = None,
         drop: list[str] | None = None,
+        bucketed: dict[str, tuple[DataFrame, str, list[int]]] | None = None,
     ) -> Snapshot:
         """Atomically commit new versions of ``updates`` tables; tables not
         named carry forward from the parent snapshot unchanged (no rewrite).
@@ -130,13 +170,40 @@ class SnapshotStore:
         dirs stay reachable from older snapshots until expire_orphans) — the
         Iceberg analog is dropping files from the table in the same
         transaction, used by delta compaction (url_seen_r{N} → url_seen).
-        """
+
+        ``bucketed`` maps a table name to ``(df, bucket_col, touched)``:
+        the df holds the NEW contents of exactly the ``touched`` buckets and
+        is written ONCE, hive-partitioned by ``bucket_col``; each touched
+        bucket's manifest entry (``name#b{K}``) is repointed at its
+        partition subdir — or dropped when the bucket drained empty — while
+        every untouched bucket carries forward by reference with zero I/O.
+        This is the Iceberg partition-overwrite
+        (``writeTo().overwritePartitions()``) analog: per-round write cost
+        is O(rows in touched buckets), never O(table)."""
         parts = {**self.DEFAULT_PARTITIONING, **(partition_by or {})}
         parent = self.snapshot()
         new_id = (parent.snapshot_id + 1) if parent else 0
         tables = dict(parent.tables) if parent else {}
         for name in drop or []:
             tables.pop(name, None)
+        for name, (df, bcol, touched) in (bucketed or {}).items():
+            rel = os.path.join("data", name, f"v{new_id}-{uuid.uuid4().hex[:8]}")
+            full = os.path.join(self.root, rel)
+            # cluster rows by bucket before the partitioned write: ~1 file
+            # per bucket instead of (tasks × buckets) shards
+            (df.repartition(max(len(touched), 1), bcol)
+             .write.mode("overwrite").partitionBy(bcol).parquet(full))
+            written = {
+                int(e.split("=", 1)[1])
+                for e in os.listdir(full)
+                if e.startswith(f"{bcol}=")
+            }
+            for k in touched:
+                key = self.bucket_table(name, k)
+                if k in written:
+                    tables[key] = os.path.join(rel, f"{bcol}={k}")
+                else:
+                    tables.pop(key, None)  # bucket drained empty
         for name, df in updates.items():
             rel = os.path.join("data", name, f"v{new_id}-{uuid.uuid4().hex[:8]}")
             writer = df.write.mode("overwrite")
@@ -191,7 +258,12 @@ class SnapshotStore:
             tdir = os.path.join(data_root, table)
             for v in os.listdir(tdir):
                 rel = os.path.join("data", table, v)
-                if rel not in live:
+                # bucketed manifests reference partition SUBdirs of a
+                # version dir (data/t/vN/__b=K) — the version dir is live
+                # if any such descendant is
+                if rel not in live and not any(
+                    l.startswith(rel + os.sep) for l in live
+                ):
                     shutil.rmtree(os.path.join(tdir, v), ignore_errors=True)
                     removed += 1
         return removed
