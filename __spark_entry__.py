@@ -415,6 +415,22 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher document-quality rules (Rae et al. 2021 A1.1) as pure JVM
+    higher-order-function expressions; every threshold is integer
+    cross-multiplied so the flags hash identically across engines."""
+    from context_crawler_spark.operators.quality_filter import gopher_filter
+
+    d = _t(spark, sf_dir, "documents")
+    out = gopher_filter(d.select("doc_id", "text"), keep_flags=True)
+    return out.select(
+        "doc_id", "n_words", "symbols", "alpha_words", "stop_hits",
+        "f_word_count", "f_mean_word_len", "f_symbol_ratio",
+        "f_bullet_lines", "f_ellipsis_lines", "f_alpha_words",
+        "f_stopwords", "gopher_pass",
+    )
+
+
 def q_byte_budget(spark, sf_dir):
     """UTF-8 byte sizing for the maxFileSize budget (reference
     getStringByteSize, src/core.ts:391-392) — octet_length, JVM-side."""
@@ -807,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "connected_components": q_connected_components,
         "text_stats": q_text_stats,
+        "gopher_quality": q_gopher_quality,
         "byte_budget": q_byte_budget,
         "url_slug": q_url_slug,
         "token_totals": q_token_totals,
@@ -1025,6 +1042,63 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS INT)
                      AS n_alnum
             FROM documents
+        """,
+        "gopher_quality": r"""
+            WITH g AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\s+') AS words,
+                     string_split(text, chr(10)) AS lines,
+                     length(text) - length(replace(text, '#', ''))
+                       + CAST((length(text)
+                               - length(replace(text, '...', ''))) / 3 AS BIGINT)
+                       + length(text) - length(replace(text, '…', ''))
+                       AS symbols
+              FROM documents
+            ), f AS (
+              SELECT doc_id,
+                     CAST(len(words) AS BIGINT) AS n_words,
+                     CAST(len(lines) AS BIGINT) AS n_lines,
+                     CAST(symbols AS BIGINT) AS symbols,
+                     CAST(list_sum(list_transform(words, w -> length(w)))
+                          AS BIGINT) AS word_chars,
+                     CAST(len(list_filter(lines, ln ->
+                         starts_with(trim(ln), '-') OR
+                         starts_with(trim(ln), '*') OR
+                         starts_with(trim(ln), '•'))) AS BIGINT) AS bullet_lines,
+                     CAST(len(list_filter(lines, ln ->
+                         ends_with(rtrim(ln), '...') OR
+                         ends_with(rtrim(ln), '…'))) AS BIGINT) AS ellipsis_lines,
+                     CAST(len(list_filter(words, w ->
+                         regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+                     CAST(list_contains(words, 'the') AS BIGINT)
+                       + CAST(list_contains(words, 'be') AS BIGINT)
+                       + CAST(list_contains(words, 'to') AS BIGINT)
+                       + CAST(list_contains(words, 'of') AS BIGINT)
+                       + CAST(list_contains(words, 'and') AS BIGINT)
+                       + CAST(list_contains(words, 'that') AS BIGINT)
+                       + CAST(list_contains(words, 'have') AS BIGINT)
+                       + CAST(list_contains(words, 'with') AS BIGINT)
+                       AS stop_hits
+              FROM g
+            )
+            SELECT doc_id, n_words, symbols, alpha_words,
+                   CAST(stop_hits AS BIGINT) AS stop_hits,
+                   (n_words >= 50 AND n_words <= 100000) AS f_word_count,
+                   (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
+                     AS f_mean_word_len,
+                   (10 * symbols <= n_words) AS f_symbol_ratio,
+                   (10 * bullet_lines <= 9 * n_lines) AS f_bullet_lines,
+                   (10 * ellipsis_lines <= 3 * n_lines) AS f_ellipsis_lines,
+                   (5 * alpha_words >= 4 * n_words) AS f_alpha_words,
+                   (stop_hits >= 2) AS f_stopwords,
+                   ((n_words >= 50 AND n_words <= 100000)
+                    AND (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
+                    AND (10 * symbols <= n_words)
+                    AND (10 * bullet_lines <= 9 * n_lines)
+                    AND (10 * ellipsis_lines <= 3 * n_lines)
+                    AND (5 * alpha_words >= 4 * n_words)
+                    AND (stop_hits >= 2)) AS gopher_pass
+            FROM f
         """,
         "byte_budget": """
             SELECT doc_id,

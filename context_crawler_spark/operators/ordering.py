@@ -27,12 +27,17 @@ def with_global_seq(
     seq_col: str = "seq",
     start: int = 0,
     num_partitions: int | None = None,
+    counts_out: dict | None = None,
 ) -> DataFrame:
     """Assign ``seq_col`` = start, start+1, … following ``order_cols``.
 
     Deterministic for any partitioning of the input (the range partitioner
     and in-partition sort both key on ``order_cols``, which must be a total
     order — include a unique tie-breaker).
+
+    ``counts_out``, if given, receives ``{"total": n}`` — the row count is
+    a free by-product of the per-partition counts job, so callers that
+    need it can skip their own count() pass.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     parted = df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
@@ -43,6 +48,8 @@ def with_global_seq(
     parted = parted.localCheckpoint(eager=True)
     counts = {r["__pid"]: r["cnt"] for r in
               parted.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
+    if counts_out is not None:
+        counts_out["total"] = int(sum(counts.values()))
     if not counts:  # empty input
         return df.withColumn(seq_col, F.lit(start).cast("long"))
     offsets: dict[int, int] = {}

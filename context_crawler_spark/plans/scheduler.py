@@ -534,7 +534,14 @@ class CrawlScheduler:
             "warc_ts",
             F.col("__page.n_tokens").alias("n_tokens"),
         ).persist()
-        n_fetched = pages_out.count()
+        # ONE job yields both the per-partition lineage and n_fetched
+        lineage = [
+            {"partition": int(row["pid"]), "rows": int(row["cnt"])}
+            for row in pages_out.groupBy(
+                F.spark_partition_id().alias("pid")
+            ).agg(F.count("*").alias("cnt")).collect()
+        ]
+        n_fetched = sum(e["rows"] for e in lineage)
 
         hook_out = None
         if self.visit_hook is not None and n_fetched > 0:
@@ -561,13 +568,15 @@ class CrawlScheduler:
             shards_dir=self.bloom_dir if bloom_meta else None,
             bloom_meta=bloom_meta,
         )
+        seq_counts: dict = {}
         new_links = with_global_seq(
             new_links,
             [F.col("parent_seq").asc(), F.col("link_index").asc()],
             seq_col="seq",
             start=int(meta["next_seq"]),
+            counts_out=seq_counts,  # n_new for free — no extra count() pass
         ).persist()
-        n_new = new_links.count()
+        n_new = seq_counts["total"]
 
         new_frontier_rows = new_links.select(
             "url", "canonical_url", "url_hash", "host",
@@ -671,13 +680,6 @@ class CrawlScheduler:
             .withColumn("round", F.lit(r))
             .select("host", "last_fetch_ts", "fetched", "round")
         )
-        lineage = [
-            {"partition": int(row["pid"]), "rows": int(row["cnt"])}
-            for row in pages_out.groupBy(
-                F.spark_partition_id().alias("pid")
-            ).agg(F.count("*").alias("cnt")).collect()
-        ]
-
         n_candidates = candidates.count()
         metrics = {
             "round": r,

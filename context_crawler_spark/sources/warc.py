@@ -25,6 +25,7 @@ Parser is from scratch off the public WARC/1.1 spec (headers block,
 
 from __future__ import annotations
 
+import os
 import zlib
 from datetime import datetime, timezone
 from typing import Iterator
@@ -203,25 +204,128 @@ def warc_to_pages(
     )
 
 
+def _record_id(url: str, ts: datetime) -> str:
+    """Deterministic WARC-Record-ID (md5 of url+ts as a urn:uuid) — re-runs
+    of the sink produce byte-identical files."""
+    import hashlib
+
+    h = hashlib.md5(f"{url}|{ts.isoformat()}".encode()).hexdigest()
+    return f"<urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}>"
+
+
+def serialize_response_record(url: str, ts: datetime, html: bytes) -> bytes:
+    """ONE WARC/1.1 response record (wrapping a minimal HTTP/1.1 200) —
+    the per-record kernel shared by write_warc and the distributed sink."""
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            + f"Content-Length: {len(html)}\r\n\r\n".encode() + html)
+    header = (
+        "WARC/1.1\r\n"
+        f"WARC-Type: response\r\n"
+        f"WARC-Record-ID: {_record_id(url, ts)}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
+        f"Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode()
+    return header + http + b"\r\n\r\n"
+
+
+def serialize_warcinfo(filename: str, software: str,
+                       ts: datetime) -> bytes:
+    """The leading warcinfo record every .warc file opens with (readers —
+    including this module's — skip non-response/resource types)."""
+    body = (f"software: {software}\r\nformat: WARC File Format 1.1\r\n"
+            f"isPartOf: {filename}\r\n").encode()
+    header = (
+        "WARC/1.1\r\n"
+        f"WARC-Type: warcinfo\r\n"
+        f"WARC-Record-ID: {_record_id('warcinfo:' + filename, ts)}\r\n"
+        f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
+        f"WARC-Filename: {filename}\r\n"
+        f"Content-Type: application/warc-fields\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode()
+    return header + body + b"\r\n\r\n"
+
+
 def write_warc(rows: list[tuple[str, datetime, bytes]], gzip_members: bool = False) -> bytes:
     """Serialize (url, ts, html) rows as a WARC/1.1 byte stream (response
-    records wrapping a minimal HTTP/1.1 200). Test/fixture helper — also
-    handy for emitting crawl output back into the CC-native format."""
+    records wrapping a minimal HTTP/1.1 200). Test/fixture helper — the
+    distributed form is ``write_warc_files``."""
     import gzip as _gzip
 
     chunks = []
-    for i, (url, ts, html) in enumerate(rows):
-        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-                + f"Content-Length: {len(html)}\r\n\r\n".encode() + html)
-        header = (
-            "WARC/1.1\r\n"
-            f"WARC-Type: response\r\n"
-            f"WARC-Record-ID: <urn:uuid:test-{i:08d}>\r\n"
-            f"WARC-Target-URI: {url}\r\n"
-            f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
-            f"Content-Type: application/http; msgtype=response\r\n"
-            f"Content-Length: {len(http)}\r\n\r\n"
-        ).encode()
-        rec = header + http + b"\r\n\r\n"
-        chunks.append(_gzip.compress(rec) if gzip_members else rec)
+    for url, ts, html in rows:
+        rec = serialize_response_record(url, ts, html)
+        chunks.append(_gzip.compress(rec, mtime=0) if gzip_members else rec)
     return b"".join(chunks)
+
+
+def write_warc_files(
+    df: DataFrame,
+    out_dir: str,
+    target_mb: int = 256,
+    software: str = "context-crawler-spark/0.3",
+) -> int:
+    """Distributed CC-native WARC sink: DataFrame(url, warc_ts, html) → a
+    directory of ``part-{K}.warc.gz`` files, the exact layout Common Crawl
+    ships and ``read_warc`` ingests (round-trip pinned by test_warc).
+
+    Spark shape, sized for 100 TB:
+      * ONE metadata-cheap agg picks the file count from total payload
+        bytes (~``target_mb`` compressed-input-sized files, the ~1 GB-class
+        CC convention at default settings)
+      * ``repartitionByRange(url)`` → deterministic, url-clustered file
+        contents; executors each serialize THEIR partition — no driver
+        collect, no shuffle beyond the one range exchange
+      * every file opens with a warcinfo record; each record is its own
+        gzip member (``mtime=0`` → byte-deterministic re-runs); files land
+        via temp + atomic rename, so task retries/speculation can't leave
+        torn output
+
+    Returns the number of files written."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    total = df.select(
+        F.sum(F.octet_length(F.col("html"))).alias("b")
+    ).collect()[0]["b"] or 0
+    n_files = max(1, math.ceil(total / (target_mb * (1 << 20))))
+    os.makedirs(out_dir, exist_ok=True)
+    parted = (
+        df.select("url", "warc_ts", "html")
+        .repartitionByRange(n_files, "url")
+        .sortWithinPartitions("url")
+    )
+
+    def write_part(rows) -> None:
+        import gzip as _gzip
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        first, chunks = None, []
+        fname = f"part-{pid:05d}.warc.gz"
+        for r in rows:
+            html = r["html"]
+            if isinstance(html, str):
+                html = html.encode("utf-8")
+            ts = r["warc_ts"]
+            if first is None:
+                first = ts
+                chunks.append(_gzip.compress(
+                    serialize_warcinfo(fname, software, ts), mtime=0))
+            chunks.append(_gzip.compress(
+                serialize_response_record(r["url"], ts, bytes(html)),
+                mtime=0))
+        if first is None:  # empty partition → no file
+            return
+        path = os.path.join(out_dir, fname)
+        tmp = path + f".tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(b"".join(chunks))
+        os.replace(tmp, path)
+
+    parted.foreachPartition(write_part)
+    return n_files

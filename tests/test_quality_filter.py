@@ -1,0 +1,82 @@
+"""Gopher-rule quality gate (Rae et al. 2021 A1.1): hand-built documents
+exercising each rule's pass/fail edge, all evaluated through the pure
+built-in expression path."""
+
+from __future__ import annotations
+
+from context_crawler_spark.operators.quality_filter import (
+    gopher_filter,
+    gopher_flags,
+)
+
+GOOD = (
+    "This is a perfectly reasonable document that we have written to be "
+    "long enough. " * 5
+    + "It talks about the world and includes plenty of ordinary words "
+    "with sensible lengths. " * 3
+)
+
+
+def _flags(spark, text):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = gopher_filter(df, keep_flags=True).collect()[0]
+    return row.asDict()
+
+
+def test_good_document_passes(spark):
+    r = _flags(spark, GOOD)
+    assert r["gopher_pass"], r
+
+
+def test_too_short_fails_word_count(spark):
+    r = _flags(spark, "Just a handful of the words here with that.")
+    assert not r["f_word_count"] and not r["gopher_pass"]
+    # other rules still satisfied — failure is attributed precisely
+    assert r["f_stopwords"] and r["f_alpha_words"]
+
+
+def test_symbol_ratio(spark):
+    r = _flags(spark, GOOD + " #### " * 20)
+    assert not r["f_symbol_ratio"]
+    assert _flags(spark, GOOD)["f_symbol_ratio"]
+    # unicode ellipsis and ... both count
+    r2 = _flags(spark, GOOD + " … " * 60)
+    assert not r2["f_symbol_ratio"]
+
+
+def test_bullet_and_ellipsis_lines(spark):
+    bullets = "\n".join(["- item %d" % i for i in range(20)])
+    r = _flags(spark, GOOD + "\n" + bullets)
+    assert not r["f_bullet_lines"]
+    dots = "\n".join(["to be continued..." for _ in range(20)])
+    r2 = _flags(spark, GOOD + "\n" + dots)
+    assert not r2["f_ellipsis_lines"]
+
+
+def test_alpha_words_rule(spark):
+    numbers = " ".join(str(i) for i in range(200))
+    r = _flags(spark, GOOD + " " + numbers)
+    assert not r["f_alpha_words"]
+
+
+def test_stopword_rule(spark):
+    # >=50 words, good lengths, but no Gopher stopwords at all
+    text = " ".join(["zebra quokka lorikeet wombat dingo kookaburra"] * 12)
+    r = _flags(spark, text)
+    assert r["f_word_count"] and not r["f_stopwords"] and not r["gopher_pass"]
+
+
+def test_filter_drops_failures(spark):
+    df = spark.createDataFrame(
+        [(1, GOOD), (2, "too short"), (3, GOOD + " #### " * 30)],
+        "doc_id long, text string",
+    )
+    kept = [r["doc_id"] for r in gopher_filter(df).select("doc_id").collect()]
+    assert kept == [1]
+
+
+def test_flag_names_stable():
+    ks = set(gopher_flags().keys())
+    assert {"f_word_count", "f_mean_word_len", "f_symbol_ratio",
+            "f_bullet_lines", "f_ellipsis_lines", "f_alpha_words",
+            "f_stopwords"} <= ks

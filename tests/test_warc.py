@@ -191,3 +191,60 @@ def test_warc_to_pages_full_schema(spark, tmp_path):
     assert got["https://a.test/page1"][0] == "Alpha one."
     assert got["https://b.test/page2"][0] == "Unicodé 世界"
     assert all(isinstance(v[1], str) for v in got.values())
+
+
+def test_write_warc_files_distributed_roundtrip(spark, tmp_path):
+    """The distributed WARC sink (r3): DataFrame → part-*.warc.gz (warcinfo
+    lead record, one gzip member per record, deterministic bytes) →
+    read_warc recovers EXACTLY the input rows."""
+    import glob
+    import os
+
+    from context_crawler_spark.sources.warc import (
+        records_from_file, write_warc_files,
+    )
+
+    n = 40
+    rows = [
+        (f"https://s{i % 3}.test/p{i}", datetime(2021, 5, 4, 3, 2, 1),
+         f"<html><body><article>doc {i}</article></body></html>".encode())
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+    out = str(tmp_path / "warc_out")
+    n_files = write_warc_files(df, out, target_mb=256)
+    files = sorted(glob.glob(os.path.join(out, "part-*.warc.gz")))
+    assert len(files) == n_files >= 1
+
+    # warcinfo record leads each file and is skipped by the page reader
+    first = open(files[0], "rb").read()
+    from context_crawler_spark.sources.warc import gunzip_members, iter_warc_records
+    recs = list(iter_warc_records(gunzip_members(first)))
+    assert recs[0][0]["warc-type"] == "warcinfo"
+    assert b"software: context-crawler-spark" in recs[0][1]
+
+    back = read_warc(spark, out)
+    got = {(r["url"], r["warc_ts"], bytes(r["html"])) for r in back.collect()}
+    assert got == set(rows)
+
+    # determinism: a second write produces byte-identical files
+    out2 = str(tmp_path / "warc_out2")
+    write_warc_files(df, out2, target_mb=256)
+    for f1 in files:
+        f2 = os.path.join(out2, os.path.basename(f1))
+        assert open(f1, "rb").read() == open(f2, "rb").read()
+
+
+def test_write_warc_files_size_targeting(spark, tmp_path):
+    """File count scales with total payload bytes / target size."""
+    from context_crawler_spark.sources.warc import write_warc_files
+
+    big = b"x" * (1 << 20)  # 1 MiB payload per row
+    rows = [(f"https://s.test/p{i}", datetime(2021, 1, 1), big)
+            for i in range(8)]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+    out = str(tmp_path / "w")
+    n_files = write_warc_files(df, out, target_mb=2)  # 8 MiB / 2 MiB → 4
+    assert n_files == 4
+    back = read_warc(spark, out)
+    assert back.count() == 8

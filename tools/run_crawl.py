@@ -80,6 +80,9 @@ def main() -> None:
                         "<host>[.txt] (parsed per RFC 9309, Crawl-delay honored)")
     p.add_argument("--artifacts", action="store_true",
                    help="generate llms.txt/chunks/embeddings after the crawl")
+    p.add_argument("--warc-out", default=None,
+                   help="directory to re-emit the crawled pages as CC-native "
+                        ".warc.gz files (one gzip member per record)")
     p.add_argument("--demo", action="store_true",
                    help="run on the built-in tiny synthetic site")
     args = p.parse_args()
@@ -160,6 +163,14 @@ def main() -> None:
         from context_crawler_spark.plans.artifacts import ArtifactService
 
         ArtifactService(spark, store).generate(eng.pages_out(), store.head_id())
+    n_warc = None
+    if args.warc_out and meta.get("fetched_total") and pages is not None:
+        from context_crawler_spark.sources.warc import write_warc_files
+
+        crawled = pages.join(
+            eng.pages_out().select("url").distinct(), "url"
+        ).select("url", "warc_ts", "html")
+        n_warc = write_warc_files(crawled, args.warc_out)
     print(json.dumps({
         "job": cfg.name,
         "rounds": meta.get("round"),
@@ -167,6 +178,7 @@ def main() -> None:
         "finished": meta.get("finished"),
         "reason": meta.get("finish_reason"),
         "snapshot": store.head_id(),
+        "warc_files": n_warc,
         "metrics_tail": (meta.get("metrics") or [])[-3:],
     }))
 
