@@ -431,6 +431,22 @@ def q_gopher_quality(spark, sf_dir):
     )
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher A1.1 repetition filters: within-row HOF dup-line/paragraph
+    stats (zero shuffle) + the distributed top-2-gram kernel (explode →
+    groupBy — ONE shuffle keyed on doc_id, linear at corpus scale)."""
+    from context_crawler_spark.operators.quality_filter import gopher_repetition
+
+    d = _t(spark, sf_dir, "documents")
+    out = gopher_repetition(d.select("doc_id", "text"))
+    return out.select(
+        "doc_id", "line_n", "line_dup", "line_dup_chars", "para_dup",
+        "para_dup_chars", "top2_chars",
+        "f_dup_lines", "f_dup_paras", "f_dup_line_chars",
+        "f_dup_para_chars", "f_top2gram", "repetition_pass",
+    )
+
+
 def q_byte_budget(spark, sf_dir):
     """UTF-8 byte sizing for the maxFileSize budget (reference
     getStringByteSize, src/core.ts:391-392) — octet_length, JVM-side."""
@@ -824,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "text_stats": q_text_stats,
         "gopher_quality": q_gopher_quality,
+        "gopher_repetition": q_gopher_repetition,
         "byte_budget": q_byte_budget,
         "url_slug": q_url_slug,
         "token_totals": q_token_totals,
@@ -1099,6 +1116,68 @@ def oracle_sql() -> dict[str, str]:
                     AND (5 * alpha_words >= 4 * n_words)
                     AND (stop_hits >= 2)) AS gopher_pass
             FROM f
+        """,
+        "gopher_repetition": r"""
+            WITH g AS (
+              SELECT doc_id,
+                     string_split(text, chr(10)) AS lines,
+                     string_split(text, chr(10) || chr(10)) AS paras,
+                     string_split_regex(trim(text), '\s+') AS words
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                CAST(len(lines) AS BIGINT) AS line_n,
+                CAST(len(lines) - len(list_distinct(lines)) AS BIGINT)
+                  AS line_dup,
+                CAST(list_sum(list_transform(lines, x -> length(x)))
+                  AS BIGINT) AS line_chars,
+                CAST(list_sum(list_transform(lines, x -> length(x)))
+                  - list_sum(list_transform(list_distinct(lines),
+                                            x -> length(x)))
+                  AS BIGINT) AS line_dup_chars,
+                CAST(len(paras) AS BIGINT) AS para_n,
+                CAST(len(paras) - len(list_distinct(paras)) AS BIGINT)
+                  AS para_dup,
+                CAST(list_sum(list_transform(paras, x -> length(x)))
+                  AS BIGINT) AS para_chars,
+                CAST(list_sum(list_transform(paras, x -> length(x)))
+                  - list_sum(list_transform(list_distinct(paras),
+                                            x -> length(x)))
+                  AS BIGINT) AS para_dup_chars,
+                CAST(list_sum(list_transform(words, x -> length(x)))
+                  AS BIGINT) AS word_chars,
+                words
+              FROM g
+            ), tg AS (
+              SELECT doc_id,
+                     CAST(MAX(cnt * length(gram)) AS BIGINT) AS top2_chars
+              FROM (
+                SELECT doc_id, gram, COUNT(*) AS cnt
+                FROM (
+                  SELECT doc_id,
+                         unnest(list_transform(range(1, len(words)),
+                                i -> words[i] || ' ' || words[i + 1]))
+                           AS gram
+                  FROM g WHERE len(words) >= 2
+                ) GROUP BY doc_id, gram
+              ) GROUP BY doc_id
+            )
+            SELECT s.doc_id, line_n, line_dup, line_dup_chars, para_dup,
+                   para_dup_chars,
+                   CAST(COALESCE(tg.top2_chars, 0) AS BIGINT) AS top2_chars,
+                   (10 * line_dup <= 3 * line_n) AS f_dup_lines,
+                   (10 * para_dup <= 3 * para_n) AS f_dup_paras,
+                   (5 * line_dup_chars <= line_chars) AS f_dup_line_chars,
+                   (5 * para_dup_chars <= para_chars) AS f_dup_para_chars,
+                   (5 * COALESCE(tg.top2_chars, 0) <= word_chars)
+                     AS f_top2gram,
+                   ((10 * line_dup <= 3 * line_n)
+                    AND (10 * para_dup <= 3 * para_n)
+                    AND (5 * line_dup_chars <= line_chars)
+                    AND (5 * para_dup_chars <= para_chars)
+                    AND (5 * COALESCE(tg.top2_chars, 0) <= word_chars))
+                     AS repetition_pass
+            FROM s LEFT JOIN tg ON s.doc_id = tg.doc_id
         """,
         "byte_budget": """
             SELECT doc_id,

@@ -43,6 +43,8 @@ HEADLINE = [
     "simhash_dedup",
     "embedding_near_dup",
     "text_stats",
+    "gopher_quality",
+    "gopher_repetition",
     "topk_cosine",
     "knn_join",
     "ann_lsh_topk",
@@ -230,12 +232,16 @@ def main() -> None:
     # like for like.
     r2_added = {"simhash_dedup", "embedding_near_dup",
                 "ann_lsh_topk", "ann_ivf_topk"}
+    r3_added = {"gopher_quality", "gopher_repetition"}
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "r1_comparable_total": round(
-            sum(v for k, v in queries.items() if k not in r2_added), 3),
+            sum(v for k, v in queries.items()
+                if k not in r2_added | r3_added), 3),
+        "r2_comparable_total": round(
+            sum(v for k, v in queries.items() if k not in r3_added), 3),
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,

@@ -82,6 +82,89 @@ def gopher_flags(text_col: str = "text") -> dict[str, Column]:
     }
 
 
+def _hof_char_sum(col: Column) -> Column:
+    return F.aggregate(
+        F.transform(col, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+
+
+def gopher_repetition(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Gopher A1.1 repetition filters: duplicate line / paragraph fraction
+    (≤0.30), duplicate line / paragraph CHARACTER fraction (≤0.20, counting
+    occurrences beyond the first of each repeated unit — the DataTrove
+    convention), and top-2-gram character fraction (≤0.20, the most common
+    word 2-gram's count×length over total word characters).
+
+    Shapes: the line/paragraph stats are within-row higher-order functions
+    (zero shuffle); the top-2-gram runs the idiomatic distributed kernel —
+    explode → groupBy(id, gram) → per-id max — ONE shuffle keyed on the id,
+    linear in corpus size (a per-row O(len²) HOF would be the wrong kernel
+    at 100 TB). Thresholds are integer cross-multiplied, hash-identical to
+    the DuckDB oracle."""
+    t = F.col(text_col)
+    lines = F.split(t, r"\n")
+    paras = F.split(t, r"\n\n")
+    words = F.split(F.trim(t), r"\s+")
+
+    def unit_stats(col: Column, prefix: str) -> dict[str, Column]:
+        n = F.size(col).cast("long")
+        nd = F.size(F.array_distinct(col)).cast("long")
+        chars = _hof_char_sum(col)
+        dchars = _hof_char_sum(F.array_distinct(col))
+        return {
+            f"{prefix}_n": n,
+            f"{prefix}_dup": n - nd,
+            f"{prefix}_chars": chars,
+            f"{prefix}_dup_chars": chars - dchars,
+        }
+
+    ls = unit_stats(lines, "line")
+    ps = unit_stats(paras, "para")
+    base = df
+    for k, c in {**ls, **ps}.items():
+        base = base.withColumn(k, c)
+    base = base.withColumn("word_chars", _hof_char_sum(words))
+
+    grams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top2 = (
+        df.select(id_col, F.explode(grams).alias("gram"))
+        .groupBy(id_col, "gram").count()
+        .groupBy(id_col)
+        .agg(F.max(F.col("count") * F.length("gram").cast("long"))
+             .alias("top2_chars"))
+    )
+    out = base.join(top2, id_col, "left").withColumn(
+        "top2_chars", F.coalesce(F.col("top2_chars"), F.lit(0)).cast("long")
+    )
+    return (
+        out.withColumn("f_dup_lines",
+                       10 * F.col("line_dup") <= 3 * F.col("line_n"))
+        .withColumn("f_dup_paras",
+                    10 * F.col("para_dup") <= 3 * F.col("para_n"))
+        .withColumn("f_dup_line_chars",
+                    5 * F.col("line_dup_chars") <= F.col("line_chars"))
+        .withColumn("f_dup_para_chars",
+                    5 * F.col("para_dup_chars") <= F.col("para_chars"))
+        .withColumn("f_top2gram",
+                    5 * F.col("top2_chars") <= F.col("word_chars"))
+        .withColumn(
+            "repetition_pass",
+            F.col("f_dup_lines") & F.col("f_dup_paras")
+            & F.col("f_dup_line_chars") & F.col("f_dup_para_chars")
+            & F.col("f_top2gram"),
+        )
+    )
+
+
 def gopher_filter(df: DataFrame, text_col: str = "text",
                   keep_flags: bool = False) -> DataFrame:
     """Rows passing ALL Gopher rules. ``keep_flags=True`` appends the flag

@@ -205,17 +205,106 @@ class CrawlScheduler:
             key=lambda t: int(t[len("frontier_done_r"):]),
         )
 
-    def frontier(self) -> DataFrame | None:
-        """Full frontier view at HEAD: live ∪ compacted done ∪ done deltas."""
+    def done_frontier(self) -> DataFrame | None:
+        """Terminal history at HEAD: compacted base ∪ per-round deltas."""
         snap = self.store.snapshot()
         if snap is None:
             return None
-        out = self.live_frontier()
         names = (["frontier_done"] if "frontier_done" in snap.tables else []) + \
             self._done_delta_tables()
+        out = None
         for t in names:
             df = self.store.read(self.spark, t)
             out = df if out is None else out.unionByName(df)
+        return out
+
+    def reseed_stale(self, max_age_s: float,
+                     priority_delta: int = 0) -> int:
+        """Recrawl (freshness) scheduling: completed URLs whose LATEST
+        fetch is older than ``max_age_s`` on the round clock go back into
+        the live frontier as pending — one atomic snapshot commit, write
+        cost O(touched buckets) like any round's MERGE.
+
+        Semantics chosen for append-only history: staleness is judged on
+        each URL's newest terminal row (older completions of a recrawled
+        URL stay in history, as Common Crawl keeps old segments), and rows
+        already live are never double-enqueued (left-anti guard). Reading
+        the terminal history is O(history) — this is a maintenance pass on
+        the compaction cadence, not a per-round step. Returns the number
+        of URLs re-enqueued."""
+        meta = self.meta
+        r = int(meta.get("round", 0))
+        ts_lit = F.lit(round_ts(r))
+        done = self.done_frontier()
+        if done is None:
+            return 0
+        latest = (
+            done.filter(F.col("status") == "completed")
+            .groupBy("url_hash").agg(F.max("completed_at").alias("__last"))
+        )
+        stale = (
+            done.filter(F.col("status") == "completed")
+            .join(latest, "url_hash")
+            .filter(F.col("completed_at") == F.col("__last"))
+            .filter(F.col("completed_at")
+                    + F.make_interval(secs=F.lit(float(max_age_s))) <= ts_lit)
+            .drop("__last")
+        )
+        live = self.live_frontier()
+        if live is not None:
+            stale = stale.join(live.select("url_hash"), "url_hash",
+                               "left_anti")
+        reseeded = (
+            stale.select(*_FRONTIER_COLS)
+            .withColumn("status", F.lit("pending"))
+            .withColumn("priority",
+                        (F.col("priority") + priority_delta).cast("int"))
+            .withColumn("attempts", F.lit(0))
+            .withColumn("created_at", ts_lit)
+            .withColumn("next_retry_at", F.lit(None).cast("timestamp"))
+            .withColumn("claimed_at", F.lit(None).cast("timestamp"))
+            .withColumn("completed_at", F.lit(None).cast("timestamp"))
+            .withColumn("error", F.lit(None).cast("string"))
+            .select(*_FRONTIER_COLS)
+            .persist()
+        )
+        touched_ids = sorted(
+            row["b"]
+            for row in reseeded.select(
+                F.pmod(F.col("url_hash"), F.lit(self.frontier_buckets))
+                .cast("int").alias("b")
+            ).distinct().collect()
+        )
+        if not touched_ids:
+            reseeded.unpersist()
+            return 0
+        n = reseeded.count()
+        touched_live = (
+            self.store.read_buckets(self.spark, "frontier", touched_ids)
+            or self.spark.createDataFrame([], FRONTIER_SCHEMA)
+        )
+        next_live = touched_live.select(*_FRONTIER_COLS).unionByName(reseeded)
+        self.store.commit(
+            {},
+            bucketed={"frontier": (
+                self._with_fbucket(next_live), FRONTIER_BUCKET_COL,
+                touched_ids)},
+            metadata={**meta, "finished": False,
+                      "metrics": meta.get("metrics", [])
+                      + [{"round": r, "reseeded": int(n)}]},
+            tag=f"reseed-{r}",
+        )
+        reseeded.unpersist()
+        return int(n)
+
+    def frontier(self) -> DataFrame | None:
+        """Full frontier view at HEAD: live ∪ compacted done ∪ done deltas."""
+        if self.store.snapshot() is None:
+            return None
+        out = self.live_frontier()
+        done = self.done_frontier()
+        if done is not None:
+            out = done if out is None else out.unionByName(done)
         return out
 
     def _seen_delta_tables(self) -> list[str]:

@@ -379,3 +379,38 @@ def test_host_state_delta_commits(spark, tiny_pages, tiny_web, tmp_path):
     got2 = {(r["host"], r["fetched"]) for r in eng2.host_state().collect()}
     assert got2 == expect
     assert eng2.visit_order() == eng.visit_order()
+
+
+def test_reseed_stale_recrawl(spark, tiny_pages, tiny_web, tmp_path):
+    """Freshness scheduling (r3): completed URLs older than max_age go back
+    into the live frontier atomically; the recrawl re-fetches exactly them,
+    never re-discovers (url_seen unchanged), and never double-enqueues."""
+    config = CrawlConfig(
+        entry="https://site0.test/", match=["https://site0.test/**"],
+        selector="article",
+    )
+    store = SnapshotStore(str(tmp_path / "s"))
+    eng = CrawlScheduler(spark, store, config, tiny_pages, n_buckets=8)
+    eng.run(max_rounds=50)
+    order1 = eng.visit_order()
+    n1 = len(order1)
+    assert n1 > 10 and eng.meta.get("finished")
+    seen_before = eng.url_seen().count()
+
+    assert eng.reseed_stale(max_age_s=10 ** 9) == 0  # nothing aged out yet
+    n = eng.reseed_stale(max_age_s=0)
+    assert n == n1
+    assert eng.reseed_stale(max_age_s=0) == 0  # already live — no dupes
+    live = eng.live_frontier()
+    assert live.count() == n1
+    assert live.filter(live.status != "pending").count() == 0
+
+    eng2 = CrawlScheduler(spark, store, config, tiny_pages, n_buckets=8)
+    eng2.run(max_rounds=50)
+    order2 = eng2.visit_order()
+    assert len(order2) == 2 * n1          # every page fetched twice
+    assert sorted(order2) == sorted(order1 * 2)
+    assert eng2.url_seen().count() == seen_before  # no re-discovery
+    # both fetches kept in terminal history (append-only, CC-segment style)
+    done = eng2.done_frontier()
+    assert done.filter(done.status == "completed").count() == 2 * n1

@@ -80,3 +80,44 @@ def test_flag_names_stable():
     assert {"f_word_count", "f_mean_word_len", "f_symbol_ratio",
             "f_bullet_lines", "f_ellipsis_lines", "f_alpha_words",
             "f_stopwords"} <= ks
+
+
+def test_repetition_duplicate_lines(spark):
+    from context_crawler_spark.operators.quality_filter import gopher_repetition
+
+    # every word unique — no repeated lines OR repeated 2-grams
+    clean = "\n".join(f"alpha{i} bravo{i} charlie{i} delta{i}"
+                      for i in range(10))
+    spam = "\n".join(["buy cheap widgets now"] * 10)
+    df = spark.createDataFrame(
+        [(1, clean), (2, spam)], "doc_id long, text string")
+    rows = {r["doc_id"]: r.asDict()
+            for r in gopher_repetition(df).collect()}
+    assert rows[1]["f_dup_lines"] and rows[1]["f_dup_line_chars"]
+    assert not rows[2]["f_dup_lines"] and not rows[2]["f_dup_line_chars"]
+    assert rows[2]["line_dup"] == 9  # 10 copies → 9 beyond the first
+    assert not rows[2]["repetition_pass"] and rows[1]["repetition_pass"]
+
+
+def test_repetition_top2gram(spark):
+    from context_crawler_spark.operators.quality_filter import gopher_repetition
+
+    # one 2-gram dominates the character mass
+    spam = "click here " * 50 + "other words appear once"
+    varied = " ".join(f"w{i} x{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, varied), (2, spam)], "doc_id long, text string")
+    rows = {r["doc_id"]: r.asDict()
+            for r in gopher_repetition(df).collect()}
+    assert rows[1]["f_top2gram"]
+    assert not rows[2]["f_top2gram"]
+    # "click here" (10 chars) repeated ~50x → top2_chars ≈ 500
+    assert rows[2]["top2_chars"] >= 400
+
+
+def test_repetition_single_word_doc(spark):
+    from context_crawler_spark.operators.quality_filter import gopher_repetition
+
+    df = spark.createDataFrame([(1, "lonely")], "doc_id long, text string")
+    r = gopher_repetition(df).collect()[0]
+    assert r["top2_chars"] == 0 and r["f_top2gram"]
