@@ -487,6 +487,40 @@ def discover_nav_urls(
 _SITEMAP_LOC = re.compile(r"<loc>\s*([^<\s][^<]*?)\s*</loc>", re.IGNORECASE)
 
 
+def expand_sitemap_seeds(
+    seeds: list[str],
+    fetch,
+    in_scope,
+    is_sitemap,
+    max_depth: int = 3,
+) -> list[str]:
+    """Expand seed URLs through sitemaps INCLUDING nested ``<sitemapindex>``
+    files (the standard large-site layout: an index of sitemaps of pages).
+    Depth-first in document order, so the flattened seed order equals the
+    order a sequential reader of the sitemap tree would produce; cycle-
+    guarded; ``max_depth`` bounds index-of-index chains (3 is the
+    practical web ceiling). ``in_scope`` filters only URLs discovered FROM
+    a sitemap — explicit non-sitemap seeds pass through unfiltered, same
+    as the reference's downloadListOfUrls handling (src/core.ts:335-352,
+    which is single-level; the nested hop is this engine's extension)."""
+    out: list[str] = []
+    seen: set[str] = set()
+
+    def expand(u: str, depth: int, from_sitemap: bool) -> None:
+        if is_sitemap(u) and depth < max_depth:
+            if u in seen:
+                return
+            seen.add(u)
+            for v in parse_sitemap(fetch(u) or ""):
+                expand(v, depth + 1, True)
+        elif not from_sitemap or in_scope(u):
+            out.append(u)
+
+    for u in seeds:
+        expand(u, 0, False)
+    return out
+
+
 def parse_sitemap(content: str) -> list[str]:
     """Sitemap XML → URL list in document order (reference expands sitemap
     seeds via crawlee's ``downloadListOfUrls``, src/core.ts:335-352). Falls

@@ -433,14 +433,12 @@ class CrawlScheduler:
                 for u in extract.discover_nav_urls(html, cfg.entry, cfg.discovery_selector):
                     if cfg.in_scope(u):
                         seeds.append(u)
-        expanded: list[str] = []
-        for u in seeds:
-            if SITEMAP_RE.search(u.split("?")[0]):
-                content = self._lookup_page_html(u)
-                expanded.extend(v for v in extract.parse_sitemap(content or "")
-                                if cfg.in_scope(v))
-            else:
-                expanded.append(u)
+        expanded = extract.expand_sitemap_seeds(
+            seeds,
+            fetch=self._lookup_page_html,
+            in_scope=cfg.in_scope,
+            is_sitemap=lambda u: bool(SITEMAP_RE.search(u.split("?")[0])),
+        )
 
         t0 = round_ts(0)
         rows = [(u, i) for i, u in enumerate(expanded)]
@@ -568,6 +566,16 @@ class CrawlScheduler:
         if n_batch == 0:
             batch.unpersist()
             if robots_blocked is not None:
+                # liveness: a round whose ELIGIBLE set is entirely robots-
+                # blocked must still commit those terminal transitions —
+                # otherwise the blocked rows stay pending forever and the
+                # crawl idles to max_rounds instead of finishing
+                n_blocked = robots_blocked.count()
+                if n_blocked > 0:
+                    m = self._commit_blocked_only(meta, r, ts_lit,
+                                                  robots_blocked)
+                    robots_blocked.unpersist()
+                    return m
                 robots_blocked.unpersist()
             n_pending = frontier.filter(F.col("status") == "pending").count()
             if n_pending > 0:
@@ -850,6 +858,44 @@ class CrawlScheduler:
             df.unpersist()
         if robots_blocked is not None:
             robots_blocked.unpersist()
+        return metrics
+
+    def _commit_blocked_only(self, meta: dict, r: int, ts_lit,
+                             robots_blocked: DataFrame) -> dict[str, Any]:
+        """Commit a round that fetched nothing but must terminalize
+        robots-blocked rows: append them to the round's done delta and
+        drop them from their (touched) live buckets."""
+        touched_ids = sorted(
+            row["b"]
+            for row in robots_blocked.select(
+                F.pmod(F.col("url_hash"), F.lit(self.frontier_buckets))
+                .cast("int").alias("b")
+            ).distinct().collect()
+        )
+        touched_live = (
+            self.store.read_buckets(self.spark, "frontier", touched_ids)
+            or self.spark.createDataFrame([], FRONTIER_SCHEMA)
+        )
+        next_live = touched_live.select(*_FRONTIER_COLS).join(
+            robots_blocked.select("url_hash"), "url_hash", "left_anti"
+        ).select(*_FRONTIER_COLS)
+        done_delta = (
+            robots_blocked.select(*_FRONTIER_COLS)
+            .withColumn("completed_at", ts_lit)
+        )
+        n_blocked = done_delta.count()
+        metrics = {"round": r, "claimed": 0, "fetched": 0,
+                   "robots_blocked": int(n_blocked)}
+        self.store.commit(
+            {f"frontier_done_r{r}": done_delta},
+            bucketed={"frontier": (
+                self._with_fbucket(next_live), FRONTIER_BUCKET_COL,
+                touched_ids)},
+            partition_by={f"frontier_done_r{r}": ["status"]},
+            metadata={**meta, "round": r, "finished": False,
+                      "metrics": meta.get("metrics", []) + [metrics]},
+            tag=f"round-{r}",
+        )
         return metrics
 
     def _fast_forward_round(self, r: int, ts) -> int:

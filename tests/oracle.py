@@ -114,14 +114,12 @@ def run_oracle(
         ):
             if config.in_scope(u):
                 seeds.append(u)
-    expanded: list[str] = []
-    for u in seeds:
-        if SITEMAP_RE.search(u.split("?")[0]):
-            expanded.extend(
-                v for v in extract.parse_sitemap(pages.get(u, "")) if config.in_scope(v)
-            )
-        else:
-            expanded.append(u)
+    expanded = extract.expand_sitemap_seeds(
+        seeds,
+        fetch=lambda u: pages.get(u, ""),
+        in_scope=config.in_scope,
+        is_sitemap=lambda u: bool(SITEMAP_RE.search(u.split("?")[0])),
+    )
     for u in expanded:
         enqueue(u, config.priority, 0)
 

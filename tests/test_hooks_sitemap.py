@@ -80,3 +80,82 @@ def test_sitemap_seed_expansion_engine_and_oracle(spark, tmp_path):
     # sitemap itself is replaced by its expansion; a and b visited in order
     assert oracle.visit_order == ["https://s.test/docs/a", "https://s.test/docs/b"]
     assert eng.visit_order() == oracle.visit_order
+
+
+def test_sitemapindex_nested_expansion(spark, tmp_path):
+    """A <sitemapindex> seed (the standard large-site layout) expands
+    through its child sitemaps depth-first in document order, cycle-
+    guarded and depth-capped — engine == oracle."""
+    from datetime import timedelta
+
+    from context_crawler_spark.sources.synthetic_web import EPOCH
+
+    web = {
+        "https://s.test/sitemap.xml": (
+            "<sitemapindex>"
+            "<sitemap><loc>https://s.test/sitemap-a.xml</loc></sitemap>"
+            "<sitemap><loc>https://s.test/sitemap-b.xml</loc></sitemap>"
+            "<sitemap><loc>https://s.test/sitemap.xml</loc></sitemap>"  # cycle
+            "</sitemapindex>"
+        ),
+        "https://s.test/sitemap-a.xml": (
+            "<urlset><loc>https://s.test/docs/a1</loc>"
+            "<loc>https://s.test/docs/a2</loc></urlset>"
+        ),
+        "https://s.test/sitemap-b.xml": (
+            "<urlset><loc>https://s.test/docs/b1</loc></urlset>"
+        ),
+        "https://s.test/docs/a1": "<html><body><article>a1</article></body></html>",
+        "https://s.test/docs/a2": "<html><body><article>a2</article></body></html>",
+        "https://s.test/docs/b1": "<html><body><article>b1</article></body></html>",
+    }
+    cfg = CrawlConfig(
+        entry="https://s.test/sitemap.xml",
+        match=["https://s.test/docs/**"],
+        selector="article",
+        auto_discover_nav=False,
+    )
+    rows = [
+        (u, EPOCH + timedelta(seconds=i), h.encode(), "", "en")
+        for i, (u, h) in enumerate(web.items())
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    store = SnapshotStore(str(tmp_path / "s"))
+    eng = CrawlScheduler(spark, store, cfg, pages, n_buckets=4)
+    eng.run(max_rounds=20)
+    oracle = run_oracle(cfg, web)
+    want = ["https://s.test/docs/a1", "https://s.test/docs/a2",
+            "https://s.test/docs/b1"]
+    assert oracle.visit_order == want
+    assert eng.visit_order() == want
+
+
+def test_expand_sitemap_seeds_depth_cap():
+    """Index-of-index chains stop at max_depth; the over-deep sitemap URL
+    degrades to a plain (scope-filtered) seed rather than recursing."""
+    from context_crawler_spark.functions.extract import expand_sitemap_seeds
+
+    web = {
+        "https://s.test/sm0.xml": "<loc>https://s.test/sm1.xml</loc>",
+        "https://s.test/sm1.xml": "<loc>https://s.test/sm2.xml</loc>",
+        "https://s.test/sm2.xml": "<loc>https://s.test/sm3.xml</loc>",
+        "https://s.test/sm3.xml": "<loc>https://s.test/page</loc>",
+    }
+    out = expand_sitemap_seeds(
+        ["https://s.test/sm0.xml"],
+        fetch=lambda u: web.get(u, ""),
+        in_scope=lambda u: not u.endswith(".xml"),
+        is_sitemap=lambda u: u.endswith(".xml"),
+        max_depth=3,
+    )
+    assert out == []  # sm3 hit the cap, is .xml, and is scope-filtered out
+    out2 = expand_sitemap_seeds(
+        ["https://s.test/sm2.xml"],
+        fetch=lambda u: web.get(u, ""),
+        in_scope=lambda u: True,
+        is_sitemap=lambda u: u.endswith(".xml"),
+        max_depth=3,
+    )
+    assert out2 == ["https://s.test/page"]

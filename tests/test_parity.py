@@ -414,3 +414,43 @@ def test_reseed_stale_recrawl(spark, tiny_pages, tiny_web, tmp_path):
     # both fetches kept in terminal history (append-only, CC-segment style)
     done = eng2.done_frontier()
     assert done.filter(done.status == "completed").count() == 2 * n1
+
+
+def test_fully_blocked_round_terminates(spark, tmp_path):
+    """Liveness (r3): when a round's whole eligible set is robots-blocked,
+    the blocked rows must terminalize in that commit and the crawl must
+    FINISH — not idle to max_rounds with the rows stuck pending."""
+    from datetime import datetime, timezone
+
+    from context_crawler_spark.sources.synthetic_web import PAGES_SCHEMA
+
+    web = {
+        "https://r.test/": '<html><body><article>root '
+                           '<a href="/a">a</a><a href="/b">b</a>'
+                           "</article></body></html>",
+        "https://r.test/a": "<html><body><article>A</article></body></html>",
+        "https://r.test/b": "<html><body><article>B</article></body></html>",
+    }
+    ts = datetime(2025, 1, 1, tzinfo=timezone.utc)
+    pages = spark.createDataFrame(
+        [(u, ts, h.encode(), "", "en") for u, h in web.items()], PAGES_SCHEMA)
+    robots_rows = [("r.test", "disallow", "/a"), ("r.test", "disallow", "/b")]
+    robots = spark.createDataFrame(
+        robots_rows, "host string, rule_type string, path_prefix string")
+    config = CrawlConfig(
+        entry="https://r.test/", match=["https://r.test/**"],
+        selector="article", respect_robots=True, auto_discover_nav=False,
+    )
+    store = SnapshotStore(str(tmp_path / "s"))
+    eng = CrawlScheduler(spark, store, config, pages, n_buckets=4)
+    meta = eng.run(max_rounds=10, robots=robots)
+    assert meta.get("finished"), meta.get("metrics")
+    assert eng.visit_order() == ["https://r.test/"]
+    done = eng.done_frontier()
+    blocked = done.filter(done.error == "robots_disallowed")
+    assert blocked.count() == 2
+    assert eng.live_frontier().count() == 0
+    # far fewer rounds than the cap — no idle spin
+    assert int(meta["round"]) <= 4
+    oracle = run_oracle(config, web, robots=robots_rows)
+    assert eng.visit_order() == oracle.visit_order
