@@ -38,7 +38,10 @@ def test_long_crawl_flat_per_round_cost(spark, tmp_path):
     eng.seed(extra_seeds=urls[1:])
 
     round_secs: list[float] = []
-    deadline = time.time() + 1500
+    # fail-fast guard against a hung crawl, NOT a perf assertion: solo this
+    # drains in ~10 min, but inside the full suite (shared session, busy
+    # box) rounds run 2-3x slower — r3 saw 1502s trip a 1500s deadline
+    deadline = time.time() + 2700
     while not eng.meta.get("finished"):
         t0 = time.time()
         eng.run_round()
