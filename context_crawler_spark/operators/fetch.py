@@ -61,32 +61,69 @@ def _exclusion_regex(resource_exclusions) -> str | None:
     return rf"(?i)\.({exts})([?#].*)?$"
 
 
+MAX_REDIRECTS = 5
+
+
 def fetch_url(
     url: str,
     headers: dict[str, str],
     timeout_s: float = DEFAULT_TIMEOUT_S,
     max_bytes: int = DEFAULT_MAX_BYTES,
+    allow_hosts: set[str] | None = None,
 ) -> tuple[int, bytes | None]:
     """One guarded GET: (status, body) on 2xx, (status-or-0, None) on any
     failure. http/https only. Shared by the executor loop and the driver's
-    seed-time lookup."""
+    seed-time lookup.
+
+    Redirects are followed MANUALLY (urllib's transparent follower is
+    disabled): scope, robots, the allowlist, and the per-host politeness
+    delay were all evaluated against the ORIGINAL URL, so a hop that
+    leaves its hostname would fetch — and attribute to that host —
+    content from a host that may be allowlisted-out, robots-blocked, or
+    rate-gated differently (ADVICE r3). Same-host hops (the common
+    http→https / trailing-slash cases) are followed up to
+    ``MAX_REDIRECTS``; any cross-host or non-http hop is a miss."""
     import urllib.error
     import urllib.request
+    from urllib.parse import urljoin, urlsplit
+
+    class _NoRedirect(urllib.request.HTTPRedirectHandler):
+        def redirect_request(self, *a, **k):  # 3xx → HTTPError, not follow
+            return None
 
     if not url.startswith(("http://", "https://")):
         return 0, None
-    req = urllib.request.Request(url, headers=headers)
-    try:
-        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
-            status = getattr(resp, "status", 200)
-            body = resp.read(max_bytes + 1)
-            if len(body) > max_bytes:
-                return status, None  # oversized: treat as a miss (retryable)
-            return status, body
-    except urllib.error.HTTPError as e:
-        return e.code, None
-    except Exception:  # noqa: BLE001 — network failure == retryable miss
+    origin_host = urlsplit(url).hostname
+    if allow_hosts is not None and origin_host not in allow_hosts:
         return 0, None
+    opener = urllib.request.build_opener(_NoRedirect())
+    cur = url
+    for _ in range(MAX_REDIRECTS + 1):
+        req = urllib.request.Request(cur, headers=headers)
+        try:
+            with opener.open(req, timeout=timeout_s) as resp:
+                status = getattr(resp, "status", 200)
+                body = resp.read(max_bytes + 1)
+                if len(body) > max_bytes:
+                    return status, None  # oversized: miss (retryable)
+                return status, body
+        except urllib.error.HTTPError as e:
+            if e.code in (301, 302, 303, 307, 308):
+                loc = e.headers.get("Location")
+                nxt = urljoin(cur, loc) if loc else None
+                hop = urlsplit(nxt) if nxt else None
+                if (
+                    hop is None
+                    or hop.scheme not in ("http", "https")
+                    or hop.hostname != origin_host
+                ):
+                    return e.code, None  # off-origin redirect == miss
+                cur = nxt
+                continue
+            return e.code, None
+        except Exception:  # noqa: BLE001 — network failure == retryable miss
+            return 0, None
+    return 0, None  # redirect loop exhausted
 
 
 class HttpFetcher:
@@ -192,7 +229,8 @@ class HttpFetcher:
                             time.sleep(wait)
                     last_hit[host] = time.monotonic()
                     _status, body = fetch_url(url, headers, timeout_s,
-                                              max_bytes)
+                                              max_bytes,
+                                              allow_hosts=allow_hosts)
                     htmls.append(body)
                 out = pdf[in_cols].copy()
                 out["html"] = pd.Series(htmls, index=pdf.index, dtype=object)

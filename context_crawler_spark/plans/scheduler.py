@@ -169,6 +169,31 @@ class CrawlScheduler:
             F.pmod(F.col("url_hash"), F.lit(self.frontier_buckets)).cast("int"),
         )
 
+    def _touched_live(self, touched_ids: list[int], ts_lit):
+        """Live rows of the touched buckets, ready for a bucketed MERGE.
+
+        On a pre-bucketing store (monolithic ``frontier`` table, no
+        buckets yet) every writer must run the SAME one-time migration
+        run_round does: fold the WHOLE legacy table into the merge, mark
+        every bucket touched, and have the caller drop ``frontier`` in
+        the same atomic commit. Without this, a reseed/blocked-only
+        commit would write buckets that shadow the legacy pending rows
+        (read_buckets wins once any bucket exists) and the next
+        run_round's migration would rebuild all buckets from the legacy
+        table alone — discarding the new rows and resurrecting rows this
+        commit terminalized.
+
+        Returns ``(live_df, touched_ids, legacy_present)``; the caller
+        adds ``"frontier"`` to its commit's ``drop=`` when
+        ``legacy_present``."""
+        legacy = self.store.read(self.spark, "frontier")
+        if legacy is not None:
+            return (release_stuck_claims(legacy, ts_lit),
+                    list(range(self.frontier_buckets)), True)
+        live = (self.store.read_buckets(self.spark, "frontier", touched_ids)
+                or self.spark.createDataFrame([], FRONTIER_SCHEMA))
+        return release_stuck_claims(live, ts_lit), touched_ids, False
+
     # -- state accessors -------------------------------------------------------
 
     @property
@@ -279,13 +304,12 @@ class CrawlScheduler:
             reseeded.unpersist()
             return 0
         n = reseeded.count()
-        touched_live = (
-            self.store.read_buckets(self.spark, "frontier", touched_ids)
-            or self.spark.createDataFrame([], FRONTIER_SCHEMA)
-        )
+        touched_live, touched_ids, legacy = self._touched_live(
+            touched_ids, ts_lit)
         next_live = touched_live.select(*_FRONTIER_COLS).unionByName(reseeded)
         self.store.commit(
             {},
+            drop=["frontier"] if legacy else [],
             bucketed={"frontier": (
                 self._with_fbucket(next_live), FRONTIER_BUCKET_COL,
                 touched_ids)},
@@ -725,18 +749,10 @@ class CrawlScheduler:
                 .cast("int").alias("b")
             ).distinct().collect()
         )
-        legacy = self.store.read(self.spark, "frontier")
-        if legacy is not None:
-            # one-time migration of a pre-bucketing store: fold the whole
-            # monolithic live table into buckets, drop it in this commit
-            touched_live = release_stuck_claims(legacy, ts_lit)
-            touched_ids = list(range(self.frontier_buckets))
-        else:
-            touched_live = release_stuck_claims(
-                self.store.read_buckets(self.spark, "frontier", touched_ids)
-                or self.spark.createDataFrame([], FRONTIER_SCHEMA),
-                ts_lit,
-            )
+        # one-time migration of a pre-bucketing store (monolithic live
+        # table → buckets, dropped in this commit) lives in _touched_live
+        touched_live, touched_ids, legacy = self._touched_live(
+            touched_ids, ts_lit)
         untouched = touched_live.join(
             batch.select("url_hash"), "url_hash", "left_anti")
         if robots_blocked is not None:
@@ -838,7 +854,7 @@ class CrawlScheduler:
             updates[f"hook_out_r{r}"] = hook_out
         self.store.commit(
             updates,
-            drop=drop + host_drop + (["frontier"] if legacy is not None else []),
+            drop=drop + host_drop + (["frontier"] if legacy else []),
             bucketed={"frontier": (
                 self._with_fbucket(next_live), FRONTIER_BUCKET_COL,
                 touched_ids)},
@@ -872,10 +888,8 @@ class CrawlScheduler:
                 .cast("int").alias("b")
             ).distinct().collect()
         )
-        touched_live = (
-            self.store.read_buckets(self.spark, "frontier", touched_ids)
-            or self.spark.createDataFrame([], FRONTIER_SCHEMA)
-        )
+        touched_live, touched_ids, legacy = self._touched_live(
+            touched_ids, ts_lit)
         next_live = touched_live.select(*_FRONTIER_COLS).join(
             robots_blocked.select("url_hash"), "url_hash", "left_anti"
         ).select(*_FRONTIER_COLS)
@@ -888,6 +902,7 @@ class CrawlScheduler:
                    "robots_blocked": int(n_blocked)}
         self.store.commit(
             {f"frontier_done_r{r}": done_delta},
+            drop=["frontier"] if legacy else [],
             bucketed={"frontier": (
                 self._with_fbucket(next_live), FRONTIER_BUCKET_COL,
                 touched_ids)},

@@ -41,6 +41,12 @@ class _Site:
                     self.send_response(500)
                     self.end_headers()
                     return
+                if body.startswith(b"__REDIRECT__:"):
+                    self.send_response(302)
+                    self.send_header(
+                        "Location", body[len(b"__REDIRECT__:"):].decode())
+                    self.end_headers()
+                    return
                 self.send_response(200)
                 self.send_header("Content-Type", "text/html; charset=utf-8")
                 self.send_header("Content-Length", str(len(body)))
@@ -228,6 +234,42 @@ def test_cookie_and_resource_exclusions(spark, tmp_path):
         hdrs = site.requests[0][2]
         assert hdrs.get("Cookie") == "consent=yes; session=s1"
         assert hdrs.get("User-Agent") == "contextcrawler"
+    finally:
+        site.close()
+
+
+def test_redirects_same_host_followed_cross_host_refused(spark):
+    """ADVICE r3: scope/robots/allowlist/politeness were all evaluated
+    against the ORIGINAL URL, so the fetcher follows same-host redirects
+    (http→https, trailing slash) but treats any cross-host hop as a miss
+    — it must never fetch, nor attribute to the original host, content
+    from a host that was gated differently."""
+    site = _Site({
+        "/a": b"<html><body>target</body></html>",
+        "/r": b"__REDIRECT__:/a",
+        # 'localhost' resolves to the same server but is a DIFFERENT
+        # hostname — the off-origin case, observable if it hits the wire
+        "/evil": b"",
+        "/loop": b"__REDIRECT__:/loop",
+    })
+    try:
+        site.pages["/evil"] = (
+            b"__REDIRECT__:http://localhost:%d/a" % site.port)
+        cfg = CrawlConfig(entry=f"{site.base}/a")
+        fetcher = HttpFetcher(cfg, allow_hosts={"127.0.0.1"})
+        batch = spark.createDataFrame(
+            [(f"{site.base}/r", "127.0.0.1", 0),
+             (f"{site.base}/evil", "127.0.0.1", 1),
+             (f"{site.base}/loop", "127.0.0.1", 2)],
+            "url string, host string, seq long",
+        )
+        got = {r["url"]: r["html"] for r in fetcher(batch, round_ts(1)).collect()}
+        assert got[f"{site.base}/r"] == site.pages["/a"]  # same-host followed
+        assert got[f"{site.base}/evil"] is None           # cross-host miss
+        assert got[f"{site.base}/loop"] is None           # loop exhausted
+        # the cross-host target was never requested (no /a hit beyond the
+        # one the same-host redirect legitimately caused)
+        assert site.paths_hit().count("/a") == 1
     finally:
         site.close()
 

@@ -454,3 +454,97 @@ def test_fully_blocked_round_terminates(spark, tmp_path):
     assert int(meta["round"]) <= 4
     oracle = run_oracle(config, web, robots=robots_rows)
     assert eng.visit_order() == oracle.visit_order
+
+
+def _downgrade_to_legacy(store, eng):
+    """Rewrite a bucketed store as a pre-bucketing one: live rows in ONE
+    monolithic ``frontier`` table, bucket manifest entries dropped."""
+    live = eng.live_frontier()
+    bucket_keys = [t for t in store.snapshot().tables
+                   if t.startswith("frontier#b")]
+    store.commit({"frontier": live}, drop=bucket_keys, metadata=eng.meta,
+                 tag="downgrade-legacy")
+
+
+def test_legacy_migration_in_reseed(spark, tiny_pages, tiny_web, tmp_path):
+    """ADVICE r3 #1: reseed_stale on a pre-bucketing store must run the
+    same one-time migration as run_round — fold the monolithic legacy
+    rows into the bucketed MERGE and drop ``frontier`` in the same
+    commit. Otherwise the fresh buckets shadow the legacy pending rows
+    and the next run_round rebuilds all buckets from the legacy table
+    alone, silently discarding the reseeded rows."""
+    from collections import Counter
+
+    config = CrawlConfig(
+        entry="https://site0.test/", match=["https://site0.test/**"],
+        selector="article", politeness_budget=3,
+    )
+    store = SnapshotStore(str(tmp_path / "a"))
+    eng = CrawlScheduler(spark, store, config, tiny_pages, n_buckets=8)
+    eng.seed()
+    for _ in range(3):
+        eng.run_round()
+    pending_before = eng.live_frontier().filter("status = 'pending'").count()
+    completed_before = eng.visit_order()
+    assert pending_before > 0 and len(completed_before) > 0
+    _downgrade_to_legacy(store, eng)
+    assert "frontier" in store.snapshot().tables
+
+    n = eng.reseed_stale(max_age_s=0)
+    assert n == len(completed_before)
+    snap = store.snapshot()
+    assert "frontier" not in snap.tables  # legacy dropped atomically
+    assert any(t.startswith("frontier#b") for t in snap.tables)
+    # legacy pending rows survived the merge alongside the reseeded ones
+    live = eng.live_frontier()
+    assert live.filter("status = 'pending'").count() == pending_before + n
+
+    eng2 = CrawlScheduler(spark, store, config, tiny_pages, n_buckets=8)
+    eng2.run(max_rounds=60)
+    counts = Counter(eng2.visit_order())
+    full = run_oracle(config, tiny_web).visit_order
+    assert set(counts) == set(full)
+    redone = set(completed_before)
+    for u in full:
+        assert counts[u] == (2 if u in redone else 1), u
+
+
+def test_legacy_migration_in_blocked_only_commit(spark, tmp_path):
+    """ADVICE r3 #1 (sibling): a fully-robots-blocked round on a
+    pre-bucketing store must terminalize the blocked rows AND migrate +
+    drop the monolithic table in the same commit — the blocked rows must
+    never be re-pended (claimable twice) by a later migration pass."""
+    from datetime import datetime, timezone
+
+    from context_crawler_spark.sources.synthetic_web import PAGES_SCHEMA
+
+    web = {
+        "https://r.test/": '<html><body><article>root '
+                           '<a href="/a">a</a><a href="/b">b</a>'
+                           "</article></body></html>",
+        "https://r.test/a": "<html><body><article>A</article></body></html>",
+        "https://r.test/b": "<html><body><article>B</article></body></html>",
+    }
+    ts = datetime(2025, 1, 1, tzinfo=timezone.utc)
+    pages = spark.createDataFrame(
+        [(u, ts, h.encode(), "", "en") for u, h in web.items()], PAGES_SCHEMA)
+    robots = spark.createDataFrame(
+        [("r.test", "disallow", "/a"), ("r.test", "disallow", "/b")],
+        "host string, rule_type string, path_prefix string")
+    config = CrawlConfig(
+        entry="https://r.test/", match=["https://r.test/**"],
+        selector="article", respect_robots=True, auto_discover_nav=False,
+    )
+    store = SnapshotStore(str(tmp_path / "b"))
+    eng = CrawlScheduler(spark, store, config, pages, n_buckets=4)
+    eng.seed()
+    eng.run_round(robots=robots)            # fetch root, discover /a /b
+    _downgrade_to_legacy(store, eng)
+    meta = eng.run(max_rounds=10, robots=robots)  # next round: all blocked
+    assert meta.get("finished"), meta.get("metrics")
+    snap = store.snapshot()
+    assert "frontier" not in snap.tables
+    assert eng.live_frontier().count() == 0
+    done = eng.done_frontier()
+    assert done.filter(done.error == "robots_disallowed").count() == 2
+    assert eng.visit_order() == ["https://r.test/"]
