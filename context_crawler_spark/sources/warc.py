@@ -119,9 +119,23 @@ def _is_html(content_type: str) -> bool:
 def _sniff_html(entity: bytes) -> bool:
     """Content sniff for records with NO declared payload type: accept only
     bytes that look like an HTML document. Keeps images/CSS/PDFs shipped as
-    type-less ``resource`` records out of the pages table."""
-    head = entity[:1024].lstrip()[:64].lower()
-    return head.startswith((b"<!doctype", b"<html"))
+    type-less ``resource`` records out of the pages table.
+
+    A UTF-8 BOM is stripped first, and documents opening with an XML
+    prolog (XHTML's common shape) or a leading comment are accepted when
+    an ``<html``/``<!doctype`` follows within the first 4 KB (ADVICE r3
+    — plain-prefix matching silently dropped these); RSS/SVG and other
+    non-HTML XML stay excluded."""
+    head = entity[:4096]
+    if head.startswith(b"\xef\xbb\xbf"):
+        head = head[3:]
+    lead = head.lstrip()[:64].lower()
+    if lead.startswith((b"<!doctype", b"<html")):
+        return True
+    if lead.startswith((b"<?xml", b"<!--")):
+        low = head.lower()
+        return b"<html" in low or b"<!doctype" in low
+    return False
 
 
 def records_from_file(raw: bytes) -> list[tuple[str, datetime, bytes]]:
@@ -279,11 +293,16 @@ def write_warc_files(
         contents; executors each serialize THEIR partition — no driver
         collect, no shuffle beyond the one range exchange
       * every file opens with a warcinfo record; each record is its own
-        gzip member (``mtime=0`` → byte-deterministic re-runs); files land
-        via temp + atomic rename, so task retries/speculation can't leave
+        gzip member (``mtime=0`` → byte-deterministic re-runs), STREAMED
+        to the temp file as produced — task memory is bounded by one
+        record, never a whole partition (VERDICT r3 #6); files land via
+        temp + atomic rename, so task retries/speculation can't leave
         torn output
+      * each task reports the file it wrote (empty range partitions
+        write none), so the return value counts files actually produced,
+        not partitions planned (ADVICE r3)
 
-    Returns the number of files written."""
+    Returns the number of files actually written."""
     import math
 
     from pyspark.sql import functions as F
@@ -299,33 +318,40 @@ def write_warc_files(
         .sortWithinPartitions("url")
     )
 
-    def write_part(rows) -> None:
+    def write_part(rows) -> Iterator[str]:
         import gzip as _gzip
 
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        first, chunks = None, []
         fname = f"part-{pid:05d}.warc.gz"
-        for r in rows:
-            html = r["html"]
-            if isinstance(html, str):
-                html = html.encode("utf-8")
-            ts = r["warc_ts"]
-            if first is None:
-                first = ts
-                chunks.append(_gzip.compress(
-                    serialize_warcinfo(fname, software, ts), mtime=0))
-            chunks.append(_gzip.compress(
-                serialize_response_record(r["url"], ts, bytes(html)),
-                mtime=0))
-        if first is None:  # empty partition → no file
-            return
         path = os.path.join(out_dir, fname)
         tmp = path + f".tmp-{os.getpid()}"
-        with open(tmp, "wb") as f:
-            f.write(b"".join(chunks))
-        os.replace(tmp, path)
+        wrote = False
+        f = None
+        try:
+            for r in rows:
+                html = r["html"]
+                if isinstance(html, str):
+                    html = html.encode("utf-8")
+                ts = r["warc_ts"]
+                if f is None:
+                    f = open(tmp, "wb")  # noqa: SIM115 — streamed, closed below
+                    f.write(_gzip.compress(
+                        serialize_warcinfo(fname, software, ts), mtime=0))
+                f.write(_gzip.compress(
+                    serialize_response_record(r["url"], ts, bytes(html)),
+                    mtime=0))
+            if f is not None:
+                f.close()
+                f = None
+                os.replace(tmp, path)
+                wrote = True
+        finally:
+            if f is not None:
+                f.close()
+        if wrote:
+            yield fname
 
-    parted.foreachPartition(write_part)
-    return n_files
+    written = parted.rdd.mapPartitions(write_part).collect()
+    return len(written)

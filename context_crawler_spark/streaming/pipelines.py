@@ -166,12 +166,17 @@ def stream_job_intake(
     drives the BATCH engine (enqueue + drain on the snapshot store).
     foreachBatch side effects are AT-LEAST-ONCE (a crash between enqueue()
     and the checkpoint commit replays the batch), so intake is made
-    IDEMPOTENT: job_ids derive deterministically from the config content
-    hash, and enqueue() skips ids already in the queue — a replayed batch
-    enqueues nothing and re-drains already-terminal jobs as a no-op,
-    yielding effectively-once intake. AvailableNow drains what's present
-    then stops (resumable); pass ``available_now=False`` for a live
-    continuous worker."""
+    IDEMPOTENT: job_ids derive deterministically from the MICRO-BATCH id
+    plus the config content hash, and enqueue() skips ids already in the
+    queue — a replayed batch enqueues nothing and re-drains
+    already-terminal jobs as a no-op, yielding effectively-once intake.
+    Mixing ``batch_id`` in (ADVICE r3) keeps replay dedup exact while a
+    LATER legitimate re-submission of an identical config (a periodic
+    recrawl request, the reference's POST /jobs always-new-job semantics,
+    src/server.ts) lands in a new micro-batch and gets a fresh id — even
+    after clear_completed() has dropped the old terminal row.
+    AvailableNow drains what's present then stops (resumable); pass
+    ``available_now=False`` for a live continuous worker."""
     import hashlib as _hashlib
     import json as _json
 
@@ -202,10 +207,13 @@ def stream_job_intake(
                 except Exception:  # noqa: BLE001 — malformed job: skip, don't kill the stream
                     continue
         if configs:
-            # deterministic ids ⇒ batch replay is a no-op (see docstring)
+            # deterministic per-(batch, config) ids ⇒ a REPLAY of this
+            # micro-batch is a no-op, while the same config arriving in a
+            # later batch is a new job (see docstring)
             ids = [
                 "intake-" + _hashlib.sha256(
-                    _json.dumps(cfg.to_dict(), sort_keys=True).encode()
+                    f"{batch_id}|".encode() + _json.dumps(
+                        cfg.to_dict(), sort_keys=True).encode()
                 ).hexdigest()[:16]
                 for cfg in configs
             ]

@@ -172,3 +172,41 @@ def test_stream_job_intake_replay_is_idempotent(spark, tiny_pages, tmp_path):
     q2.awaitTermination(600)
     s2 = JobWorker(spark, SnapshotStore(store_root), tiny_pages).stats()
     assert s2 == s1  # no duplicate job, nothing re-crawled
+
+
+def test_stream_job_intake_resubmission_is_a_new_job(spark, tiny_pages,
+                                                     tmp_path):
+    """ADVICE r3: a legitimate LATER re-submission of an identical config
+    (periodic recrawl; the reference's POST /jobs always creates a new
+    job) must run again — job ids mix the micro-batch id, so only a
+    replay of the SAME batch dedupes."""
+    import json
+    import os
+
+    from context_crawler_spark.plans.jobs import JobWorker
+    from context_crawler_spark.state import SnapshotStore
+    from context_crawler_spark.streaming.pipelines import stream_job_intake
+
+    payload = json.dumps({
+        "entry": "https://site0.test/",
+        "match": ["https://site0.test/**"],
+        "selector": "article",
+        "name": "periodic-job",
+    })
+    intake = tmp_path / "intake"
+    os.makedirs(intake)
+    (intake / "wave1.json").write_text(payload)
+    store_root = str(tmp_path / "store")
+    q = stream_job_intake(spark, str(intake), str(tmp_path / "ckpt"),
+                          store_root, tiny_pages)
+    q.awaitTermination(600)
+    w = JobWorker(spark, SnapshotStore(store_root), tiny_pages)
+    assert w.stats()["completed"] == 1
+
+    # identical config, new intake file, next micro-batch → NEW job
+    (intake / "wave2.json").write_text(payload)
+    q2 = stream_job_intake(spark, str(intake), str(tmp_path / "ckpt"),
+                           store_root, tiny_pages)
+    q2.awaitTermination(600)
+    s = JobWorker(spark, SnapshotStore(store_root), tiny_pages).stats()
+    assert s["completed"] == 2 and s["total"] == 2

@@ -248,3 +248,58 @@ def test_write_warc_files_size_targeting(spark, tmp_path):
     assert n_files == 4
     back = read_warc(spark, out)
     assert back.count() == 8
+
+
+def test_sniff_accepts_bom_xml_prolog_and_leading_comment():
+    """ADVICE r3: typeless records opening with a UTF-8 BOM, an XML prolog
+    (XHTML), or a leading comment are HTML when an <html>/<!doctype>
+    follows; RSS/SVG and other non-HTML XML stay excluded."""
+    def response(uri, entity):
+        http = b"HTTP/1.1 200 OK\r\n\r\n" + entity
+        return (
+            "WARC/1.1\r\nWARC-Type: response\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            "WARC-Date: 2017-03-06T04:02:06Z\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode() + http + b"\r\n\r\n"
+
+    cases = {
+        "https://a.test/bom": b"\xef\xbb\xbf<!doctype html><html>x</html>",
+        "https://a.test/xhtml": (
+            b'<?xml version="1.0" encoding="UTF-8"?>\n'
+            b'<!DOCTYPE html><html xmlns="http://www.w3.org/1999/xhtml">'
+            b"x</html>"),
+        "https://a.test/comment": (
+            b"<!-- served by cache -->\n<html><body>x</body></html>"),
+        "https://a.test/rss": (
+            b'<?xml version="1.0"?><rss version="2.0"><channel/></rss>'),
+        "https://a.test/svg": (
+            b'<?xml version="1.0"?><svg xmlns="http://www.w3.org/2000/svg"/>'),
+        "https://a.test/png": b"\x89PNG\r\n....",
+    }
+    raw = b"".join(response(u, e) for u, e in cases.items())
+    got = [u for u, *_ in records_from_file(raw)]
+    assert got == ["https://a.test/bom", "https://a.test/xhtml",
+                   "https://a.test/comment"]
+
+
+def test_write_warc_files_returns_actual_file_count(spark, tmp_path):
+    """ADVICE r3: empty range partitions write no file — the returned
+    count must be files actually produced, not partitions planned."""
+    import os as _os
+
+    from context_crawler_spark.sources.warc import write_warc_files
+
+    big = b"y" * (1 << 20)
+    # every row shares one url → range partitioning puts them ALL in one
+    # of the 4 planned partitions; the other 3 write nothing
+    rows = [("https://one.test/only", datetime(2021, 1, 1), big)
+            for _ in range(8)]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+    out = str(tmp_path / "w")
+    n = write_warc_files(df, out, target_mb=2)
+    on_disk = [e for e in _os.listdir(out) if e.endswith(".warc.gz")]
+    assert n == len(on_disk) == 1
+    assert not any(e.endswith(".tmp") or ".tmp-" in e for e in _os.listdir(out))
+    back = read_warc(spark, out)
+    assert back.count() == 8
