@@ -489,10 +489,11 @@ _SITEMAP_LOC = re.compile(r"<loc>\s*([^<\s][^<]*?)\s*</loc>", re.IGNORECASE)
 
 def expand_sitemap_seeds(
     seeds: list[str],
-    fetch,
-    in_scope,
-    is_sitemap,
+    fetch=None,
+    in_scope=None,
+    is_sitemap=None,
     max_depth: int = 3,
+    fetch_many=None,
 ) -> list[str]:
     """Expand seed URLs through sitemaps INCLUDING nested ``<sitemapindex>``
     files (the standard large-site layout: an index of sitemaps of pages).
@@ -502,17 +503,48 @@ def expand_sitemap_seeds(
     practical web ceiling). ``in_scope`` filters only URLs discovered FROM
     a sitemap — explicit non-sitemap seeds pass through unfiltered, same
     as the reference's downloadListOfUrls handling (src/core.ts:335-352,
-    which is single-level; the nested hop is this engine's extension)."""
+    which is single-level; the nested hop is this engine's extension).
+
+    Fetching is LEVEL-BATCHED (VERDICT r3 #9): the sitemap tree is walked
+    breadth-first and each depth level's unseen files go to
+    ``fetch_many(urls) -> {url: content}`` as ONE call — in pages-join
+    mode that is one Spark join per LEVEL instead of one driver-blocking
+    job per sitemap file (a nested index of hundreds of files = O(depth)
+    jobs, not O(files)). The flatten then replays depth-first over the
+    cached contents, so the output order is exactly the sequential
+    reader's. ``fetch_many`` defaults to mapping ``fetch`` per URL."""
+    if fetch_many is None:
+        fetch_many = lambda urls: {u: fetch(u) for u in urls}  # noqa: E731
+
+    # phase 1 — level-batched fetch of the whole sitemap tree
+    contents: dict[str, list[str]] = {}
+    fetched: set[str] = set()
+    level = list(dict.fromkeys(u for u in seeds if is_sitemap(u)))
+    depth = 0
+    while level and depth < max_depth:
+        new = [u for u in level if u not in fetched]
+        fetched.update(new)
+        got = fetch_many(new) if new else {}
+        nxt: list[str] = []
+        for u in new:
+            children = parse_sitemap(got.get(u) or "")
+            contents[u] = children
+            nxt.extend(v for v in children
+                       if is_sitemap(v) and v not in fetched)
+        level = list(dict.fromkeys(nxt))
+        depth += 1
+
+    # phase 2 — depth-first flatten in document order (cached, no I/O)
     out: list[str] = []
     seen: set[str] = set()
 
-    def expand(u: str, depth: int, from_sitemap: bool) -> None:
-        if is_sitemap(u) and depth < max_depth:
+    def expand(u: str, d: int, from_sitemap: bool) -> None:
+        if is_sitemap(u) and d < max_depth:
             if u in seen:
                 return
             seen.add(u)
-            for v in parse_sitemap(fetch(u) or ""):
-                expand(v, depth + 1, True)
+            for v in contents.get(u, []):
+                expand(v, d + 1, True)
         elif not from_sitemap or in_scope(u):
             out.append(u)
 
