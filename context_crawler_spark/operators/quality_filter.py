@@ -26,11 +26,18 @@ MIN_WORDS, MAX_WORDS = 50, 100_000
 BULLET_PREFIXES = ("-", "*", "•")  # -, *, •
 
 
-def gopher_flags(text_col: str = "text") -> dict[str, Column]:
+def gopher_flags(text_col: str = "text", words_col: str | None = None,
+                 lines_col: str | None = None) -> dict[str, Column]:
     """Named boolean flag per Gopher rule (True = rule satisfied), plus the
-    integer features they derive from. Keys prefixed ``f_`` are flags."""
+    integer features they derive from. Keys prefixed ``f_`` are flags.
+
+    ``words_col``/``lines_col`` name PRE-MATERIALIZED split-array columns
+    (``gopher_filter`` provides them): the flags reference each array
+    ~a dozen times, and building them from a column alias evaluates the
+    split once per row instead of once per referencing expression."""
     t = F.col(text_col)
-    words = F.split(F.trim(t), r"\s+")
+    words = (F.col(words_col) if words_col
+             else F.split(F.trim(t), r"\s+"))
     n_words = F.size(words).cast("long")
     # total characters across words (mean-word-length numerator)
     word_chars = F.aggregate(
@@ -43,7 +50,7 @@ def gopher_flags(text_col: str = "text") -> dict[str, Column]:
     dots3 = ((F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3).cast("long")
     uni_ell = (F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit("")))).cast("long")
     symbols = hashes + dots3 + uni_ell
-    lines = F.split(t, r"\n")
+    lines = F.col(lines_col) if lines_col else F.split(t, r"\n")
     n_lines = F.size(lines).cast("long")
     bullet_lines = F.size(F.filter(
         lines,
@@ -97,22 +104,37 @@ def gopher_repetition(df: DataFrame, text_col: str = "text",
     convention), and top-2-gram character fraction (≤0.20, the most common
     word 2-gram's count×length over total word characters).
 
-    Shapes: the line/paragraph stats are within-row higher-order functions
-    (zero shuffle); the top-2-gram runs the idiomatic distributed kernel —
-    explode → groupBy(id, gram) → per-id max — ONE shuffle keyed on the id,
-    linear in corpus size (a per-row O(len²) HOF would be the wrong kernel
-    at 100 TB). Thresholds are integer cross-multiplied, hash-identical to
-    the DuckDB oracle."""
+    Shape (r4): every statistic — including the top 2-gram — is computed
+    WITHIN the row, so the whole operator is one zero-shuffle projection.
+    The 2-gram max is ``array_sort`` + one run-length fold over the sorted
+    grams (O(n log n) per row, vs the O(n²) count-each-distinct HOF that
+    PLANS.md §8 rejected); at any corpus scale that beats the r3
+    explode → groupBy(id, gram) kernel, which shuffled ~8× the corpus
+    bytes to compute a per-document statistic. Two plan rules the r3
+    profile exposed (7.7 s → ~0.5 s at sf0.1): (a) split arrays are
+    MATERIALIZED as columns first — an alias referenced more than once is
+    not inlined by CollapseProject, while referencing the raw ``split()``
+    expression from inside a lambda re-evaluates the split per element
+    (O(n²·len) per row); (b) grams build via ``zip_with`` on two slices,
+    never ``element_at(expr, i)`` in a ``transform``. Thresholds are
+    integer cross-multiplied, hash-identical to the DuckDB oracle."""
     t = F.col(text_col)
-    lines = F.split(t, r"\n")
-    paras = F.split(t, r"\n\n")
-    words = F.split(F.trim(t), r"\s+")
+    arrays = {
+        "__lines": F.split(t, r"\n"),
+        "__paras": F.split(t, r"\n\n"),
+        "__words": F.split(F.trim(t), r"\s+"),
+    }
+    base = df.withColumns(arrays)
+    base = base.withColumns({
+        "__lines_d": F.array_distinct("__lines"),
+        "__paras_d": F.array_distinct("__paras"),
+    })
 
-    def unit_stats(col: Column, prefix: str) -> dict[str, Column]:
+    def unit_stats(col: str, dcol: str, prefix: str) -> dict[str, Column]:
         n = F.size(col).cast("long")
-        nd = F.size(F.array_distinct(col)).cast("long")
-        chars = _hof_char_sum(col)
-        dchars = _hof_char_sum(F.array_distinct(col))
+        nd = F.size(dcol).cast("long")
+        chars = _hof_char_sum(F.col(col))
+        dchars = _hof_char_sum(F.col(dcol))
         return {
             f"{prefix}_n": n,
             f"{prefix}_dup": n - nd,
@@ -120,31 +142,37 @@ def gopher_repetition(df: DataFrame, text_col: str = "text",
             f"{prefix}_dup_chars": chars - dchars,
         }
 
-    ls = unit_stats(lines, "line")
-    ps = unit_stats(paras, "para")
-    base = df
-    for k, c in {**ls, **ps}.items():
-        base = base.withColumn(k, c)
-    base = base.withColumn("word_chars", _hof_char_sum(words))
-
+    words = F.col("__words")
     grams = F.when(
         F.size(words) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(words, i), F.element_at(words, i + 1)),
+        F.zip_with(
+            F.slice(words, 1, F.size(words) - 1),
+            F.slice(words, 2, F.size(words) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    top2 = (
-        df.select(id_col, F.explode(grams).alias("gram"))
-        .groupBy(id_col, "gram").count()
-        .groupBy(id_col)
-        .agg(F.max(F.col("count") * F.length("gram").cast("long"))
-             .alias("top2_chars"))
-    )
-    out = base.join(top2, id_col, "left").withColumn(
-        "top2_chars", F.coalesce(F.col("top2_chars"), F.lit(0)).cast("long")
-    )
+    # run-length fold over the sorted grams: max over runs of count×length
+    zero = F.lit(0).cast("long")
+    acc0 = F.struct(F.lit("").alias("prev"), zero.alias("run"),
+                    zero.alias("best"))
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1) \
+            .otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"],
+                       run * F.length(x).cast("long")).alias("best"),
+        )
+
+    top2_chars = F.aggregate(F.array_sort(grams), acc0, step,
+                             lambda acc: acc["best"])
+    out = base.withColumns({
+        **unit_stats("__lines", "__lines_d", "line"),
+        **unit_stats("__paras", "__paras_d", "para"),
+        "word_chars": _hof_char_sum(words),
+        "top2_chars": top2_chars,
+    }).drop("__lines", "__paras", "__words", "__lines_d", "__paras_d")
     return (
         out.withColumn("f_dup_lines",
                        10 * F.col("line_dup") <= 3 * F.col("line_n"))
@@ -168,15 +196,25 @@ def gopher_repetition(df: DataFrame, text_col: str = "text",
 def gopher_filter(df: DataFrame, text_col: str = "text",
                   keep_flags: bool = False) -> DataFrame:
     """Rows passing ALL Gopher rules. ``keep_flags=True`` appends the flag
-    and feature columns instead of dropping failures' diagnostics."""
-    flags = gopher_flags(text_col)
+    and feature columns instead of dropping failures' diagnostics.
+
+    The split arrays are materialized once up front (see gopher_flags) —
+    still a single zero-shuffle projection, just one split per row."""
+    t = F.col(text_col)
+    base = df.withColumns({
+        "__gwords": F.split(F.trim(t), r"\s+"),
+        "__glines": F.split(t, r"\n"),
+    })
+    flags = gopher_flags(text_col, words_col="__gwords",
+                         lines_col="__glines")
     passed = None
     for k, c in flags.items():
         if k.startswith("f_"):
             passed = c if passed is None else (passed & c)
     if keep_flags:
-        out = df
+        out = base
         for k, c in flags.items():
             out = out.withColumn(k, c)
-        return out.withColumn("gopher_pass", passed)
-    return df.filter(passed)
+        return out.withColumn("gopher_pass", passed) \
+            .drop("__gwords", "__glines")
+    return base.filter(passed).drop("__gwords", "__glines")
