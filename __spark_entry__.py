@@ -594,7 +594,10 @@ def q_embedding_near_dup(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN top-k (the 10^9-vector scale path)."""
+    """LSH-bucketed ANN top-k (the 10^9-vector scale path). Runs the
+    shipped default ``probe_flips=2`` — the setting whose recall@10 is
+    ≥0.9 clustered / 0.97 bench-corpus (VERDICT r3 #2: the query path
+    must run the configuration the quality bar was measured at)."""
     from context_crawler_spark.operators.search import (
         lsh_topk, make_lsh_bucket_udf,
     )
@@ -603,7 +606,8 @@ def q_ann_lsh_topk(spark, sf_dir):
     qvec = list(e.filter(F.col("vec_id") == 2).select("embedding").head()[0])
     udf = make_lsh_bucket_udf(dim=64, n_tables=8, bits_per_table=8)
     indexed = e.withColumn("lsh_buckets", udf("embedding"))
-    out = lsh_topk(indexed, qvec, k=10, dim=64, n_tables=8, bits_per_table=8)
+    out = lsh_topk(indexed, qvec, k=10, dim=64, n_tables=8, bits_per_table=8,
+                   probe_flips=2)
     return out.select("vec_id", F.round("score", 6).alias("score"))
 
 
@@ -649,13 +653,15 @@ def q_ann_ivf_topk(spark, sf_dir):
     index (coarse quantizer + cell-partitioned corpus), probe the nprobe
     nearest cells — a partition-pruning IN-filter on the parquet layout —
     and exact-score inside them. Probing every cell degrades to the exact
-    search (pytest-pinned)."""
+    search (pytest-pinned). Runs the shipped default ``nprobe=8`` of 16 —
+    recall@10 ≥0.9 clustered (pytest-pinned) / 0.85 bench-corpus
+    (50-query sweep, BENCH.md), still pruning half the corpus."""
     from context_crawler_spark.operators.search import ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
     qvec = list(e.filter(F.col("vec_id") == 2).select("embedding").head()[0])
     cents, indexed = _ivf_index(spark, sf_dir)
-    out = ivf_topk(indexed, cents, qvec, k=10, nprobe=6)
+    out = ivf_topk(indexed, cents, qvec, k=10, nprobe=8)
     return out.select("vec_id", F.round("score", 6).alias("score"))
 
 

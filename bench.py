@@ -156,21 +156,23 @@ def bench_extract(spark, sf_dir: str) -> dict[str, float]:
             "extract_pages_per_sec": round(n / dt, 1)}
 
 
-def bench_ann_recall(spark, sf_dir: str, n_queries: int = 5,
+def bench_ann_recall(spark, sf_dir: str, n_queries: int = 50,
                      k: int = 10) -> dict:
-    """recall@10 of the ANN paths vs exact ground truth on the benchmark
-    embeddings (VERDICT r2 #8: fast-but-low-recall is a silent quality
-    bug). Ground truth = ONE knn_join pass for all query vectors; each ANN
-    path answers at the same settings the headline queries use. Reported,
-    not asserted: recall here is data-dependent — the synthetic benchmark
-    vectors are near-orthogonal (ANN's worst case, no angular
-    neighborhoods); tests/test_ann_recall.py pins ≥0.9 floors on clustered
-    embeddings where the ANN contract is meaningful."""
+    """recall@10 sweep of the ANN paths vs exact ground truth on the
+    benchmark embeddings (VERDICT r3 #2: the shipped defaults must match
+    the documented quality bar, chosen from a ≥50-query sweep). Ground
+    truth = ONE knn_join pass; each sweep point answers ALL queries in one
+    job via the batch ANN APIs (lsh_topk_batch / ivf_topk_batch — result-
+    identical to the single-query forms, pytest-pinned). Recall here is
+    data-dependent: the synthetic bench vectors are near-orthogonal
+    (ANN's worst case); tests/test_ann_recall.py pins ≥0.9 floors on
+    clustered embeddings at the SAME shipped defaults. ``*_default``
+    keys mark the configuration the headline queries run."""
     from pyspark.sql import functions as F
 
     import __spark_entry__ as entrymod
     from context_crawler_spark.operators.search import (
-        ivf_topk, knn_join, lsh_topk, make_lsh_bucket_udf,
+        ivf_topk_batch, knn_join, lsh_topk_batch, make_lsh_bucket_udf,
     )
 
     e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -186,24 +188,24 @@ def bench_ann_recall(spark, sf_dir: str, n_queries: int = 5,
     indexed_lsh.count()
     cents, indexed_ivf = entrymod._ivf_index(spark, sf_dir)
 
-    def _avg_recall(answer) -> float:
-        vals = []
-        for qid, qv in queries:
-            got = {r["vec_id"] for r in answer(qv).collect()}
-            vals.append(len(got & gt[qid]) / k)
-        return round(sum(vals) / len(vals), 3)
+    def _avg_recall(df) -> float:
+        got: dict[int, set] = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return round(
+            sum(len(got.get(q, set()) & gt[q]) / k for q, _ in queries)
+            / len(queries), 3)
 
-    out = {
-        "k": k,
-        "n_queries": n_queries,
-        "lsh": _avg_recall(lambda qv: lsh_topk(
-            indexed_lsh, qv, k=k, dim=64, n_tables=8, bits_per_table=8)),
-        "lsh_multiprobe1": _avg_recall(lambda qv: lsh_topk(
-            indexed_lsh, qv, k=k, dim=64, n_tables=8, bits_per_table=8,
-            probe_flips=1)),
-        "ivf_nprobe6": _avg_recall(lambda qv: ivf_topk(
-            indexed_ivf, cents, qv, k=k, nprobe=6)),
-    }
+    out: dict = {"k": k, "n_queries": len(queries)}
+    for flips in (0, 1, 2):
+        key = "lsh_flips%d%s" % (flips, "_default" if flips == 2 else "")
+        out[key] = _avg_recall(lsh_topk_batch(
+            indexed_lsh, queries, k=k, dim=64, n_tables=8,
+            bits_per_table=8, probe_flips=flips))
+    for nprobe in (4, 6, 8, 12):
+        key = "ivf_nprobe%d%s" % (nprobe, "_default" if nprobe == 8 else "")
+        out[key] = _avg_recall(ivf_topk_batch(
+            indexed_ivf, cents, queries, k=k, nprobe=nprobe))
     indexed_lsh.unpersist()
     return out
 
@@ -220,11 +222,17 @@ def main() -> None:
                       extra_conf={"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
 
+    # machine-load context per sample (VERDICT r3 #1: recorded numbers on
+    # this shared box swing ±50% with co-tenant load; loadavg makes a
+    # loaded run distinguishable from a regression in the artifact itself)
+    load_start = [round(x, 2) for x in os.getloadavg()]
     _warmup(spark)
     queries = bench_queries(spark, sf_dir)
+    load_mid = [round(x, 2) for x in os.getloadavg()]
     frontier = bench_frontier(spark, n_frontier)
     extract = bench_extract(spark, sf_dir)
     ann_recall = bench_ann_recall(spark, sf_dir)
+    load_end = [round(x, 2) for x in os.getloadavg()]
 
     # r2 widened the suite from 16 to 20 queries (simhash_dedup,
     # embedding_near_dup, ann_lsh_topk, ann_ivf_topk); r1_comparable_total
@@ -247,6 +255,8 @@ def main() -> None:
         "cpus": cpus,
         "frontier": {**frontier, **extract},
         "ann_recall_at_10": ann_recall,
+        "loadavg": {"start": load_start, "after_queries": load_mid,
+                    "end": load_end},
     }
     print(json.dumps(result))
 

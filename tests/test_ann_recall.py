@@ -131,3 +131,80 @@ def test_probe_keys_expansion():
     assert set(keys) == {
         base[0], base[0] ^ 1, base[0] ^ 2, base[0] ^ 4, base[0] ^ 8,
     }
+
+
+def test_default_paths_hit_the_recall_floor(spark, clustered):
+    """VERDICT r3 #2: the SHIPPED defaults (lsh_topk probe_flips=2,
+    ivf_topk nprobe=8 — no explicit knobs passed) must themselves clear
+    the ≥0.9 clustered floor; the quality bar holds for the configuration
+    users actually run."""
+    vecs, df, qix = clustered
+    udf = make_lsh_bucket_udf(dim=DIM, n_tables=8, bits_per_table=8)
+    indexed = df.withColumn("lsh_buckets", udf("embedding")).cache()
+    indexed.count()
+    cents = train_ivf_centroids(df, n_cells=16, iters=4)
+    indexed_ivf = with_ivf_cells(df, cents).cache()
+    indexed_ivf.count()
+    lsh_recalls, ivf_recalls = [], []
+    for q in qix:
+        gt = _ground_truth_top10(vecs, q)
+        got_lsh = {
+            r["vec_id"] for r in lsh_topk(
+                indexed, vecs[q].tolist(), k=10, dim=DIM, n_tables=8,
+                bits_per_table=8,   # probe_flips NOT passed — the default
+            ).collect()
+        }
+        got_ivf = {
+            r["vec_id"] for r in ivf_topk(
+                indexed_ivf, cents, vecs[q].tolist(), k=10,  # nprobe default
+            ).collect()
+        }
+        lsh_recalls.append(len(gt & got_lsh) / 10)
+        ivf_recalls.append(len(gt & got_ivf) / 10)
+    indexed.unpersist()
+    indexed_ivf.unpersist()
+    assert np.mean(lsh_recalls) >= 0.9, lsh_recalls
+    assert np.mean(ivf_recalls) >= 0.9, ivf_recalls
+
+
+def test_batch_apis_match_single_query(spark, clustered):
+    """lsh_topk_batch / ivf_topk_batch answer every query identically to
+    the single-query forms at the same settings — the bench recall sweep
+    measures exactly what the headline queries run."""
+    from context_crawler_spark.operators.search import (
+        ivf_topk_batch, lsh_topk_batch,
+    )
+
+    vecs, df, qix = clustered
+    udf = make_lsh_bucket_udf(dim=DIM, n_tables=8, bits_per_table=8)
+    indexed = df.withColumn("lsh_buckets", udf("embedding")).cache()
+    indexed.count()
+    cents = train_ivf_centroids(df, n_cells=16, iters=4)
+    indexed_ivf = with_ivf_cells(df, cents).cache()
+    indexed_ivf.count()
+    queries = [(int(q), vecs[q].tolist()) for q in qix[:4]]
+    lsh_b = lsh_topk_batch(indexed, queries, k=10, dim=DIM, n_tables=8,
+                           bits_per_table=8, probe_flips=2)
+    ivf_b = ivf_topk_batch(indexed_ivf, cents, queries, k=10, nprobe=8)
+
+    def by_query(df_):
+        out = {}
+        for r in df_.collect():
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    got_lsh, got_ivf = by_query(lsh_b), by_query(ivf_b)
+    for qid, qv in queries:
+        single_lsh = {
+            r["vec_id"] for r in lsh_topk(
+                indexed, qv, k=10, dim=DIM, n_tables=8, bits_per_table=8,
+                probe_flips=2).collect()
+        }
+        single_ivf = {
+            r["vec_id"] for r in ivf_topk(
+                indexed_ivf, cents, qv, k=10, nprobe=8).collect()
+        }
+        assert got_lsh[qid] == single_lsh, qid
+        assert got_ivf[qid] == single_ivf, qid
+    indexed.unpersist()
+    indexed_ivf.unpersist()
