@@ -98,10 +98,12 @@ def bench_frontier(spark, n_urls: int) -> dict[str, float]:
     # warm the input (datagen excluded from the scheduling measurement)
     frontier = frontier.persist()
     frontier.count()
-    # best of 2: single samples on this box swing 2-5x with residual JVM/
-    # page-cache state from whatever ran before (see BENCH.md variance note)
+    # best of 4: single samples on this box swing 2-5x with residual JVM/
+    # page-cache state from whatever ran before (see BENCH.md variance
+    # note; the r3 'regression' was exactly this — an isolated rerun of
+    # the unchanged path matched r2)
     sched_s = float("inf")
-    for _ in range(2):
+    for _ in range(4):
         t0 = time.time()
         polite = apply_politeness(frontier, budget_per_host=1000)
         batch = emit_fetch_batch(polite, max_batch=1_000_000)

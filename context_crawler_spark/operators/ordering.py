@@ -58,33 +58,31 @@ def with_global_seq(
         offsets[pid] = acc
         acc += counts[pid]
 
-    # Stamp the index with a NARROW mapInPandas over the already-sorted
-    # range partitions (offset + running position). A window
-    # partitionBy(pid) here would add a shuffle that AQE coalesces to ONE
-    # partition on modest data, serializing every downstream stage.
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    out_schema = StructType(
-        [f for f in parted.schema.fields if f.name != "__pid"]
-        + [StructField(seq_col, LongType(), False)]
+    # Stamp the index NARROWLY and JVM-SIDE: seq = offset[pid] + the row's
+    # position within its partition. The position comes from
+    # monotonically_increasing_id's per-partition counter (its low 33 bits
+    # — the id is (partitionId << 33) + rowIndex), which is well-defined
+    # here because the eager localCheckpoint above froze both the
+    # partition layout and the in-partition sort order. The r1-r3 shape —
+    # a mapInPandas doing the same arithmetic — Arrow-round-tripped every
+    # row through Python and was ~4.6 s of the 7.8 s frontier hot path at
+    # 5M rows (BENCH.md r4); this is the same narrow plan with zero
+    # Python. A window partitionBy(pid) would instead add a shuffle that
+    # AQE coalesces to ONE partition on modest data, serializing every
+    # downstream stage.
+    omap = F.create_map(
+        *[F.lit(x) for pid in sorted(offsets)
+          for x in (int(pid), int(offsets[pid]))]
     )
-    out_cols = [f.name for f in out_schema.fields]
-
-    def assign(batches):
-        import numpy as np
-
-        pos: dict[int, int] = {}
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            pid = int(pdf["__pid"].iloc[0])
-            s = pos.get(pid, offsets[pid])
-            pdf = pdf.drop(columns=["__pid"])
-            pdf[seq_col] = np.arange(s, s + len(pdf), dtype=np.int64)
-            pos[pid] = s + len(pdf)
-            yield pdf[out_cols]
-
-    return parted.mapInPandas(assign, out_schema)
+    return (
+        parted.withColumn(
+            seq_col,
+            (F.element_at(omap, F.col("__pid"))
+             + F.pmod(F.monotonically_increasing_id(), F.lit(1 << 33))
+             ).cast("long"),
+        )
+        .drop("__pid")
+    )
 
 
 TOPK_THRESHOLD = 20_000  # below this, per-partition-heap TakeOrdered wins
