@@ -681,6 +681,33 @@ def q_chunk_documents(spark, sf_dir):
     )
 
 
+def q_chunk_split_plan(spark, sf_dir):
+    """Recursive character splitting with a FULL DuckDB oracle (VERDICT r3
+    #7): chunk_size=120 / overlap=20 over the raw document text makes the
+    splitter's separator cascade + sliding-overlap merge actually fire on
+    this corpus (3-6 chunks/doc), and the oracle replays the merge fold
+    as a recursive-CTE stack machine (emit/pop/consume actions — the same
+    trick that cracked output_split_plan in r3). The md5 over all chunk
+    bytes pins the exact chunk CONTENT, not just counts. Engine side is
+    the general splitter (functions/chunker.py, langchain-JS parity); the
+    oracle covers the no-oversized-piece regime this corpus is in (every
+    space-split word < chunk_size — oversized pieces recurse in the
+    engine, and the rows-only `chunk_documents` + golden tests cover
+    that)."""
+    from context_crawler_spark.functions.udfs import make_split_text_udf
+
+    split_udf = make_split_text_udf(chunk_size=120, chunk_overlap=20)
+    d = _t(spark, sf_dir, "documents")
+    ch = split_udf("text")
+    return d.select(
+        "doc_id",
+        F.size(ch).alias("n_chunks"),
+        F.length(F.element_at(ch, 1)).alias("first_chunk_len"),
+        F.length(F.element_at(ch, -1)).alias("last_chunk_len"),
+        F.md5(F.concat_ws("\x1f", ch)).alias("chunks_md5"),
+    )
+
+
 def q_embed_documents(spark, sf_dir):
     """Deterministic embedding UDF (MiniLM stand-in contract): returns the
     vector's first component + norm as scalars."""
@@ -865,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "chunk_documents": q_chunk_documents,
+        "chunk_split_plan": q_chunk_split_plan,
         "embed_documents": q_embed_documents,
         "extract_page": q_extract_page,
         "canonicalize": q_canonicalize,
@@ -1184,6 +1212,88 @@ def oracle_sql() -> dict[str, str]:
                     AND (5 * COALESCE(tg.top2_chars, 0) <= word_chars))
                      AS repetition_pass
             FROM s LEFT JOIN tg ON s.doc_id = tg.doc_id
+        """,
+        "chunk_split_plan": """
+            WITH RECURSIVE
+            base AS (
+              SELECT doc_id, text,
+                CASE
+                  WHEN contains(text, chr(10)||'---'||chr(10))
+                    THEN chr(10)||'---'||chr(10)
+                  WHEN contains(text, chr(10)||chr(10)) THEN chr(10)||chr(10)
+                  WHEN contains(text, chr(10)) THEN chr(10)
+                  WHEN contains(text, ' ') THEN ' '
+                  ELSE ''
+                END AS sep
+              FROM documents
+            ),
+            -- keep-separator split: piece i>1 re-attaches its leading sep
+            -- (langchain-JS lookahead-regex split); empty pieces drop
+            pieces AS (
+              SELECT doc_id,
+                list_filter(
+                  list_transform(string_split(text, sep),
+                    (x, i) -> CASE WHEN i = 1 THEN x ELSE sep || x END),
+                  x -> x <> ''
+                ) AS pcs
+              FROM base WHERE sep <> ''
+            ),
+            -- the mergeSplits fold as a stack machine: one recursion step
+            -- = one action. A: flush the accumulator as a chunk; B: pop
+            -- the overlap window down; C: consume the next piece.
+            machine AS (
+              SELECT doc_id, pcs, len(pcs) AS np,
+                     0 AS i, CAST([] AS VARCHAR[]) AS cur, 0 AS total,
+                     FALSE AS flushed, CAST([] AS VARCHAR[]) AS chunks
+              FROM pieces
+              UNION ALL
+              SELECT doc_id, pcs, np,
+                CASE WHEN act = 'C' THEN i + 1 ELSE i END,
+                CASE WHEN act = 'B' THEN cur[2:]
+                     WHEN act = 'C' THEN list_append(cur, d)
+                     ELSE cur END,
+                CASE WHEN act = 'B' THEN total - length(cur[1])
+                     WHEN act = 'C' THEN total + dl
+                     ELSE total END,
+                CASE WHEN act = 'A' THEN TRUE
+                     WHEN act = 'C' THEN FALSE
+                     ELSE flushed END,
+                CASE WHEN act = 'A' AND len(cur) > 0
+                          AND trim(array_to_string(cur, ''),
+                                   ' ' || chr(10) || chr(9) || chr(13)) <> ''
+                     THEN list_append(chunks,
+                            trim(array_to_string(cur, ''),
+                                 ' ' || chr(10) || chr(9) || chr(13)))
+                     ELSE chunks END
+              FROM (
+                SELECT *, pcs[i + 1] AS d, length(pcs[i + 1]) AS dl,
+                  CASE
+                    WHEN total + length(pcs[i + 1]) > 120 AND NOT flushed
+                      THEN 'A'
+                    WHEN flushed AND (total > 20
+                         OR (total + length(pcs[i + 1]) > 120 AND total > 0))
+                      THEN 'B'
+                    ELSE 'C'
+                  END AS act
+                FROM machine WHERE i < np
+              )
+            ),
+            final AS (
+              SELECT doc_id,
+                CASE WHEN trim(array_to_string(cur, ''),
+                          ' ' || chr(10) || chr(9) || chr(13)) <> ''
+                     THEN list_append(chunks,
+                            trim(array_to_string(cur, ''),
+                                 ' ' || chr(10) || chr(9) || chr(13)))
+                     ELSE chunks END AS chunks
+              FROM machine WHERE i = np
+            )
+            SELECT doc_id,
+                   CAST(len(chunks) AS INT) AS n_chunks,
+                   CAST(length(chunks[1]) AS INT) AS first_chunk_len,
+                   CAST(length(chunks[len(chunks)]) AS INT) AS last_chunk_len,
+                   md5(array_to_string(chunks, chr(31))) AS chunks_md5
+            FROM final
         """,
         "byte_budget": """
             SELECT doc_id,

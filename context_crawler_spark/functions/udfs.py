@@ -168,6 +168,21 @@ def make_chunk_text_udf(
 chunk_text_udf = make_chunk_text_udf()
 
 
+def make_split_text_udf(
+    chunk_size: int = chunker.DEFAULT_CHUNK_SIZE,
+    chunk_overlap: int = chunker.DEFAULT_CHUNK_OVERLAP,
+):
+    """Raw recursive character splitting (no framing) — the oracled
+    chunk_split_plan surface."""
+    sp = chunker.RecursiveCharacterTextSplitter(chunk_size, chunk_overlap)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def split_text_udf(text: pd.Series) -> pd.Series:
+        return text.map(lambda t: sp.split_text(t or ""))
+
+    return split_text_udf
+
+
 @F.pandas_udf(LongType())
 def rolling_fingerprint_udf(text: pd.Series) -> pd.Series:
     return text.map(lambda t: tokens.rolling_fingerprint(t or "") & ((1 << 63) - 1))

@@ -444,7 +444,7 @@ def test_fully_blocked_round_terminates(spark, tmp_path):
     store = SnapshotStore(str(tmp_path / "s"))
     eng = CrawlScheduler(spark, store, config, pages, n_buckets=4)
     meta = eng.run(max_rounds=10, robots=robots)
-    assert meta.get("finished"), meta.get("metrics")
+    assert meta.get("finished"), eng.metrics()
     assert eng.visit_order() == ["https://r.test/"]
     done = eng.done_frontier()
     blocked = done.filter(done.error == "robots_disallowed")
@@ -541,10 +541,77 @@ def test_legacy_migration_in_blocked_only_commit(spark, tmp_path):
     eng.run_round(robots=robots)            # fetch root, discover /a /b
     _downgrade_to_legacy(store, eng)
     meta = eng.run(max_rounds=10, robots=robots)  # next round: all blocked
-    assert meta.get("finished"), meta.get("metrics")
+    assert meta.get("finished"), eng.metrics()
     snap = store.snapshot()
     assert "frontier" not in snap.tables
     assert eng.live_frontier().count() == 0
     done = eng.done_frontier()
     assert done.filter(done.error == "robots_disallowed").count() == 2
     assert eng.visit_order() == ["https://r.test/"]
+
+
+def test_frontier_bucket_count_scales_with_backlog(spark, tmp_path):
+    """VERDICT r3 #4: NB grows with the backlog (power-of-two doublings,
+    re-bucketing the live set in a round's commit) and the STORED NB wins
+    over any later constructor value — a resuming scheduler must target
+    the pmod space the store was written with."""
+    from datetime import datetime, timezone
+
+    from context_crawler_spark.sources.synthetic_web import PAGES_SCHEMA
+
+    n_seeds = 300
+    urls = [f"https://nb.test/p{i}" for i in range(n_seeds)]
+    ts = datetime(2025, 1, 1, tzinfo=timezone.utc)
+    html = b"<html><body><article>x</article></body></html>"
+    pages = spark.createDataFrame(
+        [(u, ts, html, "x", "en") for u in urls], PAGES_SCHEMA)
+    config = CrawlConfig(
+        entry="https://nb.test/p0", match=["https://nb.test/**"],
+        selector="article", politeness_budget=64, auto_discover_nav=False,
+    )
+    store = SnapshotStore(str(tmp_path / "s"))
+    eng = CrawlScheduler(spark, store, config, pages, n_buckets=8,
+                         frontier_buckets=8, frontier_rows_per_bucket=16)
+    eng.seed(extra_seeds=urls[1:])
+    assert eng._nb() == 8  # seeded at the constructor NB
+    eng.run_round()
+    # 300-row backlog / 16 rows-per-bucket → next pow2 ≥ 19 → NB 32
+    assert eng._nb() == 32
+    assert eng.meta["frontier_buckets"] == 32
+    assert len(store.bucket_tables("frontier")) > 8
+    # resume under a DIFFERENT constructor default: stored NB wins
+    eng2 = CrawlScheduler(spark, store, config, pages, n_buckets=8,
+                          frontier_buckets=8, frontier_rows_per_bucket=16)
+    assert eng2._nb() == 32
+    eng2.run(max_rounds=20)
+    assert sorted(eng2.visit_order()) == sorted(urls)
+    assert eng2.live_frontier().count() == 0
+
+
+def test_metrics_live_in_tables_not_manifest(spark, tiny_pages, tiny_web,
+                                             tmp_path):
+    """VERDICT r3 #4: per-round metrics/lineage append to a bounded set of
+    metric TABLES (compacted on cadence); the snapshot manifest metadata
+    stays O(tables) — no accumulating history."""
+    import json
+
+    config = CrawlConfig(
+        entry="https://site0.test/", match=["https://site0.test/**"],
+        selector="article", politeness_budget=3,
+    )
+    store = SnapshotStore(str(tmp_path / "s"))
+    eng = CrawlScheduler(spark, store, config, tiny_pages, n_buckets=8,
+                         seen_compact_every=4)
+    eng.run(max_rounds=50)
+    snap = store.snapshot()
+    assert "metrics" not in snap.metadata
+    assert len(json.dumps(snap.metadata)) < 4000  # config + counters only
+    mdeltas = [t for t in snap.tables if t.startswith("metrics_s")]
+    assert len(mdeltas) < 4          # bounded by the compaction cadence
+    assert "crawl_metrics" in snap.tables
+    hist = eng.metrics()
+    rounds = [m["round"] for m in hist if m.get("claimed", 0) > 0]
+    assert len(hist) >= int(eng.meta["round"])  # every round recorded
+    assert rounds == sorted(rounds)
+    assert any(m.get("finished") for m in hist)
+    assert any("lineage" in m for m in hist)  # lineage in the table, too

@@ -179,7 +179,7 @@ def main() -> None:
         "reason": meta.get("finish_reason"),
         "snapshot": store.head_id(),
         "warc_files": n_warc,
-        "metrics_tail": (meta.get("metrics") or [])[-3:],
+        "metrics_tail": eng.metrics()[-3:],
     }))
 
 
