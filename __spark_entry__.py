@@ -1301,6 +1301,49 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) > 300 AS over_300b
             FROM documents
         """,
+        # Karp-Rabin rolling-hash fingerprint (r4): the per-byte prefix
+        # hash is a recursive-CTE fold (one row per byte position, HUGEINT
+        # intermediates to dodge BIGINT overflow, mod 2^61-1); each
+        # 64-byte window hash is H[i+64] - H[i]*257^64 from two prefix
+        # rows; fingerprint = min window hash (whole-text hash when
+        # length <= 64). char==byte holds on this ASCII corpus (the
+        # engine UDF hashes utf-8 BYTES; non-ASCII would need encode()).
+        "fingerprint": r"""
+            WITH RECURSIVE
+            d AS (
+              SELECT doc_id, COALESCE(text, '') AS t,
+                     length(COALESCE(text,'')) AS n
+              FROM documents
+            ),
+            pref AS (
+              SELECT doc_id, n, t, 0 AS k, CAST(0 AS HUGEINT) AS h
+              FROM d
+              UNION ALL
+              SELECT doc_id, n, t, k + 1,
+                     (h * 257 + ord(substr(t, k + 1, 1)))
+                       % 2305843009213693951
+              FROM pref WHERE k < n
+            ),
+            winh AS (
+              SELECT a.doc_id,
+                     ((((b.h - (a.h * 1228008658584816012)
+                          % 2305843009213693951) % 2305843009213693951)
+                       + 2305843009213693951) % 2305843009213693951) AS hw
+              FROM pref a JOIN pref b
+                ON a.doc_id = b.doc_id AND b.k = a.k + 64
+            ),
+            short AS (
+              SELECT p.doc_id, p.h AS fp FROM pref p JOIN d USING (doc_id)
+              WHERE p.k = d.n AND d.n <= 64
+            ),
+            longf AS (
+              SELECT doc_id, min(hw) AS fp FROM winh GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.fp, l.fp, 0) AS BIGINT) AS fingerprint
+            FROM d LEFT JOIN short s USING (doc_id)
+                   LEFT JOIN longf l USING (doc_id)
+        """,
         "url_slug": r"""
             WITH u AS (
               SELECT doc_id,
@@ -1515,6 +1558,67 @@ def oracle_sql() -> dict[str, str]:
         # Charikar simhash mirrored bit-for-bit: md5-seeded 64-bit feature
         # hashes (words + bigrams, duplicates counted), per-bit ±1 votes,
         # sign-bit handled as int64 two's complement (textstats.py:simhash64)
+        # simhash near-dup dedup END TO END (r4): per-doc signature (the
+        # proven md5-fold kernel below), all-pairs hamming<=3 (the engine's
+        # 4-block bucketing is LOSSLESS at <=3 by pigeonhole, so exact
+        # all-pairs is the same candidate set), then connected components
+        # as recursive min-label propagation; survivors = not a non-min
+        # member of any component
+        "simhash_dedup": r"""
+            WITH RECURSIVE
+            d AS (
+              SELECT doc_id,
+                trim(regexp_replace(lower(COALESCE(text,'')),'\s+',' ','g')) AS t
+              FROM documents
+            ), wl AS (
+              SELECT doc_id, list_filter(string_split(t,' '), x -> x <> '') AS ws
+              FROM d
+            ), feats AS (
+              SELECT doc_id, unnest(ws) AS f FROM wl
+              UNION ALL
+              SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-1),
+                                                   i -> ws[i] || ' ' || ws[i+1])) AS f
+              FROM wl WHERE len(ws) > 1
+            ), h AS (
+              SELECT doc_id, md5_number_upper(chr(0)||chr(0)||chr(0)||chr(0)||f) AS hv
+              FROM feats
+            ), bits AS (
+              SELECT doc_id, g.i,
+                SUM(CASE WHEN (hv >> g.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM h CROSS JOIN (SELECT unnest(generate_series(0,63)) AS i) g
+              GROUP BY doc_id, g.i
+            ), sig AS (
+              SELECT doc_id,
+                CAST(SUM(CASE WHEN v > 0 THEN
+                  CASE WHEN i = 63 THEN -9223372036854775808
+                       ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END
+                  ELSE 0 END) AS BIGINT) AS simhash
+              FROM bits GROUP BY doc_id
+            ), sigs AS (
+              SELECT d.doc_id, COALESCE(sig.simhash, 0) AS simhash
+              FROM d LEFT JOIN sig USING (doc_id)
+            ),
+            pairs AS (
+              SELECT l.doc_id AS id_l, r.doc_id AS id_r
+              FROM sigs l JOIN sigs r ON l.doc_id < r.doc_id
+              WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+            ),
+            edges AS (
+              SELECT id_l AS src, id_r AS dst FROM pairs
+              UNION ALL SELECT id_r, id_l FROM pairs
+            ),
+            lab AS (
+              SELECT DISTINCT src AS node, src AS comp FROM edges
+              UNION
+              SELECT e.dst AS node, lab.comp FROM lab JOIN edges e ON e.src = lab.node
+            ),
+            losers AS (
+              SELECT node AS doc_id FROM lab GROUP BY node
+              HAVING min(comp) <> node
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        """,
         "simhash": r"""
             WITH d AS (
               SELECT doc_id,
