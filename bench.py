@@ -50,6 +50,7 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "chunk_documents",
+    "chunk_split_plan",
 ]
 
 
@@ -243,15 +244,19 @@ def main() -> None:
     r2_added = {"simhash_dedup", "embedding_near_dup",
                 "ann_lsh_topk", "ann_ivf_topk"}
     r3_added = {"gopher_quality", "gopher_repetition"}
+    r4_added = {"chunk_split_plan"}
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "r1_comparable_total": round(
             sum(v for k, v in queries.items()
-                if k not in r2_added | r3_added), 3),
+                if k not in r2_added | r3_added | r4_added), 3),
         "r2_comparable_total": round(
-            sum(v for k, v in queries.items() if k not in r3_added), 3),
+            sum(v for k, v in queries.items()
+                if k not in r3_added | r4_added), 3),
+        "r3_comparable_total": round(
+            sum(v for k, v in queries.items() if k not in r4_added), 3),
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,

@@ -5,12 +5,19 @@ DESC, createdAt ASC LIMIT 1`` (reference src/queue.ts:131-137, implicit
 rowid tie-break) over a FIFO BFS frontier (Crawlee RequestQueue,
 src/core.ts:203-207,265,341). The engine replicates it with a globally
 monotonic ``seq`` (the rowid analog) assigned deterministically — never
-``monotonically_increasing_id``, whose values depend on partition layout.
+RAW ``monotonically_increasing_id``, whose values depend on partition
+layout.
 
 ``with_global_seq`` is the scalable zipWithIndex: range-repartition by the
-order key, sort within partitions, then offset per-partition row_numbers by
-the collected per-partition counts (a handful of longs on the driver — NOT
-data). One shuffle, no single-partition window, survives 10^10 rows.
+order key, sort within partitions, eagerly localCheckpoint (freezing both
+the partition layout and the in-partition order — this is what makes the
+id's per-partition counter well-defined), then seq = the collected
+per-partition offset (a handful of longs on the driver — NOT data) + the
+row's position within its frozen partition (the low 33 bits of
+``monotonically_increasing_id``, pure JVM; the r1-r3 mapInPandas doing the
+same arithmetic Arrow-round-tripped every row through Python). One
+shuffle, no single-partition window, survives 10^10 rows; determinism is
+pinned by the oracle-parity suites.
 """
 
 from __future__ import annotations
