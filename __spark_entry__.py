@@ -708,6 +708,41 @@ def q_chunk_split_plan(spark, sf_dir):
     )
 
 
+def q_pipeline_clean(spark, sf_dir):
+    """The composed training-data cleaning pipeline as ONE plan (r4):
+    Gopher quality gate → exact dedup (min-id keeper per normalized
+    text) → per-language corpus stats. Each stage is an independently
+    oracled operator; this query pins their COMPOSITION under the hash
+    gate — filter pushes into the scan, the dedup is the single
+    content-hash shuffle, and the final agg is map-side partial."""
+    from context_crawler_spark.operators.quality_filter import gopher_filter
+    from context_crawler_spark.operators.text_dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    # gate on the four CONTENT rules — the stop-word and line rules are
+    # degenerate on this synthetic corpus (no real stop words, one line
+    # per doc: 0/500 and 500/500 pass respectively), while word-count
+    # splits it 277/500, so the composition is actually exercised
+    flagged = gopher_filter(d, keep_flags=True)
+    clean = exact_dedup(
+        flagged.filter(
+            F.col("f_word_count") & F.col("f_mean_word_len")
+            & F.col("f_symbol_ratio") & F.col("f_alpha_words")
+        ).select(*d.columns)
+    )
+    return (
+        clean.withColumn(
+            "n_tokens",
+            F.size(F.split(F.trim("text"), r"\s+")).cast("long"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
 def q_embed_documents(spark, sf_dir):
     """Deterministic embedding UDF (MiniLM stand-in contract): returns the
     vector's first component + norm as scalars."""
@@ -893,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "chunk_documents": q_chunk_documents,
         "chunk_split_plan": q_chunk_split_plan,
+        "pipeline_clean": q_pipeline_clean,
         "embed_documents": q_embed_documents,
         "extract_page": q_extract_page,
         "canonicalize": q_canonicalize,
@@ -1294,6 +1330,66 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(chunks[len(chunks)]) AS INT) AS last_chunk_len,
                    md5(array_to_string(chunks, chr(31))) AS chunks_md5
             FROM final
+        """,
+        # the composed cleaning pipeline: Gopher gate (the proven flag
+        # kernel) → exact dedup over the PASSING set → per-lang stats
+        "pipeline_clean": r"""
+            WITH g AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\s+') AS words,
+                     string_split(text, chr(10)) AS lines,
+                     length(text) - length(replace(text, '#', ''))
+                       + CAST((length(text)
+                               - length(replace(text, '...', ''))) / 3 AS BIGINT)
+                       + length(text) - length(replace(text, '…', ''))
+                       AS symbols
+              FROM documents
+            ), f AS (
+              SELECT doc_id,
+                     CAST(len(words) AS BIGINT) AS n_words,
+                     CAST(len(lines) AS BIGINT) AS n_lines,
+                     CAST(symbols AS BIGINT) AS symbols,
+                     CAST(list_sum(list_transform(words, w -> length(w)))
+                          AS BIGINT) AS word_chars,
+                     CAST(len(list_filter(lines, ln ->
+                         starts_with(trim(ln), '-') OR
+                         starts_with(trim(ln), '*') OR
+                         starts_with(trim(ln), '•'))) AS BIGINT) AS bullet_lines,
+                     CAST(len(list_filter(lines, ln ->
+                         ends_with(rtrim(ln), '...') OR
+                         ends_with(rtrim(ln), '…'))) AS BIGINT) AS ellipsis_lines,
+                     CAST(len(list_filter(words, w ->
+                         regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+                     CAST(list_contains(words, 'the') AS BIGINT)
+                       + CAST(list_contains(words, 'be') AS BIGINT)
+                       + CAST(list_contains(words, 'to') AS BIGINT)
+                       + CAST(list_contains(words, 'of') AS BIGINT)
+                       + CAST(list_contains(words, 'and') AS BIGINT)
+                       + CAST(list_contains(words, 'that') AS BIGINT)
+                       + CAST(list_contains(words, 'have') AS BIGINT)
+                       + CAST(list_contains(words, 'with') AS BIGINT)
+                       AS stop_hits
+              FROM g
+            ), pass AS (
+              -- the four content rules (stop-word/line rules are
+              -- degenerate on this corpus; see the query docstring)
+              SELECT doc_id FROM f
+              WHERE (n_words >= 50 AND n_words <= 100000)
+                AND (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
+                AND (10 * symbols <= n_words)
+                AND (5 * alpha_words >= 4 * n_words)
+            ), kept AS (
+              SELECT MIN(doc_id) AS doc_id FROM documents
+              WHERE doc_id IN (SELECT doc_id FROM pass)
+              GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+            )
+            SELECT d.lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(string_split_regex(trim(d.text), '\s+')))
+                        AS BIGINT) AS total_tokens,
+                   MIN(d.doc_id) AS min_doc_id
+            FROM documents d JOIN kept USING (doc_id)
+            GROUP BY d.lang
         """,
         "byte_budget": """
             SELECT doc_id,
