@@ -743,6 +743,57 @@ def q_pipeline_clean(spark, sf_dir):
     )
 
 
+def q_bm25_search(spark, sf_dir):
+    """BM25 lexical top-k — the keyword leg of hybrid retrieval next to
+    the reference's vector-only search (reference src/llm-service.ts:
+    216-239). Postings are filtered to the query's terms BEFORE the
+    shuffle (operators/ranking.py)."""
+    from context_crawler_spark.operators.ranking import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, "spark hash join customer", k=10).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+
+
+def q_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank for crawl-frontier prioritization
+    (Cho/Garcia-Molina/Page 1998 URL-ordering). The link graph is derived
+    deterministically from the events table (src=user_id%200,
+    dst=event_id%200) so the oracle replays the identical recurrence,
+    unrolled."""
+    from context_crawler_spark.operators.ranking import pagerank
+
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 200).alias("src"),
+        (F.col("event_id") % 200).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return pagerank(e, iters=5).select(
+        "node", F.round("rank", 6).alias("rank")
+    )
+
+
+def q_unigram_quality(spark, sf_dir):
+    """Corpus-unigram LM score + CCNet-style head/middle/tail buckets
+    (Wenzek et al. 2020; KenLM stand-in documented in
+    operators/quality_filter.unigram_logprob)."""
+    from context_crawler_spark.operators.quality_filter import unigram_logprob
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_logprob(d)
+
+
+def q_repeated_spans(spark, sf_dir):
+    """Per-doc duplicated n-gram span stats — the scalable stand-in for
+    suffix-array exact-substring dedup (Lee et al. 2022). The engine
+    shuffles xxhash64(gram) keys; the per-doc output is hash-invariant,
+    so the oracle joins on the raw gram strings."""
+    from context_crawler_spark.operators.text_dedup import repeated_ngram_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return repeated_ngram_spans(d, n=8)
+
+
 def q_embed_documents(spark, sf_dir):
     """Deterministic embedding UDF (MiniLM stand-in contract): returns the
     vector's first component + norm as scalars."""
@@ -929,6 +980,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "chunk_split_plan": q_chunk_split_plan,
         "pipeline_clean": q_pipeline_clean,
+        "bm25_search": q_bm25_search,
+        "pagerank": q_pagerank,
+        "unigram_quality": q_unigram_quality,
+        "repeated_spans": q_repeated_spans,
         "embed_documents": q_embed_documents,
         "extract_page": q_extract_page,
         "canonicalize": q_canonicalize,
@@ -1333,6 +1388,147 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the composed cleaning pipeline: Gopher gate (the proven flag
         # kernel) → exact dedup over the PASSING set → per-lang stats
+        # BM25: identical tokenizer + formula; ORDER BY the raw (unrounded)
+        # sum so the top-10 cut matches the engine's TakeOrderedAndProject
+        "bm25_search": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(regexp_replace(
+                         text, '[^A-Za-z0-9]+', ' ', 'g')), ' '),
+                         w -> w != '') AS w
+              FROM documents
+            ), dl AS (
+              SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, w FROM toks
+            ), stats AS (
+              SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+            ), tf AS (
+              SELECT doc_id, dl, term, count(*) AS tf
+              FROM (SELECT doc_id, dl, unnest(w) AS term FROM dl)
+              WHERE term IN ('customer', 'hash', 'join', 'spark')
+              GROUP BY doc_id, dl, term
+            ), dfq AS (
+              SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+            ), scored AS (
+              SELECT doc_id,
+                     sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                         * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75
+                             + 0.75 * dl / avgdl))) AS raw
+              FROM tf JOIN dfq USING (term) CROSS JOIN stats
+              GROUP BY doc_id
+            )
+            SELECT doc_id, round(raw, 6) AS score
+            FROM scored ORDER BY raw DESC, doc_id LIMIT 10
+        """,
+        # PageRank: the 5-iteration power method unrolled; doubles
+        # everywhere (DuckDB decimal literals cast) to match the engine
+        "pagerank": r"""
+            WITH e AS (
+              SELECT DISTINCT (user_id % 200) AS src, (event_id % 200) AS dst
+              FROM events WHERE (user_id % 200) != (event_id % 200)
+            ), nodes AS (
+              SELECT src AS node FROM e UNION SELECT dst FROM e
+            ), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+            r0 AS (
+              SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM nodes
+            ),
+            r1 AS (
+              SELECT nodes.node,
+                     0.15::DOUBLE / (SELECT n FROM nn)
+                     + 0.85::DOUBLE * coalesce(c.s, 0.0::DOUBLE) AS rank
+              FROM nodes LEFT JOIN (
+                SELECT e.dst AS node, sum(r0.rank / od.outdeg) AS s
+                FROM e JOIN r0 ON e.src = r0.node JOIN od ON e.src = od.src
+                GROUP BY e.dst) c ON nodes.node = c.node
+            ),
+            r2 AS (
+              SELECT nodes.node,
+                     0.15::DOUBLE / (SELECT n FROM nn)
+                     + 0.85::DOUBLE * coalesce(c.s, 0.0::DOUBLE) AS rank
+              FROM nodes LEFT JOIN (
+                SELECT e.dst AS node, sum(r1.rank / od.outdeg) AS s
+                FROM e JOIN r1 ON e.src = r1.node JOIN od ON e.src = od.src
+                GROUP BY e.dst) c ON nodes.node = c.node
+            ),
+            r3 AS (
+              SELECT nodes.node,
+                     0.15::DOUBLE / (SELECT n FROM nn)
+                     + 0.85::DOUBLE * coalesce(c.s, 0.0::DOUBLE) AS rank
+              FROM nodes LEFT JOIN (
+                SELECT e.dst AS node, sum(r2.rank / od.outdeg) AS s
+                FROM e JOIN r2 ON e.src = r2.node JOIN od ON e.src = od.src
+                GROUP BY e.dst) c ON nodes.node = c.node
+            ),
+            r4 AS (
+              SELECT nodes.node,
+                     0.15::DOUBLE / (SELECT n FROM nn)
+                     + 0.85::DOUBLE * coalesce(c.s, 0.0::DOUBLE) AS rank
+              FROM nodes LEFT JOIN (
+                SELECT e.dst AS node, sum(r3.rank / od.outdeg) AS s
+                FROM e JOIN r3 ON e.src = r3.node JOIN od ON e.src = od.src
+                GROUP BY e.dst) c ON nodes.node = c.node
+            ),
+            r5 AS (
+              SELECT nodes.node,
+                     0.15::DOUBLE / (SELECT n FROM nn)
+                     + 0.85::DOUBLE * coalesce(c.s, 0.0::DOUBLE) AS rank
+              FROM nodes LEFT JOIN (
+                SELECT e.dst AS node, sum(r4.rank / od.outdeg) AS s
+                FROM e JOIN r4 ON e.src = r4.node JOIN od ON e.src = od.src
+                GROUP BY e.dst) c ON nodes.node = c.node
+            )
+            SELECT node, round(rank, 6) AS rank FROM r5
+        """,
+        # corpus-unigram LM score; ntile over the ROUNDED score (both
+        # engines round first, so boundary ties break on doc_id alone)
+        "unigram_quality": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(lower(regexp_replace(
+                         text, '[^A-Za-z0-9]+', ' ', 'g')), ' '),
+                         w -> w != '')) AS w
+              FROM documents
+            ), vocab AS (
+              SELECT w, count(*) AS cnt FROM toks GROUP BY w
+            ), tot AS (
+              SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab
+            ), scored AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                     round(avg(ln(cnt / total)), 6) AS logprob
+              FROM toks JOIN vocab USING (w) CROSS JOIN tot
+              GROUP BY doc_id
+            )
+            SELECT doc_id, n_tokens, logprob,
+                   ntile(3) OVER (ORDER BY logprob DESC, doc_id) AS bucket
+            FROM scored
+        """,
+        # repeated 8-gram spans: the engine shuffles xxhash64(gram) keys;
+        # per-doc counts are hash-invariant, so the oracle uses raw grams
+        "repeated_spans": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(regexp_replace(
+                         text, '[^A-Za-z0-9]+', ' ', 'g')), ' '),
+                         x -> x != '') AS words
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(words) - 7),
+                         i -> array_to_string(words[i:i+7], ' '))) AS gram
+              FROM w WHERE len(words) >= 8
+            ), gs AS (
+              SELECT gram, count(DISTINCT doc_id) AS ndocs,
+                     count(*) AS nocc
+              FROM g GROUP BY gram
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN ndocs >= 2 OR nocc >= 2
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+                   round(sum(CASE WHEN ndocs >= 2 OR nocc >= 2
+                             THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+                       AS dup_frac
+            FROM g JOIN gs USING (gram) GROUP BY doc_id
+        """,
         "pipeline_clean": r"""
             WITH g AS (
               SELECT doc_id,

@@ -51,6 +51,10 @@ HEADLINE = [
     "ann_ivf_topk",
     "chunk_documents",
     "chunk_split_plan",
+    "bm25_search",
+    "pagerank",
+    "unigram_quality",
+    "repeated_spans",
 ]
 
 
@@ -244,7 +248,8 @@ def main() -> None:
     r2_added = {"simhash_dedup", "embedding_near_dup",
                 "ann_lsh_topk", "ann_ivf_topk"}
     r3_added = {"gopher_quality", "gopher_repetition"}
-    r4_added = {"chunk_split_plan"}
+    r4_added = {"chunk_split_plan", "bm25_search", "pagerank",
+                "unigram_quality", "repeated_spans"}
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(queries.values()), 3),

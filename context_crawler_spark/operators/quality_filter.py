@@ -218,3 +218,50 @@ def gopher_filter(df: DataFrame, text_col: str = "text",
         return out.withColumn("gopher_pass", passed) \
             .drop("__gwords", "__glines")
     return base.filter(passed).drop("__gwords", "__glines")
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """Corpus-unigram language-model quality score + CCNet-style buckets.
+
+    CCNet (Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+    Datasets from Web Crawl Data") buckets web documents head/middle/tail
+    by LM perplexity. The trained KenLM is not available here, so the
+    deterministic stand-in is the corpus's own unigram LM: score(doc) =
+    mean over its tokens of ln(count(w)/total_tokens). Relative ordering
+    (repetitive/common-token docs score high, rare-token docs low) is what
+    the buckets consume; swap the per-token logprob source for a real LM
+    on a cluster without touching the plan.
+
+    Plan shape: one explode→groupBy(word) shuffle builds the vocabulary
+    (at 100 TB the vocab table is still tiny relative to the corpus —
+    heavy-hitter words partial-aggregate map-side); token logprobs come
+    back via a join on word (AQE broadcasts the vocab when it fits); the
+    per-doc mean is a groupBy on the doc id. The head/middle/tail split is
+    an ``ntile`` window — a single global sort over one row per DOCUMENT
+    (not per token), with ascending-id tie-break so bucket assignment is
+    engine-independent."""
+    from context_crawler_spark.operators.ranking import alnum_words
+    from pyspark.sql import Window
+
+    did = F.col(id_col)
+    toks = df.select(did.alias("id"), F.explode(alnum_words(text_col)).alias("w"))
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored = (
+        toks.join(vocab, "w")
+        .join(F.broadcast(total))
+        .select("id", (F.log(F.col("cnt") / F.col("total"))).alias("__lp"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             # round BEFORE the ntile window: sub-ulp cross-engine sum
+             # noise must not reorder near-ties at a bucket boundary
+             F.round(F.avg("__lp"), 6).alias("logprob"))
+    )
+    win = Window.orderBy(F.desc("logprob"), F.asc("id"))
+    return scored.select(
+        F.col("id").alias(id_col), "n_tokens", "logprob",
+        F.ntile(n_buckets).over(win).alias("bucket"),
+    )

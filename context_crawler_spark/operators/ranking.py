@@ -1,0 +1,175 @@
+"""Lexical ranking and link-graph scoring: BM25 top-k and PageRank.
+
+The reference's search endpoint is vector-only (reference
+src/llm-service.ts:216-239 — HNSW similaritySearch over the artifact
+chunks); production retrieval stacks pair that dense leg with a lexical
+BM25 leg (hybrid retrieval). ``bm25_topk`` is that leg, expressed so the
+expensive parts never materialize: the posting explode is filtered to the
+query's terms BEFORE the shuffle, so the exchanged rows are
+O(docs_containing_query_terms), not O(total_tokens) — at 100 TB the
+shuffle carries only the postings of a handful of terms, and the
+df/corpus-stat sides are scalar/broadcast joins.
+
+``pagerank`` scores the crawl link graph for frontier prioritization
+(classic crawl-ordering signal — Page et al. 1999; Cho/Garcia-Molina/Page
+"Efficient crawling through URL ordering", WWW 1998). Fixed-iteration
+synchronous power method: each iteration is ONE shuffle keyed on dst plus
+a broadcast-size agg; lineage is cut per iteration exactly like
+connected_components (operators/text_dedup.py) so 10+ iterations don't
+stack an unbounded plan. Dangling-node mass is NOT redistributed (ranks
+sum to < 1 when sinks exist); that choice is documented here and mirrored
+exactly by the DuckDB oracle.
+
+Both operators tokenize/aggregate with pure JVM built-ins — no Python in
+the per-row path.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def alnum_words(col: Column | str) -> Column:
+    """Lowercased alphanumeric word array — the shared, SQL-replicable
+    tokenizer for ranking/quality/span operators (DuckDB mirror:
+    ``list_filter(string_split(lower(regexp_replace(t,'[^A-Za-z0-9]+',
+    ' ','g')),' '), w -> w != '')``)."""
+    t = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.split(F.lower(F.regexp_replace(t, r"[^A-Za-z0-9]+", " ")), " "),
+        lambda w: w != "",
+    )
+
+
+def tokenize_query(query: str) -> list[str]:
+    """Driver-side twin of :func:`alnum_words` for the (tiny) query string."""
+    return sorted({w for w in re.sub(r"[^A-Za-z0-9]+", " ", query.lower()).split() if w})
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 (Robertson/Sparck Jones probabilistic relevance) top-k over a
+    document table.
+
+    Plan shape (the part that matters at 100 TB):
+
+    1. tokenize JVM-side; per-doc length ``dl`` is a projection.
+    2. explode → **filter to the query's terms first** → groupBy
+       (doc, term): the only full-width shuffle carries just the postings
+       of ``len(query)`` terms.
+    3. document frequency per term: a ≤len(query)-row aggregate,
+       broadcast back.
+    4. corpus stats (N, avgdl): a single-row aggregate, attached by
+       broadcast cross-join — no ``collect()``, the whole thing stays one
+       lazy plan.
+    5. score-sum per doc, global top-k via orderBy+limit (Spark plans
+       TakeOrderedAndProject — per-partition heaps, no full sort).
+
+    Ties broken by ascending id for cross-engine determinism.
+    """
+    terms = tokenize_query(query)
+    if not terms:
+        raise ValueError("empty query")
+    did = F.col(id_col)
+    toks = docs.select(
+        did.alias("id"), alnum_words(text_col).alias("__w")
+    ).select("id", F.size("__w").alias("dl"), "__w")
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.select("id", "dl", F.explode("__w").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count_distinct("id").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tfq = F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(stats))
+        .select("id", (idf * tfq).alias("__s"))
+        .groupBy("id")
+        .agg(F.sum("__s").alias("score"))
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+        .select(F.col("id").alias(id_col), "score")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge table (crawl-frontier
+    prioritization signal).
+
+    Synchronous power method, ``iters`` rounds of
+    ``rank(v) = (1-d)/N + d * Σ_{u→v} rank(u)/outdeg(u)``.
+    Per iteration: one join of ranks onto edges (shuffle keyed on src —
+    AQE picks broadcast when ranks fit), one groupBy dst (the real
+    shuffle), one left join back onto the node set. ``localCheckpoint``
+    truncates lineage per round, same pattern as connected_components.
+    Dangling nodes contribute nothing (no mass redistribution) — the
+    oracle replays the identical recurrence.
+
+    ``N`` (node count) is the one driver-side scalar; it is metadata-sized
+    and computed once.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        contribs = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("outdeg")).alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + damping * F.coalesce(F.col("__in"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

@@ -292,3 +292,64 @@ def embedding_dedup(
 ) -> DataFrame:
     pairs = embedding_near_dup_pairs(df, id_col, vec_col, dim, cosine_threshold)
     return _dedup_by_pairs(df, pairs.select("id_l", "id_r"), id_col)
+
+
+# ---------------------------------------------------------------------------
+# Repeated n-gram spans (exact-substring duplication, Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+
+def repeated_ngram_spans(
+    df: DataFrame, n: int = 8, id_col: str = "doc_id", text_col: str = "text",
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Per-document duplicated-span statistics: the fraction of a doc's
+    word ``n``-grams that also occur in ANOTHER document (or more than
+    once anywhere), i.e. the scalable stand-in for suffix-array
+    exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better" — their 50-token threshold becomes the
+    ``n``-word window here).
+
+    Plan shape: n-gram construction is a pure JVM higher-order expression
+    (``transform(sequence(...), i -> array_join(slice(words,i,n)))`` —
+    zero Python, zero shuffle); the ONE shuffle is the groupBy on the gram
+    key. With ``hash_grams=True`` (default, production path) the key is
+    ``xxhash64(gram)`` — 8 bytes on the wire instead of the ~50-byte
+    string, which at 100 TB is the difference between a manageable and a
+    monstrous exchange. The per-doc output is hash-invariant absent
+    64-bit collisions (P ≈ n_grams²/2⁶⁴), so the DuckDB oracle joins on
+    the raw gram strings and still hash-matches.
+
+    Returns one row per doc: total n-grams, how many are duplicated
+    elsewhere, and the duplicated fraction.
+    """
+    from context_crawler_spark.operators.ranking import alnum_words
+
+    did = F.col(id_col)
+    words = alnum_words(text_col)
+    grams_arr = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = df.select(did.alias("id"), F.explode(grams_arr).alias("gram"))
+    if hash_grams:
+        grams = grams.select("id", F.xxhash64("gram").alias("gram"))
+    gstats = grams.groupBy("gram").agg(
+        F.count_distinct("id").alias("ndocs"), F.count(F.lit(1)).alias("nocc")
+    )
+    dup = F.when((F.col("ndocs") >= 2) | (F.col("nocc") >= 2), 1).otherwise(0)
+    return (
+        grams.join(gstats, "gram")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(dup).alias("n_dup_grams"),
+        )
+        .select(
+            F.col("id").alias(id_col), "n_grams", "n_dup_grams",
+            F.round(F.col("n_dup_grams") / F.col("n_grams"), 6).alias("dup_frac"),
+        )
+    )

@@ -1,0 +1,194 @@
+"""BM25 / PageRank / unigram-LM quality / repeated-span operators: small
+hand-built inputs with independently computed expected values, plus plan
+guards pinning the scale-critical shapes (term filter before the shuffle,
+broadcast sides, JVM-only n-gram construction)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from context_crawler_spark.operators.quality_filter import unigram_logprob
+from context_crawler_spark.operators.ranking import (
+    alnum_words,
+    bm25_topk,
+    pagerank,
+    tokenize_query,
+)
+from context_crawler_spark.operators.text_dedup import repeated_ngram_spans
+
+
+def test_tokenize_query_normalizes_and_dedups():
+    assert tokenize_query("Spark, spark HASH-join!") == ["hash", "join", "spark"]
+    assert tokenize_query("...") == []
+
+
+def test_alnum_words_drops_empty_pieces(spark):
+    df = spark.createDataFrame([(1, "  Hello, WORLD!! 42 ")], "id long, text string")
+    assert df.select(alnum_words("text").alias("w")).head()[0] == [
+        "hello", "world", "42",
+    ]
+
+
+def _bm25_expected(docs, terms, k1=1.2, b=0.75):
+    """Independent driver-side BM25 (plain Python, no Spark)."""
+    toks = {i: [w for w in tokenize_all(t)] for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {
+        t: sum(1 for ws in toks.values() if t in ws) for t in terms
+    }
+    out = {}
+    for i, ws in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = ws.count(t)
+            if tf == 0 or df[t] == 0:
+                continue
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(ws) / avgdl))
+        if s:
+            out[i] = s
+    return out
+
+
+def tokenize_all(text):
+    import re
+
+    return [w for w in re.sub(r"[^A-Za-z0-9]+", " ", text.lower()).split() if w]
+
+
+def test_bm25_matches_reference_formula(spark):
+    docs = [
+        (1, "spark joins tables with hash join strategies"),
+        (2, "the cat sat on the mat"),
+        (3, "hash hash hash everywhere hash"),
+        (4, "spark spark spark streaming"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["score"] for r in bm25_topk(df, "spark hash", k=4).collect()}
+    want = _bm25_expected(docs, ["hash", "spark"])
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i] == pytest.approx(want[i], abs=1e-9)
+
+
+def test_bm25_orders_desc_and_limits(spark):
+    docs = [(i, "common word " + "match " * i) for i in range(1, 8)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = bm25_topk(df, "match", k=3).collect()
+    assert len(rows) == 3
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_plan_filters_before_shuffle(spark):
+    """The posting explode must be filtered to query terms BEFORE any
+    exchange — the full-token stream never crosses the wire."""
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = bm25_topk(df, "b", k=1)._jdf.queryExecution().executedPlan().toString()
+    first_exchange = plan.find("Exchange")
+    first_filter = plan.rfind("Filter")
+    # physical plans print top-down: the Filter on the term must appear
+    # BELOW (after, textually) the first Exchange, i.e. upstream of it
+    assert first_exchange != -1 and first_filter > first_exchange, plan
+
+
+def test_pagerank_two_node_cycle(spark):
+    """A↔B cycle: stationary ranks are exactly 0.5 each at every iteration."""
+    e = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    rows = {r["node"]: r["rank"] for r in pagerank(e, iters=3).collect()}
+    assert rows[1] == pytest.approx(0.5) and rows[2] == pytest.approx(0.5)
+
+
+def test_pagerank_star_and_dangling(spark):
+    """1→3, 2→3; 3 dangles. One iteration from uniform:
+    rank(3) = 0.15/3 + 0.85*(1/3 + 1/3); rank(1)=rank(2)=0.15/3.
+    Dangling mass is dropped by design (module docstring)."""
+    e = spark.createDataFrame([(1, 3), (2, 3)], "src long, dst long")
+    rows = {r["node"]: r["rank"] for r in pagerank(e, iters=1).collect()}
+    assert rows[1] == pytest.approx(0.05)
+    assert rows[3] == pytest.approx(0.15 / 3 + 0.85 * (2.0 / 3))
+    assert sum(rows.values()) < 1.0  # sinks leak mass, documented
+
+
+def test_pagerank_iterations_converge(spark):
+    """Chain 1→2→3 + restart edges: later iterations change ranks less."""
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    r5 = {r["node"]: r["rank"] for r in pagerank(e, iters=5).collect()}
+    r9 = {r["node"]: r["rank"] for r in pagerank(e, iters=9).collect()}
+    for k in r5:
+        assert r9[k] == pytest.approx(r5[k], abs=2e-2)
+    assert sum(r9.values()) == pytest.approx(1.0, abs=1e-6)  # no sinks here
+
+
+def test_unigram_logprob_scores_and_buckets(spark):
+    """'common common' docs outrank a rare-word doc; buckets follow rank."""
+    docs = [
+        (1, "common common common common"),
+        (2, "common common rare1 rare2"),
+        (3, "unique1 unique2 unique3 unique4"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    assert rows[1]["logprob"] > rows[2]["logprob"] > rows[3]["logprob"]
+    assert (rows[1]["bucket"], rows[2]["bucket"], rows[3]["bucket"]) == (1, 2, 3)
+    assert rows[1]["n_tokens"] == 4
+    # doc1: every token is 'common' with corpus count 6 of 12 total
+    assert rows[1]["logprob"] == pytest.approx(round(math.log(6 / 12), 6))
+
+
+def test_repeated_spans_counts(spark):
+    """Two docs share one 3-gram window; a third is unique; a doc shorter
+    than n contributes no rows."""
+    shared = "alpha beta gamma"
+    docs = [
+        (1, f"{shared} one two"),
+        (2, f"zero {shared} nine"),
+        (3, "p q r s t"),
+        (4, "too short"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in repeated_ngram_spans(df, n=3).collect()}
+    assert 4 not in rows  # below n words → no n-grams → no row
+    # doc1 grams: 'alpha beta gamma','beta gamma one','gamma one two'
+    assert rows[1]["n_grams"] == 3 and rows[1]["n_dup_grams"] == 1
+    # doc2 grams: 'zero alpha beta','alpha beta gamma','beta gamma nine'
+    assert rows[2]["n_grams"] == 3 and rows[2]["n_dup_grams"] == 1
+    assert rows[3]["n_dup_grams"] == 0
+    assert rows[1]["dup_frac"] == pytest.approx(round(1 / 3, 6))
+
+
+def test_repeated_spans_within_doc_repeat(spark):
+    """A gram occurring twice in the SAME doc counts as duplicated."""
+    df = spark.createDataFrame(
+        [(1, "x y z x y z")], "doc_id long, text string"
+    )
+    r = repeated_ngram_spans(df, n=3).head()
+    # grams: xyz, yzx, zxy, xyz → 4 grams, 2 dup (the two xyz occurrences)
+    assert r["n_grams"] == 4 and r["n_dup_grams"] == 2
+
+
+def test_repeated_spans_hash_invariance(spark):
+    """hash_grams=True (production xxhash64 keys) and False (raw strings)
+    agree on every per-doc statistic."""
+    docs = [(i, f"w{i} common span words here tail{i} more pad") for i in range(6)]
+    docs += [(100, "common span words here filler a b c")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = {r["doc_id"]: (r["n_grams"], r["n_dup_grams"])
+         for r in repeated_ngram_spans(df, n=4, hash_grams=True).collect()}
+    b = {r["doc_id"]: (r["n_grams"], r["n_dup_grams"])
+         for r in repeated_ngram_spans(df, n=4, hash_grams=False).collect()}
+    assert a == b
+
+
+def test_repeated_spans_gram_build_is_jvm_only(spark):
+    """n-gram construction must be pure built-in expressions — no
+    Python/Arrow eval stage before the first exchange."""
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    plan = repeated_ngram_spans(df, n=2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
