@@ -236,14 +236,18 @@ def q_union_distinct_seeds(spark, sf_dir):
 
 
 def q_token_split_buckets(spark, sf_dir):
-    """Token/byte output-split as running-sum window bucketing (reference
+    """Token/byte output-split as running-sum bucketing (reference
     src/core.ts:415-450; scalable variant — exact flush-reset parity is
-    q_output_split_plan)."""
+    q_output_split_plan). The prefix sum is the DISTRIBUTED two-phase scan
+    (operators/ordering.with_running_sum) — per-partition sums + offset
+    stamp, never a global single-partition window."""
+    from context_crawler_spark.operators.ordering import with_running_sum
+
     d = _t(spark, sf_dir, "documents")
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    run_before = F.coalesce(F.sum("n_chars").over(w), F.lit(0))
-    return d.select(
-        "doc_id", F.floor(run_before / F.lit(20000)).cast("int").alias("bucket")
+    run = with_running_sum(d.select("doc_id", "n_chars"), ["doc_id"], "n_chars")
+    return run.select(
+        "doc_id",
+        F.floor(F.col("running_before") / F.lit(20000)).cast("int").alias("bucket"),
     )
 
 

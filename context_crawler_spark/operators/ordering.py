@@ -92,6 +92,59 @@ def with_global_seq(
     )
 
 
+def with_running_sum(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    value_col: str,
+    out_col: str = "running_before",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed prefix sum: ``out_col`` = sum of ``value_col`` over all
+    rows strictly BEFORE this one in ``order_cols`` order (a total order —
+    include a unique tie-breaker).
+
+    The classic two-phase scan, never a global single-partition window:
+    range-repartition by the order key, localCheckpoint to freeze the
+    layout, collect ONE per-partition sum per partition (a handful of longs
+    — not data), then each row's prefix = its partition's offset + a
+    window cumsum partitioned BY PARTITION ID. That window's exchange keys
+    on ``num_partitions`` distinct pids — parallelism scales with the
+    cluster, and no partition ever holds more than the range-partitioner's
+    balanced share. Contrast ``Window.orderBy(...)`` with no partitionBy,
+    which funnels every row through one task.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
+    parted = parted.withColumn("__pid", F.spark_partition_id())
+    parted = parted.localCheckpoint(eager=True)
+    sums = {r["__pid"]: r["s"] for r in
+            parted.groupBy("__pid")
+            .agg(F.sum(value_col).alias("s")).collect()}
+    if not sums:
+        return df.withColumn(out_col, F.lit(0).cast("long"))
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += int(sums[pid] or 0)
+    omap = F.create_map(
+        *[F.lit(x) for pid in sorted(offsets)
+          for x in (int(pid), int(offsets[pid]))]
+    )
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy("__pid").orderBy(*order_cols)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        parted.withColumn(
+            out_col,
+            (F.element_at(omap, F.col("__pid"))
+             + F.coalesce(F.sum(value_col).over(w), F.lit(0))).cast("long"),
+        )
+        .drop("__pid")
+    )
+
+
 TOPK_THRESHOLD = 20_000  # below this, per-partition-heap TakeOrdered wins
 
 

@@ -239,12 +239,15 @@ def unigram_logprob(
     (at 100 TB the vocab table is still tiny relative to the corpus —
     heavy-hitter words partial-aggregate map-side); token logprobs come
     back via a join on word (AQE broadcasts the vocab when it fits); the
-    per-doc mean is a groupBy on the doc id. The head/middle/tail split is
-    an ``ntile`` window — a single global sort over one row per DOCUMENT
-    (not per token), with ascending-id tie-break so bucket assignment is
-    engine-independent."""
+    per-doc mean is a groupBy on the doc id. The head/middle/tail split
+    needs a global rank — computed with the DISTRIBUTED zipWithIndex
+    (ordering.with_global_seq: range-sort + per-partition offsets, one
+    shuffle, no single-partition window), then ``ntile`` is pure
+    arithmetic on (rank, N): the first N%n buckets take ceil(N/n) rows,
+    the rest floor(N/n) — exactly Spark's and DuckDB's ntile contract.
+    Ascending-id tie-break keeps bucket assignment engine-independent."""
+    from context_crawler_spark.operators.ordering import with_global_seq
     from context_crawler_spark.operators.ranking import alnum_words
-    from pyspark.sql import Window
 
     did = F.col(id_col)
     toks = df.select(did.alias("id"), F.explode(alnum_words(text_col)).alias("w"))
@@ -260,8 +263,29 @@ def unigram_logprob(
              # noise must not reorder near-ties at a bucket boundary
              F.round(F.avg("__lp"), 6).alias("logprob"))
     )
-    win = Window.orderBy(F.desc("logprob"), F.asc("id"))
-    return scored.select(
+    counts: dict = {}
+    ranked = with_global_seq(
+        scored, [F.col("logprob").desc(), F.col("id").asc()],
+        seq_col="__rank", counts_out=counts,
+    )
+    total = int(counts.get("total", 0))
+    if total == 0:
+        return ranked.select(
+            F.col("id").alias(id_col), "n_tokens", "logprob",
+            F.lit(1).alias("bucket"),
+        )
+    q, r = divmod(total, n_buckets)
+    big = q + 1  # buckets 1..r hold ceil(N/n) rows, the rest floor(N/n)
+    k = F.col("__rank")
+    if q == 0:  # fewer rows than buckets: one row per bucket
+        bucket = (k + 1).cast("int")
+    else:
+        bucket = F.when(
+            k < r * big, F.floor(k / F.lit(big)) + 1
+        ).otherwise(
+            F.lit(r) + F.floor((k - r * big) / F.lit(q)) + 1
+        ).cast("int")
+    return ranked.select(
         F.col("id").alias(id_col), "n_tokens", "logprob",
-        F.ntile(n_buckets).over(win).alias("bucket"),
+        bucket.alias("bucket"),
     )
