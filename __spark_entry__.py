@@ -86,6 +86,254 @@ def _langid_oracle_sql() -> str:
     """
 
 
+def _mulmod64_const(zcol: str, c: int) -> str:
+    """DuckDB expression: (zcol * c) mod 2^64 for HUGEINT zcol < 2^64 and a
+    64-bit constant, via the 32-bit-split school multiply — a full 64×64
+    product overflows INT128, so split c into hi/lo words:
+    a·b ≡ ((a_lo·b_hi + a_hi·b_lo) mod 2^32)·2^32 + a_lo·b_lo (mod 2^64);
+    every intermediate ≤ 2^65 fits HUGEINT."""
+    ch, cl = c >> 32, c & 0xFFFFFFFF
+    return (f"(((({zcol}%4294967296)*{ch} + ({zcol}//4294967296)*{cl})"
+            f" % 4294967296) * 4294967296 + ({zcol}%4294967296)*{cl})"
+            f" % 18446744073709551616")
+
+
+def _minhash_dedup_oracle_sql(num_perm: int = 64, bands: int = 8,
+                              k: int = 5, threshold: float = 0.7) -> str:
+    """DuckDB mirror of operators/text_dedup.minhash_dedup, end to end.
+
+    The engine's signature kernel (textstats.shingle_base_hashes +
+    minhash_signature) is replayed exactly in integer SQL: byte-5-shingles
+    of the normalized text little-endian-packed into uint64 (the corpus is
+    ASCII, so char==byte — pinned by the driver's value-hash), splitmix64
+    finalizer with wraparound 64-bit multiplies (_mulmod64_const), then
+    min over the (a·x+b) mod 2^64 mod (2^61−1) universal family — the
+    numpy _PERM_A/_PERM_B constants are inlined from the single source of
+    truth. LSH banding joins on the band's minima vector directly (the
+    engine's md5 band-bucket id collides only when the minima are equal,
+    so the candidate sets coincide); word-3gram Jaccard verification and
+    min-label connected components mirror the engine's verify + keeper
+    rule. Docs with empty normalized text carry the all-zeros signature,
+    matching minhash_signature's empty-input contract."""
+    from context_crawler_spark.functions.textstats import _PERM_A, _PERM_B
+
+    rows = num_perm // bands
+    m61 = (1 << 61) - 1
+    perm_rows = ",".join(
+        f"({i},{int(a) >> 32}::HUGEINT,{int(a) & 0xFFFFFFFF}::HUGEINT,"
+        f"{int(b)}::HUGEINT)"
+        for i, (a, b) in enumerate(zip(_PERM_A[:num_perm], _PERM_B[:num_perm]))
+    )
+    byte_terms = " + ".join(
+        f"(CASE WHEN p+{j} <= len(t) THEN ord(substr(t,p+{j},1)) ELSE 0 END)"
+        f"::HUGEINT * {1 << (8 * j)}"
+        for j in range(k)
+    )
+    return rf"""
+        WITH RECURSIVE d AS (
+          SELECT doc_id,
+            trim(regexp_replace(lower(COALESCE(text,'')),'\s+',' ','g')) AS t
+          FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, t, unnest(range(1, greatest(len(t)-{k}+1, 1)+1)) AS p
+          FROM d WHERE len(t) > 0
+        ),
+        packed AS (SELECT DISTINCT doc_id, ({byte_terms}) AS pk FROM pos),
+        sm1 AS (SELECT doc_id,
+          (pk + 11400714819323198485) % 18446744073709551616 AS z FROM packed),
+        sm1x AS (SELECT doc_id,
+          xor(z::UBIGINT, (z // 1073741824)::UBIGINT)::HUGEINT AS z FROM sm1),
+        sm2 AS (SELECT doc_id,
+          {_mulmod64_const('z', 0xBF58476D1CE4E5B9)} AS z FROM sm1x),
+        sm2x AS (SELECT doc_id,
+          xor(z::UBIGINT, (z // 134217728)::UBIGINT)::HUGEINT AS z FROM sm2),
+        sm3 AS (SELECT doc_id,
+          {_mulmod64_const('z', 0x94D049BB133111EB)} AS z FROM sm2x),
+        h AS (SELECT doc_id,
+          xor(z::UBIGINT, (z // 2147483648)::UBIGINT)::HUGEINT AS hv FROM sm3),
+        perms(i, ah, al, b) AS (VALUES {perm_rows}),
+        sig0 AS (
+          SELECT doc_id, i,
+            min(((((hv%4294967296)*ah + (hv//4294967296)*al) % 4294967296)
+                 * 4294967296 + (hv%4294967296)*al + b)
+                % 18446744073709551616 % {m61}) AS mh
+          FROM h CROSS JOIN perms
+          GROUP BY doc_id, i
+        ),
+        sig AS (
+          SELECT d.doc_id, p.i, COALESCE(s.mh, 0) AS mh
+          FROM d CROSS JOIN perms p
+          LEFT JOIN sig0 s ON s.doc_id = d.doc_id AND s.i = p.i
+        ),
+        bands AS (
+          SELECT doc_id, i // {rows} AS band, list(mh ORDER BY i) AS bsig
+          FROM sig GROUP BY doc_id, i // {rows}
+        ),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r
+          FROM bands l JOIN bands r
+            ON l.band = r.band AND l.bsig = r.bsig AND l.doc_id < r.doc_id
+        ),
+        wl AS (
+          SELECT doc_id, list_filter(string_split(t,' '), x -> x <> '') AS ws
+          FROM d
+        ),
+        grams AS (
+          SELECT doc_id, CASE
+            WHEN len(ws) = 0 THEN []::VARCHAR[]
+            WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+            ELSE list_distinct(list_transform(generate_series(1, len(ws)-2),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+          END AS gs
+          FROM wl
+        ),
+        verified AS (
+          SELECT id_l, id_r FROM cand
+          JOIN grams gl ON gl.doc_id = id_l
+          JOIN grams gr ON gr.doc_id = id_r
+          WHERE CASE
+            WHEN len(gl.gs) = 0 AND len(gr.gs) = 0 THEN 1.0
+            WHEN len(gl.gs) = 0 OR len(gr.gs) = 0 THEN 0.0
+            ELSE CAST(len(list_intersect(gl.gs, gr.gs)) AS DOUBLE)
+                 / len(list_distinct(gl.gs || gr.gs))
+          END >= {threshold}
+        ),
+        edges AS (
+          SELECT id_l AS src, id_r AS dst FROM verified
+          UNION ALL SELECT id_r, id_l FROM verified
+        ),
+        lab AS (
+          SELECT DISTINCT src AS node, src AS comp FROM edges
+          UNION
+          SELECT e.dst AS node, lab.comp FROM lab JOIN edges e ON e.src = lab.node
+        ),
+        losers AS (
+          SELECT node AS doc_id FROM lab GROUP BY node HAVING min(comp) <> node
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    """
+
+
+def _lsh_planes_values_sql(dim: int, n_tables: int, bits_per_table: int) -> str:
+    """``(pid, pv)`` VALUES rows of the fixed-seed hyperplane matrix
+    (search._lsh_planes — the ONE source of truth the executor UDF and
+    driver hasher already share), inlined as float64 literals via repr
+    (exact round-trip)."""
+    from context_crawler_spark.operators.search import LSH_SEED, _lsh_planes
+
+    planes = _lsh_planes(dim, n_tables, bits_per_table, LSH_SEED)
+    return ",".join(
+        "(%d,[%s]::DOUBLE[])" % (i, ",".join(repr(float(x)) for x in row))
+        for i, row in enumerate(planes)
+    )
+
+
+def _embedding_near_dup_oracle_sql(dim: int = 64, n_tables: int = 8,
+                                   bits_per_table: int = 8,
+                                   threshold: float = 0.35) -> str:
+    """DuckDB mirror of operators/text_dedup.embedding_near_dup_pairs.
+
+    The fixed-seed hyperplane matrix (search._lsh_planes — the ONE source
+    of truth the executor UDF and driver hasher already share) is inlined
+    as float64 literals via repr (exact round-trip); bucket keys are the
+    per-table sign patterns, so joining on (table, key) reproduces the
+    engine's candidate set exactly. Cosine verification sums double
+    products in index order and is rounded to 6 decimals on BOTH sides —
+    the engine's contract query emits round(cosine, 6) for precisely this
+    cross-engine determinism. Sign parity of the bucket dot products holds
+    because a flip needs |plane·v| within BLAS-vs-sequential summation
+    noise (~1e-15) of zero; the bench corpus dots sit orders of magnitude
+    above it."""
+    plane_rows = _lsh_planes_values_sql(dim, n_tables, bits_per_table)
+    return rf"""
+        WITH planes(pid, pv) AS (VALUES {plane_rows}),
+        e AS (SELECT vec_id, embedding FROM embeddings),
+        dots AS (
+          SELECT e.vec_id, p.pid,
+            list_sum(list_transform(range(1, {dim}+1),
+              j -> p.pv[j] * CAST(e.embedding[j] AS DOUBLE))) AS dp
+          FROM e CROSS JOIN planes p
+        ),
+        keys AS (
+          SELECT vec_id, pid // {bits_per_table} AS tbl,
+            SUM(CASE WHEN dp > 0
+                THEN 1 << CAST(pid % {bits_per_table} AS INT) ELSE 0 END) AS key
+          FROM dots GROUP BY vec_id, pid // {bits_per_table}
+        ),
+        cand AS (
+          SELECT DISTINCT l.vec_id AS id_l, r.vec_id AS id_r
+          FROM keys l JOIN keys r
+            ON l.tbl = r.tbl AND l.key = r.key AND l.vec_id < r.vec_id
+        ),
+        scored AS (
+          SELECT id_l, id_r,
+            list_sum(list_transform(range(1, {dim}+1),
+              j -> CAST(el.embedding[j] * er.embedding[j] AS DOUBLE))) /
+            (sqrt(list_sum(list_transform(range(1, {dim}+1),
+              j -> CAST(el.embedding[j] * el.embedding[j] AS DOUBLE)))) *
+             sqrt(list_sum(list_transform(range(1, {dim}+1),
+              j -> CAST(er.embedding[j] * er.embedding[j] AS DOUBLE))))) AS cosine
+          FROM cand
+          JOIN embeddings el ON el.vec_id = id_l
+          JOIN embeddings er ON er.vec_id = id_r
+        )
+        SELECT id_l, id_r, round(cosine, 6) AS cosine
+        FROM scored WHERE cosine >= {threshold}
+    """
+
+
+def _ann_lsh_topk_oracle_sql(dim: int = 64, n_tables: int = 8,
+                             bits_per_table: int = 8, k: int = 10,
+                             query_id: int = 2, flips: int = 2) -> str:
+    """DuckDB mirror of search.lsh_topk at the shipped defaults.
+
+    Multi-probe expansion (lsh_probe_keys: BFS over ≤``flips`` sign-bit
+    flips within a table) is exactly "candidate's table key within Hamming
+    distance ``flips`` of the query's key for that table" — ``bit_count(
+    xor(...))`` expresses the whole probe set without enumerating it.
+    Buckets come from the same inlined fixed-seed hyperplanes as the
+    embedding_near_dup oracle; the final top-k reuses the
+    list_cosine_similarity-at-round(6) kernel the topk_cosine oracle
+    already proved hash-identical to the engine's zip_with/aggregate
+    cosine. vec_id ASC tie-break mirrors topk_cosine(tie_col=...)."""
+    plane_rows = _lsh_planes_values_sql(dim, n_tables, bits_per_table)
+    return rf"""
+        WITH planes(pid, pv) AS (VALUES {plane_rows}),
+        dots AS (
+          SELECT e.vec_id, p.pid,
+            list_sum(list_transform(range(1, {dim}+1),
+              j -> p.pv[j] * CAST(e.embedding[j] AS DOUBLE))) AS dp
+          FROM embeddings e CROSS JOIN planes p
+        ),
+        keys AS (
+          SELECT vec_id, pid // {bits_per_table} AS tbl,
+            SUM(CASE WHEN dp > 0
+                THEN 1 << CAST(pid % {bits_per_table} AS INT) ELSE 0 END)
+              ::BIGINT AS key
+          FROM dots GROUP BY pid // {bits_per_table}, vec_id
+        ),
+        cand AS (
+          SELECT DISTINCT c.vec_id
+          FROM keys c JOIN keys q
+            ON q.vec_id = {query_id} AND c.tbl = q.tbl
+           AND bit_count(xor(c.key, q.key)) <= {flips}
+        )
+        SELECT e.vec_id,
+               round(list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]),
+                 (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                  WHERE vec_id = {query_id})), 6) AS score
+        FROM cand JOIN embeddings e USING (vec_id)
+        ORDER BY list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]),
+                 (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                  WHERE vec_id = {query_id})) DESC, e.vec_id ASC
+        LIMIT {k}
+    """
+
+
 def _ts(col):
     """Timestamp → ISO string (stable across Spark/DuckDB hashing)."""
     return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
@@ -1860,6 +2108,18 @@ def oracle_sql() -> dict[str, str]:
         # all-pairs is the same candidate set), then connected components
         # as recursive min-label propagation; survivors = not a non-min
         # member of any component
+        # ANN LSH top-k END TO END (r4): inlined fixed-seed hyperplanes,
+        # multi-probe as a Hamming-radius join predicate, proven cosine kernel
+        "ann_lsh_topk": _ann_lsh_topk_oracle_sql(),
+        # Embedding near-dup END TO END (r4): fixed-seed hyperplanes inlined
+        # as exact float64 literals, per-table sign-pattern bucket join,
+        # double cosine verify rounded to 6 dp on both engines
+        "embedding_near_dup": _embedding_near_dup_oracle_sql(),
+        # MinHash-LSH near-dup dedup END TO END (r4): the signature kernel
+        # (byte-5-shingle pack → splitmix64 → (a·x+b) mod p minima) replayed
+        # in exact integer SQL with the perm constants inlined; band join on
+        # minima vectors, 3-gram Jaccard verify, recursive-CTE components
+        "minhash_dedup": _minhash_dedup_oracle_sql(),
         "simhash_dedup": r"""
             WITH RECURSIVE
             d AS (

@@ -58,13 +58,18 @@ def cosine_score_col(vec_col: str, query: list[float]):
 def topk_cosine(
     df: DataFrame, query: list[float], k: int = 5,
     vec_col: str = "embedding", clamp: tuple[int, int] = (1, 20),
+    tie_col: str | None = None,
 ) -> DataFrame:
     """Top-k rows by cosine similarity to ``query`` (k clamped 1..20 like
-    the reference API, src/server.ts:416-423)."""
+    the reference API, src/server.ts:416-423). ``tie_col`` (ascending)
+    breaks exact-score ties so the selected set is a deterministic
+    function of the data — required wherever the result feeds an oracle
+    or a stored artifact."""
     k = max(clamp[0], min(clamp[1], k))
+    order = [F.desc("score")] + ([F.asc(tie_col)] if tie_col else [])
     return (
         df.withColumn("score", cosine_score_col(vec_col, query))
-        .orderBy(F.desc("score"))
+        .orderBy(*order)
         .limit(k)
     )
 
@@ -218,7 +223,7 @@ def lsh_topk(
         F.arrays_overlap(F.col(bucket_col), F.array(*[F.lit(b) for b in qbuckets]))
     )
     return topk_cosine(candidates.drop(bucket_col), query, k,
-                       vec_col=vec_col)
+                       vec_col=vec_col, tie_col=id_col)
 
 
 def _score_candidates(
@@ -449,6 +454,7 @@ def ivf_topk(
     nprobe: int = 8,
     vec_col: str = "embedding",
     cell_col: str = "ivf_cell",
+    id_col: str = "vec_id",
 ) -> DataFrame:
     """ANN top-k probing only the ``nprobe`` cells nearest the query.
     The cell filter is a plain equality-IN predicate — when the corpus is
@@ -463,7 +469,8 @@ def ivf_topk(
     candidates = corpus_with_cells.filter(
         F.col(cell_col).isin([int(x) for x in cells])
     )
-    return topk_cosine(candidates.drop(cell_col), query, k, vec_col=vec_col)
+    return topk_cosine(candidates.drop(cell_col), query, k, vec_col=vec_col,
+                       tie_col=id_col)
 
 
 def ivf_topk_batch(
