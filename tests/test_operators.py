@@ -142,6 +142,30 @@ def test_with_global_seq_matches_sorted_order(spark):
     assert [r["ix"] for r in rows] == list(range(1000))
 
 
+def test_with_running_sum_matches_serial_prefix(spark):
+    from context_crawler_spark.operators.ordering import with_running_sum
+
+    df = _frontier_df(spark, n=1000).withColumn(
+        "val", (F.col("seq") % 7 + 1).cast("long")
+    )
+    out = with_running_sum(df, ["seq"], "val", "run_before",
+                           num_partitions=8)
+    rows = sorted(out.collect(), key=lambda r: r["seq"])
+    acc = 0
+    for r in rows:
+        assert r["run_before"] == acc
+        acc += r["val"]
+
+
+def test_with_running_sum_empty_input(spark):
+    from context_crawler_spark.operators.ordering import with_running_sum
+
+    df = _frontier_df(spark, n=10).filter(F.lit(False)).withColumn(
+        "val", F.lit(1).cast("long")
+    )
+    assert with_running_sum(df, ["seq"], "val").count() == 0
+
+
 def test_emit_fetch_batch_both_strategies_agree(spark):
     from context_crawler_spark.operators import ordering as om
 
