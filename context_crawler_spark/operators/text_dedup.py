@@ -326,15 +326,24 @@ def repeated_ngram_spans(
     from context_crawler_spark.operators.ranking import alnum_words
 
     did = F.col(id_col)
-    words = alnum_words(text_col)
+    # Materialize the word array as a COLUMN before the HOF references it:
+    # an alias referenced more than once is not inlined by CollapseProject,
+    # while the raw alnum_words() expression inside the transform lambda
+    # would re-run the regexp+split per GRAM — O(len·n_grams) per row, the
+    # same disease the r4 gopher_repetition profile exposed
+    # (quality_filter.py:gopher_repetition docstring, rule a).
+    ws = F.col("__ws")
     grams_arr = F.when(
-        F.size(words) >= n,
+        F.size(ws) >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.array_join(F.slice(words, i, n), " "),
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.array_join(F.slice(ws, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    grams = df.select(did.alias("id"), F.explode(grams_arr).alias("gram"))
+    grams = (
+        df.select(did.alias("id"), alnum_words(text_col).alias("__ws"))
+        .select("id", F.explode(grams_arr).alias("gram"))
+    )
     if hash_grams:
         grams = grams.select("id", F.xxhash64("gram").alias("gram"))
     gstats = grams.groupBy("gram").agg(
