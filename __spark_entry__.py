@@ -1046,6 +1046,70 @@ def q_repeated_spans(spark, sf_dir):
     return repeated_ngram_spans(d, n=8)
 
 
+def q_decontaminate(spark, sf_dir):
+    """Eval-set decontamination (Brown et al. 2020, GPT-3 Appendix C):
+    flag training docs sharing any word 5-gram with a held-out eval split
+    (doc_id % 20 == 0). Eval grams broadcast; the train corpus is never
+    shuffled — only the (rare) matched rows exchange on doc_id."""
+    from context_crawler_spark.operators.curation import ngram_decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 20 != 0)
+    eval_df = d.filter(F.col("doc_id") % 20 == 0)
+    return ngram_decontaminate(train, eval_df, n=5)
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing (Dolma/ROOTS style): email -> IPv4 -> phone
+    regexp_replace chain with per-kind counts, zero shuffle. PII strings
+    are synthesized deterministically onto every third doc (the corpus
+    itself carries none), so redaction has real matches AND real
+    negatives; both engines build the identical input."""
+    from context_crawler_spark.operators.curation import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    synth = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("reach user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com or 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0.1 or 321-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" "), F.col("text"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return redact_pii(synth).select(
+        "doc_id", "text_redacted", "n_emails", "n_ips", "n_phones"
+    )
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """CCNet paragraph-level exact dedup (Wenzek et al. 2020 §3.1) over
+    25-word blocks: corpus-first occurrence wins, docs reassembled from
+    surviving blocks in order. The engine shuffles xxhash64(block) keys;
+    the output is hash-invariant, so the oracle windows over the raw
+    block strings."""
+    from context_crawler_spark.operators.curation import paragraph_dedup
+
+    return paragraph_dedup(_t(spark, sf_dir, "documents"), block_words=25)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language Bernoulli sampling (CCNet rebalancing):
+    keep iff substr(md5(lang:doc_id),1,8) < per-stratum threshold. Pure
+    filter — reproducible across retries/cluster sizes, unlike rand()."""
+    from context_crawler_spark.operators.curation import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(d, {"en": 0.35, "zh": 0.8}).select(
+        "doc_id", "lang", "sample_key"
+    )
+
+
 def q_embed_documents(spark, sf_dir):
     """Deterministic embedding UDF (MiniLM stand-in contract): returns the
     vector's first component + norm as scalars."""
@@ -1236,6 +1300,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "unigram_quality": q_unigram_quality,
         "repeated_spans": q_repeated_spans,
+        "decontaminate": q_decontaminate,
+        "pii_redact": q_pii_redact,
+        "paragraph_dedup": q_paragraph_dedup,
+        "stratified_sample": q_stratified_sample,
         "embed_documents": q_embed_documents,
         "extract_page": q_extract_page,
         "canonicalize": q_canonicalize,
@@ -1780,6 +1848,111 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
                        AS dup_frac
             FROM g JOIN gs USING (gram) GROUP BY doc_id
+        """,
+        "decontaminate": r"""
+            WITH w AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     CASE WHEN len(words) >= 5
+                          THEN list_distinct(list_transform(
+                              range(1, len(words)-5+2),
+                              i -> array_to_string(words[i:i+4], ' ')))
+                          ELSE [] END AS grams
+              FROM w
+            ), ev AS (
+              SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0
+            ), tr AS (
+              SELECT doc_id, grams FROM g WHERE doc_id % 20 <> 0
+            ), hits AS (
+              SELECT t.doc_id, count(*) AS n_hits
+              FROM (SELECT doc_id, unnest(grams) AS gram FROM tr) t
+              JOIN ev USING (gram)
+              GROUP BY t.doc_id
+            )
+            SELECT tr.doc_id, CAST(len(tr.grams) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   COALESCE(h.n_hits, 0) > 0 AS contaminated
+            FROM tr LEFT JOIN hits h ON tr.doc_id = h.doc_id
+        """,
+        "pii_redact": r"""
+            WITH synth AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN 'reach user' || CAST(doc_id AS VARCHAR)
+                               || '@example.com or 10.'
+                               || CAST(doc_id % 256 AS VARCHAR)
+                               || '.0.1 or 321-555-'
+                               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                               || ' ' || text
+                          ELSE text END AS t0
+              FROM documents
+            ), s1 AS (
+              SELECT doc_id, t0,
+                     regexp_replace(t0,
+                       '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1
+              FROM synth
+            ), s2 AS (
+              SELECT *, regexp_replace(t1,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '<IP>', 'g') AS t2
+              FROM s1
+            )
+            SELECT doc_id,
+                   regexp_replace(t2, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')
+                     AS text_redacted,
+                   CAST(len(regexp_extract_all(t0,
+                     '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))
+                     AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(t1,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                     AS BIGINT) AS n_ips,
+                   CAST(len(regexp_extract_all(t2,
+                     '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones
+            FROM s2
+        """,
+        "paragraph_dedup": r"""
+            WITH w AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+              FROM documents
+            ), nb AS (
+              SELECT doc_id, words,
+                     CAST(floor((len(words)-1)/25) AS BIGINT) + 1 AS nblocks
+              FROM w
+            ), b AS (
+              SELECT doc_id, unnest(range(0, nblocks)) AS idx, words FROM nb
+            ), blk AS (
+              SELECT doc_id, idx,
+                     array_to_string(words[(idx*25+1):(idx*25+25)], ' ') AS block
+              FROM b
+            ), win AS (
+              SELECT doc_id, idx, block,
+                     row_number() OVER (PARTITION BY block
+                                        ORDER BY doc_id, idx) AS rn
+              FROM blk
+            ), kept AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(block, ' ' ORDER BY idx) AS kept_text
+              FROM win WHERE rn = 1 GROUP BY doc_id
+            ), tot AS (
+              SELECT doc_id, count(*) AS n_blocks FROM blk GROUP BY doc_id
+            )
+            SELECT t.doc_id, CAST(t.n_blocks AS BIGINT) AS n_blocks,
+                   CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+                   COALESCE(k.kept_text, '') AS kept_text
+            FROM tot t LEFT JOIN kept k USING (doc_id)
+        """,
+        "stratified_sample": r"""
+            SELECT doc_id, lang,
+                   substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     AS sample_key
+            FROM documents
+            WHERE substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8) <
+                  CASE lang WHEN 'en' THEN '59999999'
+                            WHEN 'zh' THEN 'cccccccc'
+                            ELSE 'zzzzzzzz' END
         """,
         "pipeline_clean": r"""
             WITH g AS (

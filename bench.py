@@ -55,6 +55,10 @@ HEADLINE = [
     "pagerank",
     "unigram_quality",
     "repeated_spans",
+    "decontaminate",
+    "pii_redact",
+    "paragraph_dedup",
+    "stratified_sample",
 ]
 
 
@@ -250,18 +254,25 @@ def main() -> None:
     r3_added = {"gopher_quality", "gopher_repetition"}
     r4_added = {"chunk_split_plan", "bm25_search", "pagerank",
                 "unigram_quality", "repeated_spans"}
+    # curation family added late in r4 (decontamination, PII, paragraph
+    # dedup, stratified sampling) — excluded from earlier-round subtotals
+    r4b_added = {"decontaminate", "pii_redact", "paragraph_dedup",
+                 "stratified_sample"}
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "r1_comparable_total": round(
             sum(v for k, v in queries.items()
-                if k not in r2_added | r3_added | r4_added), 3),
+                if k not in r2_added | r3_added | r4_added | r4b_added), 3),
         "r2_comparable_total": round(
             sum(v for k, v in queries.items()
-                if k not in r3_added | r4_added), 3),
+                if k not in r3_added | r4_added | r4b_added), 3),
         "r3_comparable_total": round(
-            sum(v for k, v in queries.items() if k not in r4_added), 3),
+            sum(v for k, v in queries.items()
+                if k not in r4_added | r4b_added), 3),
+        "r4_comparable_total": round(
+            sum(v for k, v in queries.items() if k not in r4b_added), 3),
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,

@@ -1,0 +1,248 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+Four curation stages a 100 TB webtext corpus passes through between crawl
+and tokenizer, each expressed as pure DataFrame plans (zero row-at-a-time
+Python, shuffles only where the semantics force one):
+
+  * eval-set decontamination — drop/flag training docs sharing word
+    n-grams with a held-out benchmark set (Brown et al. 2020, GPT-3
+    Appendix C; Dolma's decontamination pass). The eval gram set is tiny
+    relative to the corpus, so it BROADCASTS: the 100 TB side is never
+    shuffled, each doc is checked map-side.
+  * PII redaction — email / IPv4 / phone scrubbing via JVM ``regexp_replace``
+    chains (BigScience ROOTS / Dolma style). Zero shuffle, pure projection,
+    whole-stage-codegen'd.
+  * paragraph-level exact dedup — CCNet's first stage (Wenzek et al. 2020):
+    documents are split into fixed word-count blocks, every block that
+    appears earlier in the corpus (by ``(doc_id, block_idx)`` order) is
+    dropped, survivors are reassembled in order. ONE shuffle on the block
+    hash + one on doc_id for reassembly.
+  * deterministic stratified sampling — per-stratum Bernoulli keep via an
+    md5 hash threshold (CCNet's language rebalancing / quality-bucket
+    downsampling). Unlike ``df.sample``, the decision is a pure function
+    of the row key: reproducible across retries, resumes, and cluster
+    sizes, and expressible in ANSI SQL for cross-engine audits.
+
+Reference parity note: the reference engine (temrb/context-crawler) stops
+at per-URL dedup + extraction (src/core.ts:265,341); these operators are
+the downstream-curation extension the task brief asks for, built on the
+same documents schema its dataset sink emits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# PII patterns — the common Java-regex/RE2 subset (no lookaround), so the
+# exact same pattern string runs JVM-side here and in the DuckDB oracle.
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def _word_ngrams(words_col, n: int):
+    """Word n-grams as a JVM higher-order expression over an ALIASED word
+    array (never the raw split expression — CollapseProject would inline
+    and re-evaluate it per gram; see repeated_ngram_spans)."""
+    return F.when(
+        F.size(words_col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words_col) - (n - 1)),
+            lambda i: F.array_join(F.slice(words_col, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag training documents that share any word ``n``-gram with the
+    evaluation set (GPT-3-style decontamination; their 13-gram window
+    scales with tokenizer granularity — ``n`` is the knob).
+
+    Plan shape at 100 TB: the eval side (benchmark suites are at most
+    ~10^6 grams) is made distinct and BROADCAST; the training corpus is
+    scanned once, grams built as within-row HOFs and deduplicated
+    per-row with ``array_distinct`` BEFORE the explode, so the broadcast
+    hash join probes distinct (doc, gram) pairs map-side. The only
+    exchange is the groupBy on ``id_col`` over the *matched* rows —
+    benchmark contamination is rare, so that shuffle is tiny by
+    construction. The big side is never shuffled and never collected.
+
+    Returns one row per training doc: total distinct grams, how many hit
+    the eval set, and the contaminated flag.
+    """
+    ws = F.col("__ws")
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+
+    eval_grams = (
+        eval_df.select(words.alias("__ws"))
+        .select(F.explode(F.array_distinct(_word_ngrams(ws, n))).alias("gram"))
+        .distinct()
+    )
+
+    base = (
+        train.select(F.col(id_col).alias("id"), words.alias("__ws"))
+        .select("id", F.array_distinct(_word_ngrams(ws, n)).alias("__g"))
+    )
+    totals = base.select("id", F.size("__g").cast("long").alias("n_grams"))
+    hits = (
+        base.select("id", F.explode("__g").alias("gram"))
+        .join(F.broadcast(eval_grams), "gram", "inner")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        totals.join(F.broadcast(hits), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_redacted",
+) -> DataFrame:
+    """Scrub emails, IPv4 addresses, and NANP-style phone numbers, counting
+    each kind (counts are taken on the text as it looked when that pattern
+    ran, i.e. after the previous redactions — mirrors the replacement
+    semantics exactly).
+
+    Pure zero-shuffle projection: three chained JVM ``regexp_replace`` +
+    ``regexp_count`` pairs, each intermediate materialized as an aliased
+    column so codegen evaluates every regex pass exactly once per row.
+    """
+    step1 = df.withColumn("__t1", F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>"))
+    step2 = step1.withColumn("__t2", F.regexp_replace(F.col("__t1"), IPV4_RE, "<IP>"))
+    return (
+        step2.withColumn(out_col, F.regexp_replace(F.col("__t2"), PHONE_RE, "<PHONE>"))
+        .withColumn("n_emails", F.regexp_count(F.col(text_col), F.lit(EMAIL_RE)).cast("long"))
+        .withColumn("n_ips", F.regexp_count(F.col("__t1"), F.lit(IPV4_RE)).cast("long"))
+        .withColumn("n_phones", F.regexp_count(F.col("__t2"), F.lit(PHONE_RE)).cast("long"))
+        .drop("__t1", "__t2")
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    block_words: int = 25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_blocks: bool = True,
+) -> DataFrame:
+    """CCNet-style paragraph-level exact dedup (Wenzek et al. 2020 §3.1):
+    split every document into consecutive ``block_words``-word blocks,
+    keep only the corpus-FIRST occurrence of each distinct block (first =
+    smallest ``(doc_id, block_idx)``), and reassemble each document from
+    its surviving blocks in order.
+
+    The corpus here carries no newline structure, so "paragraph" is a
+    fixed word window — the dedup mechanics (block key -> first-occurrence
+    winner -> in-order reassembly) are the real thing.
+
+    Plan shape: block construction is within-row HOFs; ONE shuffle on the
+    block key (xxhash64(block) by default — 8 bytes on the wire instead of
+    a ~150-byte string; per-doc output is hash-invariant absent 64-bit
+    collisions) to elect winners; one shuffle on ``id_col`` to reassemble.
+    Nothing is O(corpus) on the driver.
+
+    Returns one row per input doc: block count, surviving-block count, and
+    the deduplicated text (empty string when every block lost).
+    """
+    B = block_words
+    ws = F.col("__ws")
+    blocks_arr = F.transform(
+        F.sequence(F.lit(0), F.floor((F.size(ws) - 1) / B).cast("int")),
+        lambda k: F.array_join(F.slice(ws, k * B + 1, B), " "),
+    )
+    blocks = (
+        df.select(F.col(id_col).alias("id"), F.split(F.trim(F.col(text_col)), r"\s+").alias("__ws"))
+        .select("id", F.posexplode(blocks_arr).alias("idx", "block"))
+    )
+    key = F.xxhash64("block") if hash_blocks else F.col("block")
+    keyed = blocks.withColumn("__k", key)
+    winners = keyed.groupBy("__k").agg(F.min(F.struct("id", "idx")).alias("__w"))
+    kept = (
+        keyed.join(winners, "__k")
+        .filter((F.col("id") == F.col("__w.id")) & (F.col("idx") == F.col("__w.idx")))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "block"))),
+                    lambda s: s["block"],
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+    )
+    totals = blocks.groupBy("id").agg(F.count(F.lit(1)).alias("n_blocks"))
+    return (
+        totals.join(kept, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_blocks",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        )
+    )
+
+
+def rate_threshold_hex(rate: float) -> str:
+    """8-hex-digit keep threshold for a rate in [0, 1]: a row survives iff
+    the first 8 md5 hex chars of its sampling key compare BELOW this
+    string. Lowercase-hex strings of equal length order lexicographically
+    exactly as their numeric values, so the comparison stays a plain
+    VARCHAR ``<`` in any engine. rate >= 1.0 maps to 'zzzzzzzz' (above
+    every hex string -> keep all)."""
+    if rate >= 1.0:
+        return "zzzzzzzz"
+    if rate <= 0.0:
+        return "00000000"
+    return format(int(rate * 16**8), "08x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling: keep a row iff
+    ``substr(md5(stratum || ':' || key), 1, 8) < threshold(stratum)``.
+
+    This is CCNet's language/quality rebalancing as a pure filter: md5 of
+    the row key is uniform, so each stratum keeps ~rate of its rows, and —
+    unlike ``df.sample(fraction)`` / ``rand()`` — the kept SET is a pure
+    function of the data: identical across task retries, resumes, AQE
+    re-plans, and cluster sizes, and replayable in ANSI SQL for audits.
+    Zero shuffle; the rates map is a plan-time literal.
+
+    Returns the kept rows with their hex ``sample_key`` appended.
+    """
+    pairs: list = []
+    for stratum, rate in sorted(rates.items()):
+        pairs.extend([F.lit(stratum), F.lit(rate_threshold_hex(rate))])
+    thr_map = F.create_map(*pairs) if pairs else F.create_map()
+    hexkey = F.substring(
+        F.md5(F.concat_ws(":", F.col(stratum_col), F.col(key_col).cast("string"))), 1, 8
+    )
+    thr = F.coalesce(
+        thr_map[F.col(stratum_col)], F.lit(rate_threshold_hex(default_rate))
+    )
+    return (
+        df.withColumn("sample_key", hexkey)
+        .filter(F.col("sample_key") < thr)
+    )

@@ -1,0 +1,166 @@
+"""Corpus-curation operators: decontamination, PII redaction,
+paragraph-level dedup, deterministic stratified sampling
+(operators/curation.py). Plan-shape guards included — these run over the
+100 TB side, so a stray corpus shuffle or a non-broadcast eval join is a
+bug even when the values are right."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from context_crawler_spark.operators.curation import (
+    ngram_decontaminate,
+    paragraph_dedup,
+    rate_threshold_hex,
+    redact_pii,
+    stratified_sample,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_flags_shared_ngram(spark):
+    train = _docs(spark, [
+        (1, "alpha beta gamma delta epsilon zeta eta"),      # contains eval 5-gram
+        (2, "one two three four five six seven eight"),       # clean
+        (3, "tiny doc"),                                      # < n words -> 0 grams
+    ])
+    eval_df = _docs(spark, [
+        (100, "PRE alpha beta gamma delta epsilon POST"),
+        (101, "xx"),                                          # too short: no grams
+    ])
+    out = {r["doc_id"]: r for r in ngram_decontaminate(train, eval_df, n=5).collect()}
+    assert len(out) == 3
+    assert out[1]["contaminated"] and out[1]["n_hits"] == 1 and out[1]["n_grams"] == 3
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0 and out[2]["n_grams"] == 4
+    assert out[3]["n_grams"] == 0 and not out[3]["contaminated"]
+
+
+def test_decontaminate_counts_distinct_hits_once(spark):
+    # the same gram repeated in a train doc counts once (array_distinct
+    # before the explode), and repeated eval occurrences don't multiply it
+    train = _docs(spark, [(1, "a b c d e a b c d e")])
+    eval_df = _docs(spark, [(9, "a b c d e"), (10, "z a b c d e z")])
+    row = ngram_decontaminate(train, eval_df, n=5).collect()[0]
+    assert row["n_hits"] == 1 and row["contaminated"]
+
+
+def test_decontaminate_eval_side_broadcasts(spark):
+    train = _docs(spark, [(1, "a b c d e f")])
+    eval_df = _docs(spark, [(9, "a b c d e")])
+    plan = ngram_decontaminate(train, eval_df, n=5)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the corpus side must not be exchanged for the eval probe: the only
+    # hash exchange keys on the train doc id (the matched-rows groupBy)
+    assert plan.count("Exchange hashpartitioning") <= 2  # groupBy + none on probe
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+
+def test_redact_pii_all_kinds(spark):
+    d = _docs(spark, [
+        (1, "mail a.b-c_d%x+1@sub.example.co.uk then 192.168.0.1 call 555-867-5309 done"),
+        (2, "no pii here at all"),
+        (3, "two mails x@y.io and z@w.ai plus 8.8.8.8 and 1.2.3.4"),
+    ])
+    out = {r["doc_id"]: r for r in redact_pii(d).collect()}
+    assert out[1]["text_redacted"] == "mail <EMAIL> then <IP> call <PHONE> done"
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (1, 1, 1)
+    assert out[2]["text_redacted"] == "no pii here at all"
+    assert (out[2]["n_emails"], out[2]["n_ips"], out[2]["n_phones"]) == (0, 0, 0)
+    assert out[3]["text_redacted"] == "two mails <EMAIL> and <EMAIL> plus <IP> and <IP>"
+    assert (out[3]["n_emails"], out[3]["n_ips"]) == (2, 2)
+
+
+def test_redact_pii_zero_shuffle(spark):
+    d = _docs(spark, [(1, "x@y.io")])
+    plan = redact_pii(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# paragraph dedup
+# ---------------------------------------------------------------------------
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    blk_a = " ".join(f"a{i}" for i in range(25))
+    blk_b = " ".join(f"b{i}" for i in range(25))
+    blk_c = " ".join(f"c{i}" for i in range(25))
+    d = _docs(spark, [
+        (1, f"{blk_a} {blk_b}"),          # both kept (first occurrence)
+        (2, f"{blk_a} {blk_c}"),          # loses blk_a, keeps blk_c
+        (3, blk_b),                       # fully duplicated -> empty
+    ])
+    out = {r["doc_id"]: r for r in paragraph_dedup(d, block_words=25).collect()}
+    assert (out[1]["n_blocks"], out[1]["n_kept"]) == (2, 2)
+    assert out[1]["kept_text"] == f"{blk_a} {blk_b}"
+    assert (out[2]["n_blocks"], out[2]["n_kept"]) == (2, 1)
+    assert out[2]["kept_text"] == blk_c
+    assert (out[3]["n_blocks"], out[3]["n_kept"]) == (1, 0)
+    assert out[3]["kept_text"] == ""
+
+
+def test_paragraph_dedup_reassembles_in_order(spark):
+    # 60 words -> blocks of 25/25/10; dedup within one doc: repeat block 0
+    words = [f"w{i}" for i in range(25)]
+    text = " ".join(words + ["mid"] * 25 + words[:10])
+    d = _docs(spark, [(1, text)])
+    out = paragraph_dedup(d, block_words=25).collect()[0]
+    assert out["n_blocks"] == 3 and out["n_kept"] == 3
+    assert out["kept_text"] == text  # all distinct -> identity, in order
+
+
+def test_paragraph_dedup_hash_invariant(spark):
+    d = _docs(spark, [
+        (1, " ".join(f"x{i}" for i in range(40))),
+        (2, " ".join(f"x{i}" for i in range(40))),
+    ])
+    a = sorted(map(tuple, paragraph_dedup(d, 25, hash_blocks=True).collect()))
+    b = sorted(map(tuple, paragraph_dedup(d, 25, hash_blocks=False).collect()))
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def test_rate_threshold_hex_bounds():
+    assert rate_threshold_hex(0.0) == "00000000"
+    assert rate_threshold_hex(1.0) == "zzzzzzzz"
+    assert rate_threshold_hex(0.5) == "80000000"
+    assert rate_threshold_hex(0.35) == "59999999"
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(4000)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(d, {"en": 0.25}, default_rate=1.0)
+    counts = {r["lang"]: r["cnt"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert counts["de"] == 2000                      # default 1.0 keeps all
+    assert abs(counts["en"] - 500) < 80              # ~0.25 of 2000
+    # deterministic: identical kept set on a re-run and per-row replayable
+    again = stratified_sample(d, {"en": 0.25}, default_rate=1.0)
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+        sorted(r["doc_id"] for r in again.collect())
+
+
+def test_stratified_sample_zero_rate_and_plan(spark):
+    d = spark.createDataFrame([(1, "en"), (2, "de")], "doc_id long, lang string")
+    assert stratified_sample(d, {"en": 0.0, "de": 0.0}).count() == 0
+    plan = stratified_sample(d, {"en": 0.5})._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan
