@@ -1008,6 +1008,20 @@ def q_bm25_search(spark, sf_dir):
     )
 
 
+def q_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical leg + brute-cosine dense leg fused
+    with reciprocal-rank fusion (Cormack et al. 2009). The reference's
+    search is dense-only (src/llm-service.ts:216-259); RRF over integer
+    rank positions makes the fused score an exact rational, bit-identical
+    across engines. Leg ranks are self-join counts, not global windows."""
+    from context_crawler_spark.operators.ranking import hybrid_search
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = list(e.filter(F.col("vec_id") == 1).select("embedding").head()[0])
+    return hybrid_search(d, e, "spark hash join customer", qvec, k=10, k_leg=20)
+
+
 def q_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank for crawl-frontier prioritization
     (Cho/Garcia-Molina/Page 1998 URL-ordering). The link graph is derived
@@ -1300,6 +1314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "unigram_quality": q_unigram_quality,
         "repeated_spans": q_repeated_spans,
+        "hybrid_search": q_hybrid_search,
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
         "paragraph_dedup": q_paragraph_dedup,
@@ -1848,6 +1863,60 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
                        AS dup_frac
             FROM g JOIN gs USING (gram) GROUP BY doc_id
+        """,
+        "hybrid_search": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(regexp_replace(
+                         text, '[^A-Za-z0-9]+', ' ', 'g')), ' '),
+                         w -> w != '') AS w
+              FROM documents
+            ), dl AS (
+              SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, w FROM toks
+            ), stats AS (
+              SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+            ), tf AS (
+              SELECT doc_id, dl, term, count(*) AS tf
+              FROM (SELECT doc_id, dl, unnest(w) AS term FROM dl)
+              WHERE term IN ('customer', 'hash', 'join', 'spark')
+              GROUP BY doc_id, dl, term
+            ), dfq AS (
+              SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+            ), scored AS (
+              SELECT doc_id,
+                     sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                         * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75
+                             + 0.75 * dl / avgdl))) AS raw
+              FROM tf JOIN dfq USING (term) CROSS JOIN stats
+              GROUP BY doc_id
+            ), bm AS (
+              SELECT doc_id, raw FROM scored
+              ORDER BY raw DESC, doc_id LIMIT 20
+            ), bmr AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY raw DESC, doc_id) AS rank
+              FROM bm
+            ), dn AS (
+              SELECT vec_id AS doc_id,
+                     list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                        WHERE vec_id = 1)) AS s
+              FROM embeddings
+              ORDER BY s DESC, vec_id LIMIT 20
+            ), dnr AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY s DESC, doc_id) AS rank
+              FROM dn
+            ), u AS (
+              SELECT doc_id, rank FROM bmr
+              UNION ALL
+              SELECT doc_id, rank FROM dnr
+            )
+            SELECT doc_id, round(sum(1.0/(60 + rank)), 6) AS rrf_score,
+                   CAST(count(*) AS BIGINT) AS n_legs
+            FROM u GROUP BY doc_id
+            ORDER BY round(sum(1.0/(60 + rank)), 6) DESC, doc_id LIMIT 10
         """,
         "decontaminate": r"""
             WITH w AS (

@@ -59,6 +59,7 @@ HEADLINE = [
     "pii_redact",
     "paragraph_dedup",
     "stratified_sample",
+    "hybrid_search",
 ]
 
 
@@ -257,7 +258,7 @@ def main() -> None:
     # curation family added late in r4 (decontamination, PII, paragraph
     # dedup, stratified sampling) — excluded from earlier-round subtotals
     r4b_added = {"decontaminate", "pii_redact", "paragraph_dedup",
-                 "stratified_sample"}
+                 "stratified_sample", "hybrid_search"}
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(queries.values()), 3),

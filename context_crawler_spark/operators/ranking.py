@@ -173,3 +173,89 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def leg_ranks(
+    leg: DataFrame, id_col: str = "doc_id", score_col: str = "score"
+) -> DataFrame:
+    """1-based dense positions (score DESC, id ASC tie-break) for ONE
+    retrieval leg — computed as a self-join count instead of a global
+    window, keeping the engine's zero-single-partition-window invariant.
+    The input is a top-k leg (≤ k rows by construction), so the non-equi
+    join is a trivial broadcast nested loop over k² comparisons."""
+    m = leg.select(F.col(id_col).alias("id"), F.col(score_col).alias("s"))
+    o = m.select(F.col("id").alias("oid"), F.col("s").alias("os"))
+    better = (F.col("os") > F.col("s")) | (
+        (F.col("os") == F.col("s")) & (F.col("oid") < F.col("id"))
+    )
+    return (
+        m.join(F.broadcast(o), better, "left")
+        .groupBy("id", "s")
+        .agg((F.count("oid") + 1).cast("long").alias("rank"))
+        .select("id", "rank")
+    )
+
+
+def rrf_fuse(
+    legs: list[DataFrame],
+    k_rrf: int = 60,
+    topk: int = 10,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    ``rrf(d) = Σ_legs 1 / (k_rrf + rank_leg(d))`` over the docs each leg
+    returned; docs absent from a leg contribute nothing for it. Rank
+    positions are integers, so the fused score is an exact rational —
+    bit-identical across engines regardless of the legs' float scores.
+
+    Every input here is ≤ k rows (the legs are top-k results), so fusion
+    is a driver-scale plan tail on top of arbitrarily large legs — the
+    100 TB work happened inside each leg."""
+    ranked = [leg_ranks(leg, id_col, score_col) for leg in legs]
+    u = ranked[0]
+    for r in ranked[1:]:
+        u = u.unionByName(r)
+    return (
+        u.groupBy("id")
+        .agg(
+            F.round(F.sum(1.0 / (F.lit(float(k_rrf)) + F.col("rank"))), 6).alias(
+                "rrf_score"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_legs"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("id"))
+        .limit(topk)
+        .select(F.col("id").alias(id_col), "rrf_score", "n_legs")
+    )
+
+
+def hybrid_search(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_text: str,
+    query_vec: list[float],
+    k: int = 10,
+    k_leg: int = 20,
+    k_rrf: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical leg + brute cosine dense leg, fused
+    with RRF. The reference's search is dense-only (src/llm-service.ts:
+    216-259); pairing it with the lexical leg is the standard production
+    upgrade (missing-keyword queries, exact identifiers, rare terms).
+    Each leg is the already-scale-shaped operator (term-filtered postings
+    shuffle / TakeOrdered cosine scan); fusion is O(k_leg) rows."""
+    from .search import cosine_score_col
+
+    lex = bm25_topk(docs, query_text, k=k_leg, id_col=id_col, text_col=text_col)
+    dense = (
+        embeddings.withColumn("score", cosine_score_col(emb_col, query_vec))
+        .orderBy(F.desc("score"), F.asc(vec_id_col))
+        .limit(k_leg)
+        .select(F.col(vec_id_col).alias(id_col), "score")
+    )
+    return rrf_fuse([lex, dense], k_rrf=k_rrf, topk=k, id_col=id_col)

@@ -192,3 +192,65 @@ def test_repeated_spans_gram_build_is_jvm_only(spark):
     plan = repeated_ngram_spans(df, n=2)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# RRF fusion / hybrid retrieval
+# ---------------------------------------------------------------------------
+
+
+def test_leg_ranks_orders_and_breaks_ties(spark):
+    from context_crawler_spark.operators.ranking import leg_ranks
+
+    leg = spark.createDataFrame(
+        [(5, 0.9), (2, 0.9), (7, 1.4), (9, 0.1)], "doc_id long, score double"
+    )
+    got = {r["id"]: r["rank"] for r in leg_ranks(leg).collect()}
+    # 1.4 first; the 0.9 tie broken by ascending id
+    assert got == {7: 1, 2: 2, 5: 3, 9: 4}
+
+
+def test_rrf_fuse_math_and_missing_leg(spark):
+    from context_crawler_spark.operators.ranking import rrf_fuse
+
+    a = spark.createDataFrame([(1, 3.0), (2, 2.0)], "doc_id long, score double")
+    b = spark.createDataFrame([(2, 9.0), (3, 1.0)], "doc_id long, score double")
+    rows = {r["doc_id"]: r for r in rrf_fuse([a, b], k_rrf=60, topk=10).collect()}
+    # doc 2: rank 2 in a, rank 1 in b -> 1/62 + 1/61; docs 1,3: one leg each
+    assert rows[2]["n_legs"] == 2
+    assert abs(rows[2]["rrf_score"] - round(1 / 62 + 1 / 61, 6)) < 1e-9
+    assert rows[1]["n_legs"] == 1 and abs(rows[1]["rrf_score"] - round(1 / 61, 6)) < 1e-9
+    assert rows[3]["n_legs"] == 1 and abs(rows[3]["rrf_score"] - round(1 / 62, 6)) < 1e-9
+    # both-legs doc outranks single-leg docs
+    order = [r["doc_id"] for r in rrf_fuse([a, b]).collect()]
+    assert order[0] == 2
+
+
+def test_rrf_fuse_no_global_window(spark):
+    """Leg ranking must stay a self-join count — no single-partition
+    window on the query surface."""
+    from context_crawler_spark.operators.ranking import rrf_fuse
+
+    a = spark.createDataFrame([(1, 3.0), (2, 2.0)], "doc_id long, score double")
+    plan = rrf_fuse([a, a])._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_hybrid_search_prefers_both_leg_hits(spark):
+    """A doc present in both legs beats docs present in one, regardless
+    of the legs' (incomparable) score scales."""
+    from context_crawler_spark.operators.ranking import hybrid_search
+
+    docs = spark.createDataFrame(
+        [(0, "spark join hash customer spark join"),   # strong lexical
+         (1, "unrelated words entirely different"),
+         (2, "spark customer once")],                  # weak lexical
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = hybrid_search(docs, emb, "spark customer", [1.0, 0.0], k=3, k_leg=3)
+    rows = out.collect()
+    assert rows[0]["doc_id"] == 0 and rows[0]["n_legs"] == 2
