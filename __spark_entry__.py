@@ -1124,6 +1124,15 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-then-chop sequence packing at window=128 tokens:
+    per doc, global token offset (distributed two-phase prefix scan — no
+    single-partition window), owning seq_id, boundary-crossing flag."""
+    from context_crawler_spark.operators.curation import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), window_tokens=128)
+
+
 def q_embed_documents(spark, sf_dir):
     """Deterministic embedding UDF (MiniLM stand-in contract): returns the
     vector's first component + norm as scalars."""
@@ -1319,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "paragraph_dedup": q_paragraph_dedup,
         "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
         "embed_documents": q_embed_documents,
         "extract_page": q_extract_page,
         "canonicalize": q_canonicalize,
@@ -2022,6 +2032,26 @@ def oracle_sql() -> dict[str, str]:
                   CASE lang WHEN 'en' THEN '59999999'
                             WHEN 'zh' THEN 'cccccccc'
                             ELSE 'zzzzzzzz' END
+        """,
+        "pack_sequences": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(string_split_regex(trim(text), '\s+'))
+                          AS BIGINT) AS n_tokens
+              FROM documents
+            ), o AS (
+              SELECT doc_id, n_tokens,
+                     CAST(COALESCE(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS "offset"
+              FROM t
+            )
+            SELECT doc_id, n_tokens, "offset",
+                   "offset" // 128 AS seq_id,
+                   ("offset" + n_tokens - 1) // 128 > "offset" // 128
+                     AS crosses_boundary
+            FROM o
         """,
         "pipeline_clean": r"""
             WITH g AS (

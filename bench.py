@@ -60,6 +60,7 @@ HEADLINE = [
     "paragraph_dedup",
     "stratified_sample",
     "hybrid_search",
+    "pack_sequences",
 ]
 
 
@@ -258,7 +259,7 @@ def main() -> None:
     # curation family added late in r4 (decontamination, PII, paragraph
     # dedup, stratified sampling) — excluded from earlier-round subtotals
     r4b_added = {"decontaminate", "pii_redact", "paragraph_dedup",
-                 "stratified_sample", "hybrid_search"}
+                 "stratified_sample", "hybrid_search", "pack_sequences"}
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(queries.values()), 3),

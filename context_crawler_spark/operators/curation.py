@@ -1,6 +1,6 @@
 """Corpus-curation operators for LLM training-data pipelines.
 
-Four curation stages a 100 TB webtext corpus passes through between crawl
+The curation stages a 100 TB webtext corpus passes through between crawl
 and tokenizer, each expressed as pure DataFrame plans (zero row-at-a-time
 Python, shuffles only where the semantics force one):
 
@@ -22,6 +22,9 @@ Python, shuffles only where the semantics force one):
     downsampling). Unlike ``df.sample``, the decision is a pure function
     of the row key: reproducible across retries, resumes, and cluster
     sizes, and expressible in ANSI SQL for cross-engine audits.
+  * sequence packing — GPT-style concat-then-chop layout of the tokenized
+    corpus into fixed training windows, offsets computed by the
+    distributed two-phase prefix scan (``ordering.with_running_sum``).
 
 Reference parity note: the reference engine (temrb/context-crawler) stops
 at per-URL dedup + extraction (src/core.ts:265,341); these operators are
@@ -245,4 +248,44 @@ def stratified_sample(
     return (
         df.withColumn("sample_key", hexkey)
         .filter(F.col("sample_key") < thr)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    window_tokens: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-style concat-then-chop sequence packing: documents are laid out
+    end-to-end in deterministic ``id_col`` order and chopped into fixed
+    ``window_tokens`` training sequences. Per doc, emits its whitespace
+    token count, its global token offset, the training sequence its first
+    token lands in, and whether it straddles a window boundary (the rows a
+    boundary-aware loader would re-pack or mask).
+
+    The global offset is the distributed two-phase prefix scan
+    (``ordering.with_running_sum``): range-partition on the order key, one
+    per-partition subtotal to the driver (a handful of longs), then a
+    per-partition cumsum — NEVER a single-partition global window, so the
+    layout of a 10^10-doc corpus is still computed at full parallelism.
+    Offsets stay < 2^53 (one quadrillion tokens) so the floor-divisions
+    below are exact in both engines.
+    """
+    from .ordering import with_running_sum
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    laid = with_running_sum(toks, ["id"], "n_tokens", out_col="offset")
+    W = window_tokens
+    first_w = F.floor(F.col("offset") / W)
+    last_w = F.floor((F.col("offset") + F.col("n_tokens") - 1) / W)
+    return laid.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        "offset",
+        first_w.cast("long").alias("seq_id"),
+        (last_w > first_w).alias("crosses_boundary"),
     )

@@ -164,3 +164,37 @@ def test_stratified_sample_zero_rate_and_plan(spark):
     plan = stratified_sample(d, {"en": 0.5})._jdf.queryExecution(
     ).executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_offsets_and_boundaries(spark):
+    from context_crawler_spark.operators.curation import pack_sequences
+
+    d = _docs(spark, [
+        (1, "a b c"),            # 3 tokens, offset 0, seq 0
+        (2, " ".join(["w"] * 6)),  # offset 3..8 -> crosses the 8-boundary? no: 3+6-1=8 -> floor(8/8)=1 > 0 yes
+        (3, "x"),                # offset 9, seq 1
+    ])
+    out = {r["doc_id"]: r for r in pack_sequences(d, window_tokens=8).collect()}
+    assert (out[1]["offset"], out[1]["seq_id"], out[1]["crosses_boundary"]) == (0, 0, False)
+    assert (out[2]["offset"], out[2]["seq_id"], out[2]["crosses_boundary"]) == (3, 0, True)
+    assert (out[3]["offset"], out[3]["seq_id"], out[3]["crosses_boundary"]) == (9, 1, False)
+    # offsets are a dense concatenation: sorted offsets + counts chain
+    rows = sorted(out.values(), key=lambda r: r["offset"])
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["offset"] == prev["offset"] + prev["n_tokens"]
+
+
+def test_pack_sequences_no_global_window(spark):
+    from context_crawler_spark.operators.curation import pack_sequences
+
+    d = _docs(spark, [(i, "t " * (i % 7 + 1)) for i in range(50)])
+    plan = pack_sequences(d, 16)._jdf.queryExecution().executedPlan().toString()
+    # the only window partitions by __pid (two-phase scan); a global
+    # single-partition window would show 'Window [... ORDER BY' with no
+    # partition spec and SinglePartition exchange
+    assert "SinglePartition" not in plan
