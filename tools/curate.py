@@ -1,0 +1,159 @@
+"""spark-submit entrypoint for the training-data curation pipeline.
+
+Composes the curation operators into the standard webtext cleaning flow
+(CCNet/Gopher/Dolma order) as ONE Spark application over a documents
+table (doc_id, text, lang, ...):
+
+    quality gate (Gopher rules)            zero shuffle
+    -> exact dedup (min-id keeper)         1 shuffle: content hash
+    -> paragraph-level dedup               2 shuffles: block hash, doc_id
+    -> eval-set decontamination (optional) broadcast probe
+    -> PII redaction                       zero shuffle
+    -> stratified sampling (optional)      zero shuffle
+    -> sequence packing stats (optional)   distributed prefix scan
+
+Cluster usage:
+
+    spark-submit --master <cluster> \\
+        --py-files dist/context_crawler_spark.zip \\
+        tools/curate.py --input /data/documents --output /data/clean \\
+        --eval-set /data/benchmarks --sample en=0.35,zh=0.8 --pack 2048
+
+Local smoke: python tools/curate.py --demo
+
+Prints ONE JSON line of per-stage row counts (the numbers a pipeline
+operator watches: how much each stage dropped).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_rates(spec: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for part in spec.split(","):
+        if not part:
+            continue
+        k, _, v = part.partition("=")
+        out[k.strip()] = float(v)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", help="documents parquet (doc_id, text, lang)")
+    ap.add_argument("--output", help="cleaned parquet output dir")
+    ap.add_argument("--demo", action="store_true",
+                    help="run on the bundled sf0.001 test table")
+    ap.add_argument("--eval-set", default=None,
+                    help="parquet of eval/benchmark docs to decontaminate against")
+    ap.add_argument("--decontaminate-n", type=int, default=8,
+                    help="word n-gram size for the overlap probe")
+    ap.add_argument("--block-words", type=int, default=50,
+                    help="paragraph-dedup block size (words)")
+    ap.add_argument("--sample", default=None,
+                    help="per-language keep rates, e.g. en=0.35,zh=0.8")
+    ap.add_argument("--pack", type=int, default=0,
+                    help="emit sequence-packing layout stats at this window")
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args()
+
+    if not args.demo and not args.input:
+        ap.error("--input required (or --demo)")
+
+    from pyspark.sql import functions as F
+
+    from context_crawler_spark.operators.curation import (
+        ngram_decontaminate, paragraph_dedup, redact_pii, stratified_sample,
+    )
+    from context_crawler_spark.operators.quality_filter import gopher_filter
+    from context_crawler_spark.operators.text_dedup import exact_dedup
+    from context_crawler_spark.session import get_spark
+
+    spark = get_spark(app_name="curate", cores=args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    inp = args.input or "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(inp)
+    stats: dict[str, object] = {"input": docs.count()}
+
+    # 1. Gopher quality gate — content rules only (the stop-word/line
+    # rules need real prose; flags are all computed, callers can tighten)
+    flagged = gopher_filter(docs, keep_flags=True)
+    gated = flagged.filter(
+        F.col("f_word_count") & F.col("f_mean_word_len")
+        & F.col("f_symbol_ratio") & F.col("f_alpha_words")
+    ).select(*docs.columns)
+    stats["after_quality"] = gated.count()
+
+    # 2. exact dedup (normalized text, min-id keeper)
+    deduped = exact_dedup(gated)
+    stats["after_exact_dedup"] = deduped.count()
+
+    # 3. paragraph-level dedup; keep docs that retain any block, swap in
+    # the deduplicated text
+    para = paragraph_dedup(deduped, block_words=args.block_words)
+    deduped = (
+        deduped.join(para.filter(F.col("n_kept") > 0), "doc_id")
+        .withColumn("text", F.col("kept_text"))
+        .drop("n_blocks", "n_kept", "kept_text")
+    )
+    stats["after_paragraph_dedup"] = deduped.count()
+
+    # 4. decontamination (drop any doc sharing an n-gram with the eval set)
+    if args.eval_set:
+        eval_docs = spark.read.parquet(args.eval_set)
+        marks = ngram_decontaminate(deduped, eval_docs, n=args.decontaminate_n)
+        deduped = deduped.join(
+            marks.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+        )
+        stats["after_decontaminate"] = deduped.count()
+
+    # 5. PII redaction (replace text with the scrubbed version)
+    red = redact_pii(deduped)
+    deduped = (
+        red.withColumn("text", F.col("text_redacted"))
+        .drop("text_redacted", "n_emails", "n_ips", "n_phones")
+    )
+
+    # 6. stratified sampling
+    if args.sample:
+        deduped = stratified_sample(deduped, parse_rates(args.sample)).drop(
+            "sample_key"
+        )
+        stats["after_sample"] = deduped.count()
+
+    if args.output:
+        deduped.write.mode("overwrite").parquet(args.output)
+        stats["output"] = args.output
+    stats["final"] = deduped.count()
+
+    # 7. packing layout stats (how many training sequences this corpus fills)
+    if args.pack:
+        from context_crawler_spark.operators.curation import pack_sequences
+
+        packed = pack_sequences(deduped, window_tokens=args.pack)
+        agg = packed.agg(
+            F.sum("n_tokens").alias("tokens"),
+            (F.max(F.col("offset") + F.col("n_tokens"))
+             / args.pack).alias("seqs"),
+            F.sum(F.col("crosses_boundary").cast("long")).alias("crossers"),
+        ).head()
+        stats["pack"] = {
+            "window": args.pack,
+            "total_tokens": int(agg["tokens"] or 0),
+            "n_sequences": int(-(-(agg["seqs"] or 0) // 1)),
+            "boundary_crossers": int(agg["crossers"] or 0),
+        }
+
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()
