@@ -190,7 +190,17 @@ def paragraph_dedup(
             ).alias("kept_text"),
         )
     )
-    totals = blocks.groupBy("id").agg(F.count(F.lit(1)).alias("n_blocks"))
+    # per-doc block count is pure arithmetic over the word count — this
+    # scan never materializes the block strings (the winner/probe passes
+    # above are the only ones that do)
+    totals = df.select(
+        F.col(id_col).alias("id"),
+        (
+            F.floor(
+                (F.size(F.split(F.trim(F.col(text_col)), r"\s+")) - 1) / B
+            ) + 1
+        ).cast("long").alias("n_blocks"),
+    )
     return (
         totals.join(kept, "id", "left")
         .select(
