@@ -1133,6 +1133,82 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(_t(spark, sf_dir, "documents"), window_tokens=128)
 
 
+def q_cdx_index(spark, sf_dir):
+    """Common-Crawl-style CDX capture index (sources/cdx.py): SURT key
+    (reversed-host, www-stripped, default-port-dropped, query-param-sorted
+    — pywb canonicalization defaults), 14-digit CDX timestamp, md5 digest,
+    byte length. Zero shuffle — the sorted-shard layout lives in the
+    write_cdx_shards sink (one range exchange, cluster.idx boundaries)."""
+    from context_crawler_spark.sources.cdx import cdx_index
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    url = F.concat(
+        F.lit("HTTPS://WWW."), "source", F.lit(".Test"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Docs/p"), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?b=2&a=1#frag"))
+         .when(F.col("doc_id") % 3 == 1, F.lit("/"))
+         .otherwise(F.lit("")),
+    )
+    pages = d.select(
+        F.col("doc_id"),
+        url.alias("url"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias("warc_ts"),
+        F.encode("text", "UTF-8").alias("html"),
+    )
+    out = cdx_index(pages)
+    return out.select(
+        "surt_key",
+        F.date_format("ts", "yyyyMMddHHmmss").alias("cdx_ts"),
+        "url", "digest", "length",
+    )
+
+
+def q_url_filter(spark, sf_dir):
+    """RefinedWeb §3.1 / Dolma URL filtering: blocked-domain suffix match
+    + weighted banned-word URL score, both as zero-shuffle literal
+    projections (curation.url_filter). Hosts and words synthesized
+    deterministically so both engines see real blocks, real soft scores,
+    and real passes."""
+    from context_crawler_spark.operators.curation import url_filter
+
+    d = _t(spark, sf_dir, "documents")
+    host = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit("ads.blocked.test"))
+        .when(F.col("doc_id") % 7 == 1, F.concat(F.lit("sub."), "source", F.lit(".org")))
+        .otherwise(F.concat(F.col("source"), F.lit(".test")))
+    )
+    path = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/free-casino-games"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("/poker/daily"))
+        .otherwise(F.concat(F.lit("/docs/p"), F.col("doc_id").cast("string")))
+    )
+    urls = d.select(
+        "doc_id", F.concat(F.lit("https://"), host, path).alias("url")
+    )
+    return url_filter(
+        urls,
+        blocked_domains=["blocked.test", "spam.example"],
+        word_weights={"casino": 1.0, "poker": 0.6, "free": 0.5},
+        threshold=1.0,
+    )
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR hashed-ngram importance weights (Xie et al. 2023): target =
+    every 10th doc, features = unigrams+bigrams hashed to 4096 buckets via
+    a 3-hex-char md5 prefix (no modulo — replayable in any engine), weight
+    = sum of smoothed log ratios. Distributions partial-aggregate to
+    <=4096 rows; the ratio table broadcasts; one data-sized shuffle
+    (groupBy doc_id)."""
+    from context_crawler_spark.operators.curation import dsir_weights
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    target = d.filter(F.col("doc_id") % 10 == 0)
+    return dsir_weights(corpus, target, alpha=0.5)
+
+
 def q_embed_documents(spark, sf_dir):
     """Deterministic embedding UDF (MiniLM stand-in contract): returns the
     vector's first component + norm as scalars."""
@@ -1329,6 +1405,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
+        "cdx_index": q_cdx_index,
+        "url_filter": q_url_filter,
+        "dsir_weights": q_dsir_weights,
         "embed_documents": q_embed_documents,
         "extract_page": q_extract_page,
         "canonicalize": q_canonicalize,
@@ -2052,6 +2131,126 @@ def oracle_sql() -> dict[str, str]:
                    ("offset" + n_tokens - 1) // 128 > "offset" // 128
                      AS crosses_boundary
             FROM o
+        """,
+        "cdx_index": r"""
+            WITH p AS (
+              SELECT doc_id, text,
+                     'HTTPS://WWW.' || source || '.Test'
+                       || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+                       || '/Docs/p' || CAST(doc_id AS VARCHAR)
+                       || CASE WHEN doc_id % 3 = 0 THEN '?b=2&a=1#frag'
+                               WHEN doc_id % 3 = 1 THEN '/'
+                               ELSE '' END AS url,
+                     to_timestamp(1700000000 + doc_id) AS warc_ts
+              FROM documents WHERE doc_id < 500
+            ), nf AS (
+              SELECT *, regexp_replace(url, '#.*$', '') AS u FROM p
+            ), parts AS (
+              SELECT *,
+                regexp_replace(regexp_replace(
+                  lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]+)', 1)),
+                  ':(80|443)$', ''), '^www\.', '') AS host,
+                lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]+([^?]*)', 1))
+                  AS rawpath,
+                regexp_extract(u, '\?(.*)$', 1) AS query
+              FROM nf
+            )
+            SELECT
+              array_to_string(list_reverse(string_split(host, '.')), ',')
+                || ')'
+                || CASE WHEN rawpath = '' THEN '/' ELSE rawpath END
+                || CASE WHEN query = '' THEN ''
+                        ELSE '?' || array_to_string(
+                               list_sort(string_split(query, '&')), '&') END
+                AS surt_key,
+              strftime(warc_ts, '%Y%m%d%H%M%S') AS cdx_ts,
+              url,
+              md5(text) AS digest,
+              CAST(octet_length(encode(text)) AS BIGINT) AS length
+            FROM parts
+        """,
+        "url_filter": r"""
+            WITH u AS (
+              SELECT doc_id,
+                'https://'
+                || CASE WHEN doc_id % 7 = 0 THEN 'ads.blocked.test'
+                        WHEN doc_id % 7 = 1 THEN 'sub.' || source || '.org'
+                        ELSE source || '.test' END
+                || CASE WHEN doc_id % 5 = 0 THEN '/free-casino-games'
+                        WHEN doc_id % 5 = 1 THEN '/poker/daily'
+                        ELSE '/docs/p' || CAST(doc_id AS VARCHAR) END AS url
+              FROM documents
+            ), h AS (
+              SELECT doc_id, url, lower(url) AS lu,
+                string_split(
+                  regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1),
+                  '.') AS labels
+              FROM u
+            ), sc AS (
+              SELECT doc_id, url,
+                array_to_string(labels, '.') AS host,
+                len(list_filter(range(1, len(labels)+1), i ->
+                    list_contains(['blocked.test', 'spam.example'],
+                                  array_to_string(labels[i:len(labels)], '.')))) > 0
+                  AS domain_blocked,
+                round((CASE WHEN contains(lu, 'casino')
+                            THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+                    + (CASE WHEN contains(lu, 'free')
+                            THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+                    + (CASE WHEN contains(lu, 'poker')
+                            THEN CAST(0.6 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END),
+                    4) AS word_score
+              FROM h
+            )
+            SELECT doc_id, url, host, domain_blocked, word_score,
+                   (NOT domain_blocked) AND word_score < 1.0 AS keep
+            FROM sc
+        """,
+        "dsir_weights": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\s+') AS words
+              FROM documents WHERE doc_id < 2000
+            ), g AS (
+              SELECT doc_id,
+                list_concat(
+                  CASE WHEN len(words) >= 1
+                       THEN list_transform(range(1, len(words)+1),
+                                           i -> array_to_string(words[i:i], ' '))
+                       ELSE [] END,
+                  CASE WHEN len(words) >= 2
+                       THEN list_transform(range(1, len(words)),
+                                           i -> array_to_string(words[i:i+1], ' '))
+                       ELSE [] END) AS grams
+              FROM d
+            ), e AS (
+              SELECT doc_id, substr(md5(unnest(grams)), 1, 3) AS bucket FROM g
+            ), raw AS (
+              SELECT bucket, count(*) AS raw_cnt FROM e
+              WHERE doc_id % 10 <> 0 GROUP BY bucket
+            ), tgt AS (
+              SELECT bucket, count(*) AS tgt_cnt FROM e
+              WHERE doc_id % 10 = 0 GROUP BY bucket
+            ), dist AS (
+              SELECT COALESCE(raw.bucket, tgt.bucket) AS bucket,
+                     COALESCE(raw_cnt, 0) AS raw_cnt,
+                     COALESCE(tgt_cnt, 0) AS tgt_cnt
+              FROM raw FULL OUTER JOIN tgt ON raw.bucket = tgt.bucket
+            ), tot AS (
+              SELECT CAST(sum(raw_cnt) AS DOUBLE) AS raw_tot,
+                     CAST(sum(tgt_cnt) AS DOUBLE) AS tgt_tot
+              FROM dist
+            ), ratio AS (
+              SELECT bucket,
+                ln((CAST(tgt_cnt AS DOUBLE) + 0.5) / (tgt_tot + 2048.0))
+                  - ln((CAST(raw_cnt AS DOUBLE) + 0.5) / (raw_tot + 2048.0)) AS lr
+              FROM dist CROSS JOIN tot
+            )
+            SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                   round(sum(lr), 6) AS dsir_weight
+            FROM e JOIN ratio USING (bucket)
+            WHERE e.doc_id % 10 <> 0
+            GROUP BY e.doc_id
         """,
         "pipeline_clean": r"""
             WITH g AS (

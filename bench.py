@@ -61,11 +61,20 @@ HEADLINE = [
     "stratified_sample",
     "hybrid_search",
     "pack_sequences",
+    "cdx_index",
+    "url_filter",
+    "dsir_weights",
 ]
 
 
 def _noop_write(df) -> None:
     df.write.mode("overwrite").format("noop").save()
+
+
+def _timed(fn, *args) -> float:
+    t0 = time.time()
+    fn(*args)
+    return time.time() - t0
 
 
 def _warmup(spark) -> None:
@@ -154,7 +163,6 @@ def bench_extract(spark, sf_dir: str) -> dict[str, float]:
         html.alias("html"),
     ).persist()
     n = pages.count()
-    t0 = time.time()
     page_udf = make_extract_page_udf("article")
     ex = pages.withColumn("__page", page_udf("html", "url"))
     out = ex.select(
@@ -162,8 +170,11 @@ def bench_extract(spark, sf_dir: str) -> dict[str, float]:
         F.col("__page.text").alias("text"),
         F.size("__page.links").alias("n_links"),
     )
-    _noop_write(out)
-    dt = time.time() - t0
+    # best of 3 (same rationale as bench_frontier's best-of-4): sample 1
+    # pays the one-time Python-worker spawn+import for every core — a
+    # fixed session cost, not per-page work — and single samples swing
+    # with residual box load
+    dt = min(_timed(_noop_write, out) for _ in range(3))
     pages.unpersist()
     return {"n_pages": n, "extract_sec": round(dt, 3),
             "extract_pages_per_sec": round(n / dt, 1)}
@@ -240,10 +251,15 @@ def main() -> None:
     # loaded run distinguishable from a regression in the artifact itself)
     load_start = [round(x, 2) for x in os.getloadavg()]
     _warmup(spark)
-    queries = bench_queries(spark, sf_dir)
-    load_mid = [round(x, 2) for x in os.getloadavg()]
+    # the north-star frontier metrics run FIRST, on a fresh session: when
+    # they ran last (r3/early-r4 layout) they inherited a JVM degraded by
+    # 33 queries + the 50-query recall sweep (GC debt, dozens of stale
+    # Python UDF workers, loadavg 15+) and read 3-30x low — the artifact
+    # then recorded box residue, not the operator (VERDICT r3 #1)
     frontier = bench_frontier(spark, n_frontier)
     extract = bench_extract(spark, sf_dir)
+    load_mid = [round(x, 2) for x in os.getloadavg()]
+    queries = bench_queries(spark, sf_dir)
     ann_recall = bench_ann_recall(spark, sf_dir)
     load_end = [round(x, 2) for x in os.getloadavg()]
 
@@ -259,7 +275,8 @@ def main() -> None:
     # curation family added late in r4 (decontamination, PII, paragraph
     # dedup, stratified sampling) — excluded from earlier-round subtotals
     r4b_added = {"decontaminate", "pii_redact", "paragraph_dedup",
-                 "stratified_sample", "hybrid_search", "pack_sequences"}
+                 "stratified_sample", "hybrid_search", "pack_sequences",
+                 "cdx_index", "url_filter", "dsir_weights"}
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(queries.values()), 3),
@@ -280,7 +297,7 @@ def main() -> None:
         "cpus": cpus,
         "frontier": {**frontier, **extract},
         "ann_recall_at_10": ann_recall,
-        "loadavg": {"start": load_start, "after_queries": load_mid,
+        "loadavg": {"start": load_start, "after_frontier": load_mid,
                     "end": load_end},
     }
     print(json.dumps(result))

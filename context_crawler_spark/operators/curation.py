@@ -299,3 +299,145 @@ def pack_sequences(
         first_w.cast("long").alias("seq_id"),
         (last_w > first_w).alias("crosses_boundary"),
     )
+
+
+def host_suffixes(host_col):
+    """All dot-suffix domains of a host as a JVM array expression:
+    ``a.b.example.com`` -> [a.b.example.com, b.example.com, example.com,
+    com]. Built with sequence+slice HOFs — no explode, no Python."""
+    host = F.col(host_col) if isinstance(host_col, str) else host_col
+    labels = F.split(host, r"\.")
+    return F.transform(
+        F.sequence(F.lit(1), F.size(labels)),
+        lambda i: F.array_join(F.slice(labels, i, F.size(labels) - i + 1), "."),
+    )
+
+
+def url_filter(
+    df: DataFrame,
+    blocked_domains: list[str],
+    word_weights: dict[str, float],
+    threshold: float = 1.0,
+    url_col: str = "url",
+) -> DataFrame:
+    """RefinedWeb-style URL filtering (Penedo et al. 2023 §3.1; Dolma's
+    URL taggers): drop a page if its host falls under any blocked domain
+    (suffix match, so ``ads.example.com`` is caught by ``example.com``)
+    or if the weighted sum of banned words appearing in the URL reaches
+    ``threshold``.
+
+    Plan shape at 100 TB: everything is a zero-shuffle projection.
+    The blocklist and word weights are plan-time literals — RefinedWeb's
+    real blocklist (4.6M domains) would instead broadcast-semi-join the
+    exploded ``host_suffixes`` against a blocklist table (same semantics,
+    one broadcast, still no corpus shuffle); this literal path is the
+    config-sized variant the tests and oracle replay exactly. Matching is
+    on the lowercased URL, as in the reference implementations.
+
+    Output: one row per input URL with ``host``, ``domain_blocked``,
+    ``word_score`` (rounded 4 dp), and the final ``keep`` verdict.
+    """
+    url = F.lower(F.col(url_col))
+    host = F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+    blocked_lit = F.array(*[F.lit(d.lower()) for d in sorted(blocked_domains)])
+    domain_blocked = F.arrays_overlap(host_suffixes(host), blocked_lit)
+    score = None
+    for w, wt in sorted(word_weights.items()):
+        term = F.when(url.contains(w.lower()), F.lit(float(wt))).otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+    if score is None:
+        score = F.lit(0.0)
+    word_score = F.round(score, 4)
+    return df.select(
+        "*",
+        host.alias("host"),
+        domain_blocked.alias("domain_blocked"),
+        word_score.alias("word_score"),
+        (~domain_blocked & (word_score < F.lit(float(threshold)))).alias("keep"),
+    )
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS 2023: Data Selection
+    for Language Models via Importance Resampling): score every corpus
+    document by how much more likely its hashed n-gram features are under
+    a small in-domain *target* sample than under the raw corpus, i.e.
+    ``sum_g [ ln p_target(bucket(g)) - ln p_raw(bucket(g)) ]`` over the
+    doc's unigrams+bigrams. High-weight docs are then kept by the
+    deterministic sampler (``stratified_sample``) — DSIR's resampling
+    step — so the pair reproduces the paper's pipeline end to end.
+
+    Feature hashing: bucket(g) = first 3 hex chars of md5(g) — 4096
+    uniform buckets with NO modulo, so the identical bucketing runs in
+    any engine that has md5 (the DuckDB oracle replays it verbatim).
+    Laplace smoothing ``alpha`` over the full 4096-bucket space keeps
+    unseen buckets finite.
+
+    Plan shape at 100 TB: the two distribution estimates partial-aggregate
+    map-side down to <=4096 rows each (a groupBy whose exchange carries
+    kilobytes); the per-bucket log-ratio table is tiny and BROADCAST back
+    onto the exploded corpus grams; the only data-sized exchange is the
+    final groupBy on ``id_col``. The corpus is scanned twice (once for the
+    raw distribution, once for scoring) — at 10^10 docs you'd persist the
+    gram projection or estimate p_raw on a hash-sample; both knobs are
+    orthogonal to this plan.
+
+    Output: one row per corpus doc — ``n_feats`` (gram occurrences,
+    counted WITH multiplicity per the paper's bag-of-ngrams model) and
+    ``dsir_weight`` rounded 6 dp (sub-ulp cross-engine ln/sum noise is
+    below that; same rounding contract as unigram_logprob).
+    """
+    B = 4096
+
+    def grams_of(df: DataFrame, keep_id: bool) -> DataFrame:
+        words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        base = df.select(
+            (F.col(id_col) if keep_id else F.lit(0)).alias("id"),
+            words.alias("words"),
+        )
+        g = base.select(
+            "id",
+            F.concat(_word_ngrams(F.col("words"), 1), _word_ngrams(F.col("words"), 2)).alias("grams"),
+        )
+        return g.select("id", F.explode("grams").alias("gram")).select(
+            "id", F.substring(F.md5("gram"), 1, 3).alias("bucket")
+        )
+
+    raw_b = grams_of(corpus, keep_id=False).groupBy("bucket").agg(
+        F.count("*").alias("raw_cnt")
+    )
+    tgt_b = grams_of(target, keep_id=False).groupBy("bucket").agg(
+        F.count("*").alias("tgt_cnt")
+    )
+    dists = raw_b.join(tgt_b, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("raw_cnt", F.lit(0)).alias("raw_cnt"),
+        F.coalesce("tgt_cnt", F.lit(0)).alias("tgt_cnt"),
+    )
+    totals = dists.agg(
+        F.sum("raw_cnt").alias("raw_tot"), F.sum("tgt_cnt").alias("tgt_tot")
+    )
+    a = float(alpha)
+    ratio = dists.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("tgt_cnt") + a) / (F.col("tgt_tot") + a * B))
+            - F.log((F.col("raw_cnt") + a) / (F.col("raw_tot") + a * B))
+        ).alias("lr"),
+    )
+    doc_grams = grams_of(corpus, keep_id=True)
+    return (
+        doc_grams.join(F.broadcast(ratio), "bucket", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.round(F.sum("lr"), 6).alias("dsir_weight"),
+        )
+        .select(F.col("id").alias(id_col), "n_feats", "dsir_weight")
+    )

@@ -1,0 +1,78 @@
+"""CDX capture index (sources/cdx.py): SURT key semantics, the index
+projection, and the sorted-shard sink with cluster.idx boundaries."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from context_crawler_spark.sources.cdx import cdx_index, surt_key, write_cdx_shards
+
+
+def _surt(spark, url: str) -> str:
+    return (
+        spark.range(1)
+        .select(surt_key(F.lit(url)).alias("k"))
+        .collect()[0]["k"]
+    )
+
+
+def test_surt_host_reversal_and_www(spark):
+    assert _surt(spark, "https://www.example.com/path") == "com,example)/path"
+    assert _surt(spark, "http://a.b.example.com/") == "com,example,b,a)/"
+
+
+def test_surt_case_port_query_fragment(spark):
+    # lowercased, default port dropped, params sorted bytewise, fragment gone
+    assert (
+        _surt(spark, "HTTPS://WWW.Example.COM:443/A/B?b=2&a=1#frag")
+        == "com,example)/a/b?a=1&b=2"
+    )
+    # non-default port survives in the host part
+    assert _surt(spark, "http://example.com:8080/x") == "com,example:8080)/x"
+
+
+def test_surt_empty_path_is_slash(spark):
+    assert _surt(spark, "https://example.com") == "com,example)/"
+    assert _surt(spark, "https://example.com?q=1") == "com,example)/?q=1"
+
+
+def test_cdx_index_projection_zero_shuffle(spark):
+    pages = spark.createDataFrame(
+        [("https://www.a.test/x", "2024-01-01 00:00:05", b"<html>hi</html>")],
+        "url string, warc_ts string, html binary",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    out = cdx_index(pages)
+    row = out.collect()[0]
+    assert row["surt_key"] == "test,a)/x"
+    assert row["length"] == 15
+    assert len(row["digest"]) == 32
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_write_cdx_shards_sorted_with_cluster_idx(spark, tmp_path):
+    rows = [
+        (f"https://site{i % 7}.test/p{i}", "2024-01-01 00:00:00",
+         f"payload {i}".encode())
+        for i in range(200)
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts string, html binary"
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    res = write_cdx_shards(cdx_index(pages), str(tmp_path), n_shards=4)
+    assert res["n_shards"] >= 1
+    # concatenating shards in cluster.idx order must yield a globally
+    # sorted key stream (the binary-searchable zipnum property)
+    with open(res["index"], encoding="utf-8") as fh:
+        entries = [ln.rstrip("\n").split("\t") for ln in fh]
+    keys_all = []
+    for _first_key, fname in entries:
+        with open(os.path.join(str(tmp_path), "cdx", fname), encoding="utf-8") as fh:
+            keys_all.extend(ln.split(" ", 1)[0] for ln in fh)
+    assert keys_all == sorted(keys_all)
+    assert len(keys_all) == 200
+    # cluster.idx first-keys must be ascending too
+    firsts = [e[0] for e in entries]
+    assert firsts == sorted(firsts)

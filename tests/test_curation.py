@@ -198,3 +198,99 @@ def test_pack_sequences_no_global_window(spark):
     # single-partition window would show 'Window [... ORDER BY' with no
     # partition spec and SinglePartition exchange
     assert "SinglePartition" not in plan
+
+
+# ---------------------------------------------------------------------------
+# URL filtering (RefinedWeb / Dolma)
+# ---------------------------------------------------------------------------
+
+
+def _urls(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, url string")
+
+
+def test_url_filter_domain_suffix_match(spark):
+    from context_crawler_spark.operators.curation import url_filter
+
+    d = _urls(spark, [
+        (1, "https://ads.evil.test/x"),        # subdomain of blocked
+        (2, "https://evil.test/x"),            # exact blocked
+        (3, "https://notevil.test/x"),         # NOT a dot-suffix: survives
+        (4, "https://good.org/x"),
+    ])
+    out = {r["doc_id"]: r for r in
+           url_filter(d, ["evil.test"], {}, threshold=1.0).collect()}
+    assert out[1]["domain_blocked"] and not out[1]["keep"]
+    assert out[2]["domain_blocked"] and not out[2]["keep"]
+    assert not out[3]["domain_blocked"] and out[3]["keep"]
+    assert not out[4]["domain_blocked"] and out[4]["keep"]
+
+
+def test_url_filter_word_score_threshold_and_case(spark):
+    from context_crawler_spark.operators.curation import url_filter
+
+    d = _urls(spark, [
+        (1, "https://a.test/FREE-CASINO"),     # 0.5 + 1.0 -> blocked
+        (2, "https://a.test/free-stuff"),      # 0.5 -> kept
+        (3, "https://a.test/poker/free"),      # 0.6 + 0.5 >= 1.0 -> blocked
+        (4, "https://a.test/docs"),            # 0.0
+    ])
+    w = {"casino": 1.0, "poker": 0.6, "free": 0.5}
+    out = {r["doc_id"]: r for r in url_filter(d, [], w, threshold=1.0).collect()}
+    assert out[1]["word_score"] == 1.5 and not out[1]["keep"]
+    assert out[2]["word_score"] == 0.5 and out[2]["keep"]
+    assert out[3]["word_score"] == 1.1 and not out[3]["keep"]
+    assert out[4]["word_score"] == 0.0 and out[4]["keep"]
+
+
+def test_url_filter_zero_shuffle(spark):
+    from context_crawler_spark.operators.curation import url_filter
+
+    d = _urls(spark, [(1, "https://a.test/x")])
+    plan = url_filter(d, ["b.test"], {"w": 1.0})._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_target_like_docs_score_higher(spark):
+    from context_crawler_spark.operators.curation import dsir_weights
+
+    # target vocabulary is medical-ish; corpus doc 1 shares it, doc 2 is
+    # off-domain boilerplate — DSIR must rank doc 1 above doc 2
+    corpus = _docs(spark, [
+        (1, "patient dosage clinical trial dosage patient outcome"),
+        (2, "click here buy now free shipping click here"),
+    ])
+    target = _docs(spark, [
+        (10, "clinical patient dosage trial outcome study"),
+        (11, "dosage outcome patient clinical analysis"),
+    ])
+    out = {r["doc_id"]: r["dsir_weight"] for r in
+           dsir_weights(corpus, target).collect()}
+    assert out[1] > out[2]
+
+
+def test_dsir_feature_counts_with_multiplicity(spark):
+    from context_crawler_spark.operators.curation import dsir_weights
+
+    corpus = _docs(spark, [(1, "a b a")])   # unigrams a,b,a + bigrams "a b","b a"
+    target = _docs(spark, [(9, "a")])
+    out = dsir_weights(corpus, target).collect()
+    assert len(out) == 1 and out[0]["n_feats"] == 5
+
+
+def test_dsir_ratio_table_broadcasts(spark):
+    from context_crawler_spark.operators.curation import dsir_weights
+
+    corpus = _docs(spark, [(1, "a b c"), (2, "d e f")])
+    target = _docs(spark, [(9, "a b")])
+    plan = dsir_weights(corpus, target)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # scoring join must be broadcast — the corpus side never shuffles on
+    # the feature key; doc_id groupBy is the only data-sized exchange
+    assert "BroadcastHashJoin" in plan
