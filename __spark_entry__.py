@@ -1203,7 +1203,14 @@ def q_dsir_weights(spark, sf_dir):
     (groupBy doc_id)."""
     from context_crawler_spark.operators.curation import dsir_weights
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    # toy-scale only: sf0.1 documents is ONE parquet file = one scan task,
+    # which serializes the gram build; a 100 TB corpus arrives in
+    # thousands of splits and never needs this
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 2000)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     corpus = d.filter(F.col("doc_id") % 10 != 0)
     target = d.filter(F.col("doc_id") % 10 == 0)
     return dsir_weights(corpus, target, alpha=0.5)

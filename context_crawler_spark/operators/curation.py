@@ -89,13 +89,20 @@ def ngram_decontaminate(
         .distinct()
     )
 
-    base = (
-        train.select(F.col(id_col).alias("id"), words.alias("__ws"))
-        .select("id", F.array_distinct(_word_ngrams(ws, n)).alias("__g"))
+    # both branches build their gram expression in the projection
+    # immediately after the __ws alias — an intermediate single-reference
+    # gram-array alias gets inlined into the downstream Generate/Project
+    # and re-evaluates per OUTPUT row (the CollapseProject disease; the
+    # dsir_weights profile measured the alias-then-explode form 40x slower)
+    aliased = train.select(F.col(id_col).alias("id"), words.alias("__ws"))
+    totals = aliased.select(
+        "id",
+        F.size(F.array_distinct(_word_ngrams(ws, n))).cast("long").alias("n_grams"),
     )
-    totals = base.select("id", F.size("__g").cast("long").alias("n_grams"))
     hits = (
-        base.select("id", F.explode("__g").alias("gram"))
+        aliased.select(
+            "id", F.explode(F.array_distinct(_word_ngrams(ws, n))).alias("gram")
+        )
         .join(F.broadcast(eval_grams), "gram", "inner")
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
@@ -396,40 +403,53 @@ def dsir_weights(
     B = 4096
 
     def grams_of(df: DataFrame, keep_id: bool) -> DataFrame:
+        # explode in the projection immediately after the words alias: an
+        # intermediate single-reference `grams` alias gets inlined into the
+        # Generate and profiled 40x slower (85 us/gram) — the CollapseProject
+        # re-evaluation disease, third sighting (see repeated_ngram_spans)
         words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
         base = df.select(
             (F.col(id_col) if keep_id else F.lit(0)).alias("id"),
             words.alias("words"),
         )
-        g = base.select(
+        w = F.col("words")
+        return base.select(
             "id",
-            F.concat(_word_ngrams(F.col("words"), 1), _word_ngrams(F.col("words"), 2)).alias("grams"),
-        )
-        return g.select("id", F.explode("grams").alias("gram")).select(
-            "id", F.substring(F.md5("gram"), 1, 3).alias("bucket")
-        )
+            F.explode(F.concat(_word_ngrams(w, 1), _word_ngrams(w, 2))).alias("gram"),
+        ).select("id", F.substring(F.md5("gram"), 1, 3).alias("bucket"))
 
-    raw_b = grams_of(corpus, keep_id=False).groupBy("bucket").agg(
-        F.count("*").alias("raw_cnt")
-    )
-    tgt_b = grams_of(target, keep_id=False).groupBy("bucket").agg(
-        F.count("*").alias("tgt_cnt")
-    )
-    dists = raw_b.join(tgt_b, "bucket", "full_outer").select(
-        "bucket",
-        F.coalesce("raw_cnt", F.lit(0)).alias("raw_cnt"),
-        F.coalesce("tgt_cnt", F.lit(0)).alias("tgt_cnt"),
-    )
-    totals = dists.agg(
-        F.sum("raw_cnt").alias("raw_tot"), F.sum("tgt_cnt").alias("tgt_tot")
-    )
+    # The two distributions collapse to <=4096 rows each — collect them and
+    # finish the ratio table driver-side (metadata-sized, like the bloom
+    # bucket ids and IVF partials elsewhere). Building it as a lazy
+    # dists->totals->ratio DataFrame chain instead re-executes the whole
+    # gram pipeline once per downstream reference (no persist in a pure
+    # operator), which profiled ~5 redundant corpus scans.
+    import math
+
+    raw_cnt = {
+        r["bucket"]: r["cnt"]
+        for r in grams_of(corpus, keep_id=False)
+        .groupBy("bucket").agg(F.count("*").alias("cnt")).collect()
+    }
+    tgt_cnt = {
+        r["bucket"]: r["cnt"]
+        for r in grams_of(target, keep_id=False)
+        .groupBy("bucket").agg(F.count("*").alias("cnt")).collect()
+    }
     a = float(alpha)
-    ratio = dists.crossJoin(F.broadcast(totals)).select(
-        "bucket",
-        (
-            F.log((F.col("tgt_cnt") + a) / (F.col("tgt_tot") + a * B))
-            - F.log((F.col("raw_cnt") + a) / (F.col("raw_tot") + a * B))
-        ).alias("lr"),
+    raw_tot = float(sum(raw_cnt.values()))
+    tgt_tot = float(sum(tgt_cnt.values()))
+    spark = corpus.sparkSession
+    ratio = spark.createDataFrame(
+        [
+            (
+                b,
+                math.log((tgt_cnt.get(b, 0) + a) / (tgt_tot + a * B))
+                - math.log((raw_cnt.get(b, 0) + a) / (raw_tot + a * B)),
+            )
+            for b in sorted(set(raw_cnt) | set(tgt_cnt))
+        ],
+        "bucket string, lr double",
     )
     doc_grams = grams_of(corpus, keep_id=True)
     return (

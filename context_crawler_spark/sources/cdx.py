@@ -143,3 +143,62 @@ def write_cdx_shards(entries: DataFrame, out_dir: str, n_shards: int = 8) -> dic
     # silence unused warning: spark session retained for API symmetry
     _ = spark
     return {"n_shards": len(first_keys), "index": idx_path}
+
+
+def lookup_prefix(out_dir: str, prefix: str, limit: int = 1000) -> list[str]:
+    """Serve a SURT-prefix lookup from a written index WITHOUT a Spark job:
+    binary-search ``cluster.idx`` for the shard range that can contain the
+    prefix, then scan only those shards (each internally sorted, so the
+    scan early-exits past the prefix). This is the read path the sorted
+    zipnum layout exists for — a wayback-style `url/*` query over a
+    10^10-capture index touches O(matches / shard_size) files.
+
+    Accepts either a SURT prefix (``com,example)``) or a full URL (which
+    is SURT-transformed driver-side via a 1-row Spark-free fast path:
+    the same regex pipeline, evaluated in Python).
+    """
+    import bisect
+    import re
+
+    if "://" in prefix:
+        u = re.sub(r"#.*$", "", prefix)
+        netloc = re.search(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]+)", u)
+        netloc_s = (netloc.group(1) if netloc else "").lower()
+        netloc_s = re.sub(r":(80|443)$", "", netloc_s)
+        m_port = re.search(r":(\d+)$", netloc_s)
+        host = re.sub(r":\d+$", "", netloc_s)
+        host = re.sub(r"^www\.", "", host)
+        rev = ",".join(reversed(host.split(".")))
+        if m_port:
+            rev += ":" + m_port.group(1)
+        m_path = re.search(r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]+([^?]*)", u)
+        path = (m_path.group(1) if m_path else "").lower() or "/"
+        m_q = re.search(r"\?(.*)$", u)
+        q = "?" + "&".join(sorted(m_q.group(1).split("&"))) if m_q and m_q.group(1) else ""
+        prefix = rev + ")" + path + q
+
+    idx_path = os.path.join(out_dir, "cluster.idx")
+    entries: list[tuple[str, str]] = []
+    with open(idx_path, encoding="utf-8") as fh:
+        for ln in fh:
+            key, fname = ln.rstrip("\n").split("\t")
+            entries.append((key, fname))
+    if not entries:
+        return []
+    firsts = [k for k, _ in entries]
+    # first shard whose first key could precede the prefix range
+    start = max(0, bisect.bisect_right(firsts, prefix) - 1)
+    out: list[str] = []
+    for key, fname in entries[start:]:
+        if key > prefix and not key.startswith(prefix):
+            break
+        with open(os.path.join(out_dir, "cdx", fname), encoding="utf-8") as fh:
+            for ln in fh:
+                k = ln.split(" ", 1)[0]
+                if k.startswith(prefix):
+                    out.append(ln.rstrip("\n"))
+                    if len(out) >= limit:
+                        return out
+                elif k > prefix:
+                    break
+    return out

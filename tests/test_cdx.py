@@ -76,3 +76,30 @@ def test_write_cdx_shards_sorted_with_cluster_idx(spark, tmp_path):
     # cluster.idx first-keys must be ascending too
     firsts = [e[0] for e in entries]
     assert firsts == sorted(firsts)
+
+
+def test_lookup_prefix_binary_search(spark, tmp_path):
+    from context_crawler_spark.sources.cdx import lookup_prefix
+
+    rows = [
+        (f"https://site{i % 7}.test/p{i}", "2024-01-01 00:00:00",
+         f"payload {i}".encode())
+        for i in range(200)
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts string, html binary"
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    write_cdx_shards(cdx_index(pages), str(tmp_path), n_shards=4)
+
+    # SURT-prefix form: all captures of one host
+    hits = lookup_prefix(str(tmp_path), "test,site3)")
+    assert len(hits) == len([i for i in range(200) if i % 7 == 3])
+    assert all(h.startswith("test,site3)/p") for h in hits)
+    # full-URL form — prefix semantics (wayback `url/*`): p3 also
+    # matches p31/p38; the exact capture sorts first
+    one = lookup_prefix(str(tmp_path), "https://site3.test/p3")
+    assert len(one) == 3 and " https://site3.test/p3 " in one[0]
+    # miss
+    assert lookup_prefix(str(tmp_path), "test,nonexistent)") == []
+    # limit clamps
+    assert len(lookup_prefix(str(tmp_path), "test,", limit=5)) == 5

@@ -83,6 +83,9 @@ def main() -> None:
     p.add_argument("--warc-out", default=None,
                    help="directory to re-emit the crawled pages as CC-native "
                         ".warc.gz files (one gzip member per record)")
+    p.add_argument("--cdx-out", default=None,
+                   help="directory for a CDX capture index over the crawled "
+                        "pages (SURT-keyed sorted shards + cluster.idx)")
     p.add_argument("--demo", action="store_true",
                    help="run on the built-in tiny synthetic site")
     args = p.parse_args()
@@ -171,6 +174,14 @@ def main() -> None:
             eng.pages_out().select("url").distinct(), "url"
         ).select("url", "warc_ts", "html")
         n_warc = write_warc_files(crawled, args.warc_out)
+    cdx = None
+    if args.cdx_out and meta.get("fetched_total") and pages is not None:
+        from context_crawler_spark.sources.cdx import cdx_index, write_cdx_shards
+
+        crawled = pages.join(
+            eng.pages_out().select("url").distinct(), "url"
+        ).select("url", "warc_ts", "html")
+        cdx = write_cdx_shards(cdx_index(crawled), args.cdx_out)
     print(json.dumps({
         "job": cfg.name,
         "rounds": meta.get("round"),
@@ -179,6 +190,7 @@ def main() -> None:
         "reason": meta.get("finish_reason"),
         "snapshot": store.head_id(),
         "warc_files": n_warc,
+        "cdx": cdx,
         "metrics_tail": eng.metrics()[-3:],
     }))
 
