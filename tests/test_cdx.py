@@ -103,3 +103,40 @@ def test_lookup_prefix_binary_search(spark, tmp_path):
     assert lookup_prefix(str(tmp_path), "test,nonexistent)") == []
     # limit clamps
     assert len(lookup_prefix(str(tmp_path), "test,", limit=5)) == 5
+
+
+def test_surt_param_order_invariance(spark):
+    """The SURT key is invariant to query-param order (the property that
+    makes captures of semantically-equal URLs adjacent in the index)."""
+    import itertools
+
+    params = ["b=2", "a=1", "c=x%20y"]
+    keys = {
+        _surt(spark, "https://example.com/p?" + "&".join(perm))
+        for perm in itertools.permutations(params)
+    }
+    assert len(keys) == 1
+    assert keys.pop() == "com,example)/p?a=1&b=2&c=x%20y"
+
+
+def test_surt_matches_driver_side_lookup_transform(spark, tmp_path):
+    """lookup_prefix's pure-Python URL->SURT fast path must agree with the
+    JVM expression for every URL shape the crawler emits — otherwise a
+    lookup by URL misses captures the index holds."""
+    from context_crawler_spark.sources.cdx import lookup_prefix
+
+    urls = [
+        "https://www.Example.com/Path/Q?b=2&a=1#f",
+        "http://a.b.example.com:8080/",
+        "HTTPS://EXAMPLE.COM:443/x",
+        "https://example.com",
+        "https://example.com?z=1",
+    ]
+    rows = [(u, "2024-01-01 00:00:00", b"x") for u in urls]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts string, html binary"
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    write_cdx_shards(cdx_index(pages), str(tmp_path), n_shards=2)
+    for u in urls:
+        hits = lookup_prefix(str(tmp_path), u)
+        assert any(f" {u} " in h for h in hits), u
