@@ -61,6 +61,14 @@ def main() -> None:
                     help="per-language keep rates, e.g. en=0.35,zh=0.8")
     ap.add_argument("--pack", type=int, default=0,
                     help="emit sequence-packing layout stats at this window")
+    ap.add_argument("--url-col", default=None,
+                    help="URL column for the pre-gate URL filter (skipped "
+                         "if the input has no URL column)")
+    ap.add_argument("--block-domains", default=None,
+                    help="comma-separated blocked domains (suffix match)")
+    ap.add_argument("--dsir-target", default=None,
+                    help="parquet of in-domain target docs: keep rows whose "
+                         "DSIR importance weight is positive")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
 
@@ -82,6 +90,20 @@ def main() -> None:
     inp = args.input or "/root/testdata/sf0.001/documents.parquet"
     docs = spark.read.parquet(inp)
     stats: dict[str, object] = {"input": docs.count()}
+
+    # 0. URL filter (RefinedWeb §3.1) — runs before any text is touched,
+    # since it needs only the URL column (at crawl scale this gate sits
+    # in front of the FETCH, not just the curation pass)
+    if args.url_col and args.block_domains and args.url_col in docs.columns:
+        from context_crawler_spark.operators.curation import url_filter
+
+        docs = (
+            url_filter(docs, args.block_domains.split(","), {},
+                       url_col=args.url_col)
+            .filter(F.col("keep"))
+            .drop("host", "domain_blocked", "word_score", "keep")
+        )
+        stats["after_url_filter"] = docs.count()
 
     # 1. Gopher quality gate — content rules only (the stop-word/line
     # rules need real prose; flags are all computed, callers can tighten)
@@ -121,6 +143,18 @@ def main() -> None:
         red.withColumn("text", F.col("text_redacted"))
         .drop("text_redacted", "n_emails", "n_ips", "n_phones")
     )
+
+    # 5b. DSIR selection: keep docs whose hashed-ngram importance weight
+    # vs the in-domain target is positive (more target-like than raw)
+    if args.dsir_target:
+        from context_crawler_spark.operators.curation import dsir_weights
+
+        target = spark.read.parquet(args.dsir_target)
+        w = dsir_weights(deduped, target)
+        deduped = deduped.join(
+            w.filter(F.col("dsir_weight") > 0).select("doc_id"), "doc_id"
+        )
+        stats["after_dsir"] = deduped.count()
 
     # 6. stratified sampling
     if args.sample:
