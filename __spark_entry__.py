@@ -43,6 +43,35 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _wet_plan_oracle_sql() -> str:
+    """DuckDB SQL for wet_export_plan: replay the WET conversion-record
+    byte layout arithmetically. The fixed overhead constant comes from the
+    single source of truth (the serializer itself, evaluated on an empty
+    record), so a header-template change breaks the oracle loudly."""
+    from datetime import datetime
+
+    from context_crawler_spark.sources.warc import (
+        serialize_conversion_record,
+    )
+
+    fixed = len(serialize_conversion_record("", datetime(2000, 1, 1), b""))
+    return f"""
+        WITH p AS (
+          SELECT 'https://' || source || '.test/docs/p'
+                 || CAST(doc_id AS VARCHAR) AS url,
+                 text
+          FROM documents
+        )
+        SELECT url,
+          md5(text) AS digest,
+          CAST(octet_length(encode(text)) AS BIGINT) AS text_bytes,
+          CAST({fixed} - 1 + octet_length(encode(url))
+               + length(CAST(octet_length(encode(text)) AS VARCHAR))
+               + octet_length(encode(text)) AS BIGINT) AS rec_len
+        FROM p
+    """
+
+
 def _langid_oracle_sql() -> str:
     """DuckDB SQL for detect_language, with the stopword profiles inlined
     from the single source of truth (functions/textstats.py)."""
@@ -1216,6 +1245,47 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_weights(corpus, target, alpha=0.5)
 
 
+def q_wet_export_plan(spark, sf_dir):
+    """CC-native WET export plan (sources/warc.py WET sink): run the REAL
+    conversion-record serializer over the corpus and report each record's
+    block digest and exact serialized byte size. The oracle replays the
+    header template's byte arithmetic in SQL (fixed overhead + url bytes +
+    Content-Length digit width + text bytes — the formula is pinned
+    against the serializer by test_warc). Zero shuffle: one Arrow pass."""
+    import pandas as pd
+
+    from context_crawler_spark.sources.warc import (
+        serialize_conversion_record,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        F.concat(F.lit("https://"), "source", F.lit(".test/docs/p"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        "text",
+    )
+
+    def ser(batches):
+        from datetime import datetime
+
+        ts = datetime(2023, 11, 14, 22, 13, 20)
+        for pdf in batches:
+            urls, digs, tb, rl = [], [], [], []
+            for u, t in zip(pdf["url"], pdf["text"]):
+                rec = serialize_conversion_record(u, ts, t.encode("utf-8"))
+                urls.append(u)
+                digs.append(
+                    rec.split(b"WARC-Block-Digest: md5:")[1][:32].decode())
+                tb.append(len(t.encode("utf-8")))
+                rl.append(len(rec))
+            yield pd.DataFrame(
+                {"url": urls, "digest": digs, "text_bytes": tb,
+                 "rec_len": rl})
+
+    return pages.mapInPandas(
+        ser, "url string, digest string, text_bytes bigint, rec_len bigint")
+
+
 def q_embed_documents(spark, sf_dir):
     """Deterministic embedding UDF (MiniLM stand-in contract): returns the
     vector's first component + norm as scalars."""
@@ -1415,6 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": q_cdx_index,
         "url_filter": q_url_filter,
         "dsir_weights": q_dsir_weights,
+        "wet_export_plan": q_wet_export_plan,
         "embed_documents": q_embed_documents,
         "extract_page": q_extract_page,
         "canonicalize": q_canonicalize,
@@ -2513,6 +2584,7 @@ def oracle_sql() -> dict[str, str]:
         # hit-rates over the first 400 regex words, confidence =
         # clamp(best - second + best) with alphabetical tie-break — the
         # exact arithmetic of functions/textstats.py:detect_language
+        "wet_export_plan": _wet_plan_oracle_sql(),
         "langid": _langid_oracle_sql(),
         # the stub decoder's (w,h) derivation from the payload sha256 digest,
         # re-done from the hex string (operators/multimodal.py:_fake_decode)

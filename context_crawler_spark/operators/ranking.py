@@ -175,6 +175,62 @@ def pagerank(
     return ranks
 
 
+def anchor_text_agg(
+    edges: DataFrame,
+    k: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Anchor-text aggregation per link target — the classic web signal
+    that a page is described by the text of the links pointing AT it
+    (Brin & Page 1998 §2.2; the reference's enqueueLinks discards anchor
+    text, but its WAT-style link metadata carries it and ranking/training
+    pipelines consume it).
+
+    Output per dst: ``indegree`` (total in-links), ``n_src`` (distinct
+    linking pages), ``top_anchors`` (top-``k`` anchor strings by count
+    DESC then anchor ASC, '|'-joined), ``top_count``.
+
+    Plan, sized for a 10^10-edge link graph: anchors are trimmed JVM-side;
+    (dst, anchor) counts partial-aggregate map-side before their ONE
+    exchange, so the shuffle carries distinct pairs, not raw edges; the
+    top-k window partitions by dst over each dst's few distinct anchors
+    (never a global window); dst-level indegree/n_src is one more keyed
+    agg. No Python anywhere."""
+    from pyspark.sql import Window
+
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.trim(F.col(anchor_col)).alias("anchor"),
+    )
+    pair = e.groupBy("dst", "anchor").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("anchor"))
+    top = (
+        pair.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("dst")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "anchor"))),
+                    lambda s: s["anchor"],
+                ),
+                "|",
+            ).alias("top_anchors"),
+            F.max(F.when(F.col("rn") == 1, F.col("cnt"))).alias("top_count"),
+        )
+    )
+    stats = e.groupBy("dst").agg(
+        F.count(F.lit(1)).alias("indegree"),
+        F.countDistinct("src").alias("n_src"),
+    )
+    return stats.join(top, "dst").select(
+        "dst", "indegree", "n_src", "top_anchors", "top_count"
+    )
+
+
 def leg_ranks(
     leg: DataFrame, id_col: str = "doc_id", score_col: str = "score"
 ) -> DataFrame:

@@ -303,3 +303,89 @@ def test_write_warc_files_returns_actual_file_count(spark, tmp_path):
     assert not any(e.endswith(".tmp") or ".tmp-" in e for e in _os.listdir(out))
     back = read_warc(spark, out)
     assert back.count() == 8
+
+
+def test_wet_sink_roundtrip(spark, tmp_path):
+    """WET sink (r4): pages' extracted text → part-*.warc.wet.gz of
+    conversion records → read_wet recovers exactly the input rows; bytes
+    are deterministic across re-runs; WARC-Refers-To matches the id the
+    WARC sink writes for the same (url, ts)."""
+    import glob
+    import os
+
+    from context_crawler_spark.sources.warc import (
+        _record_id, gunzip_members, iter_warc_records, read_wet,
+        write_wet_files,
+    )
+
+    rows = [
+        (f"https://s{i % 3}.test/p{i}", datetime(2022, 7, 8, 9, 10, 11),
+         f"doc {i} körper 世界" if i % 2 else f"plain doc {i}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    out = str(tmp_path / "wet_out")
+    n_files = write_wet_files(df, out, target_mb=150)
+    files = sorted(glob.glob(os.path.join(out, "part-*.warc.wet.gz")))
+    assert len(files) == n_files >= 1
+
+    recs = list(iter_warc_records(gunzip_members(open(files[0], "rb").read())))
+    assert recs[0][0]["warc-type"] == "warcinfo"
+    conv = [r for r in recs if r[0]["warc-type"] == "conversion"]
+    assert conv and conv[0][0]["warc-refers-to"] == _record_id(
+        conv[0][0]["warc-target-uri"],
+        datetime(2022, 7, 8, 9, 10, 11))
+    assert conv[0][0]["warc-block-digest"].startswith("md5:")
+
+    back = read_wet(spark, out)
+    assert {(r["url"], r["warc_ts"], r["text"]) for r in back.collect()} \
+        == set(rows)
+
+    out2 = str(tmp_path / "wet_out2")
+    write_wet_files(df, out2, target_mb=150)
+    for f1 in files:
+        f2 = os.path.join(out2, os.path.basename(f1))
+        assert open(f1, "rb").read() == open(f2, "rb").read()
+
+
+def test_wat_sink_roundtrip(spark, tmp_path):
+    """WAT sink (r4): (url, ts, title, links) → part-*.warc.wat.gz of
+    canonical-JSON metadata records → read_wat recovers the rows."""
+    import glob
+    import os
+
+    from context_crawler_spark.sources.warc import read_wat, write_wat_files
+
+    rows = [
+        (f"https://s.test/p{i}", datetime(2022, 1, 2, 3, 4, 5),
+         f"Title {i}", [f"https://s.test/p{i}/a", f"https://x.test/{i}"])
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, title string, links array<string>")
+    out = str(tmp_path / "wat_out")
+    n_files = write_wat_files(df, out)
+    assert sorted(glob.glob(os.path.join(out, "part-*.warc.wat.gz"))) \
+        and n_files >= 1
+    back = read_wat(spark, out)
+    got = {(r["url"], r["warc_ts"], r["title"], tuple(r["links"]))
+           for r in back.collect()}
+    assert got == {(u, t, ti, tuple(ls)) for u, t, ti, ls in rows}
+
+
+def test_wet_record_overhead_matches_serializer():
+    """The arithmetic the wet_export_plan oracle replays in SQL equals the
+    real serializer's byte count, across url lengths, digit widths of
+    Content-Length, and non-ASCII text."""
+    from context_crawler_spark.sources.warc import (
+        serialize_conversion_record, wet_record_overhead,
+    )
+
+    ts = datetime(2023, 11, 14, 22, 13, 20)
+    for url in ("https://a.t/", "https://www.example.test/docs/p123",
+                "https://x.test/" + "q" * 200):
+        for text in (b"", b"x", b"y" * 9, b"z" * 10, b"w" * 12345,
+                     "Unicodé 世界".encode()):
+            rec = serialize_conversion_record(url, ts, text)
+            assert len(rec) == wet_record_overhead(url, len(text)) + len(text)
