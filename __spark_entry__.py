@@ -1245,6 +1245,60 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_weights(corpus, target, alpha=0.5)
 
 
+def q_crawl_diff(spark, sf_dir):
+    """Cross-snapshot crawl diff (sources/cdx.cdx_diff): two CDX capture
+    snapshots synthesized from documents — old = doc_id%3!=0, new =
+    doc_id%5!=0, content mutated when doc_id%7==0 — diffed to
+    added/removed/changed/unchanged per surt_key. Spark runs the REAL
+    surt_key/cdx_index/cdx_diff path; the oracle replays digests + the
+    full outer join (URLs kept SURT-trivial so the key is writable
+    directly in SQL)."""
+    from context_crawler_spark.sources.cdx import cdx_diff, cdx_index
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://"), "source", F.lit(".test/p"),
+                   F.col("doc_id").cast("string"))
+
+    def snap(df, ts_base, mutate):
+        html = (
+            F.when(F.col("doc_id") % 7 == 0, F.concat("text", F.lit("!")))
+            .otherwise(F.col("text")) if mutate else F.col("text")
+        )
+        return cdx_index(df.select(
+            url.alias("url"),
+            F.timestamp_seconds(F.lit(ts_base) + F.col("doc_id"))
+            .alias("warc_ts"),
+            F.encode(html, "UTF-8").alias("html"),
+        ))
+
+    old = snap(d.filter(F.col("doc_id") % 3 != 0), 1700000000, mutate=False)
+    new = snap(d.filter(F.col("doc_id") % 5 != 0), 1700086400, mutate=True)
+    out = cdx_diff(old, new)
+    return out.select(
+        "surt_key", "status", "old_digest", "new_digest",
+        F.date_format("old_ts", "yyyy-MM-dd HH:mm:ss").alias("old_ts"),
+        F.date_format("new_ts", "yyyy-MM-dd HH:mm:ss").alias("new_ts"),
+    )
+
+
+def q_anchor_text(spark, sf_dir):
+    """Anchor-text aggregation per link target (Brin & Page 1998 §2.2 —
+    the web-ranking signal the reference's enqueueLinks drops). Link graph
+    derived deterministically from events (src=user_id%200,
+    dst=event_id%97, anchor=event_type); top-3 anchors per target by
+    (count DESC, anchor ASC), plus indegree / distinct sources."""
+    from context_crawler_spark.operators.ranking import anchor_text_agg
+
+    e = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("p"), (F.col("user_id") % 200).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("p"), (F.col("event_id") % 97).cast("string"))
+        .alias("dst"),
+        F.col("event_type").alias("anchor"),
+    )
+    return anchor_text_agg(e, k=3)
+
+
 def q_wet_export_plan(spark, sf_dir):
     """CC-native WET export plan (sources/warc.py WET sink): run the REAL
     conversion-record serializer over the corpus and report each record's
@@ -1486,6 +1540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "dsir_weights": q_dsir_weights,
         "wet_export_plan": q_wet_export_plan,
+        "anchor_text": q_anchor_text,
+        "crawl_diff": q_crawl_diff,
         "embed_documents": q_embed_documents,
         "extract_page": q_extract_page,
         "canonicalize": q_canonicalize,
@@ -2585,6 +2641,59 @@ def oracle_sql() -> dict[str, str]:
         # clamp(best - second + best) with alphabetical tie-break — the
         # exact arithmetic of functions/textstats.py:detect_language
         "wet_export_plan": _wet_plan_oracle_sql(),
+        "crawl_diff": r"""
+            WITH oldp AS (
+              SELECT 'test,' || source || ')/p' || CAST(doc_id AS VARCHAR)
+                       AS surt_key,
+                     md5(text) AS old_digest,
+                     to_timestamp(1700000000 + doc_id)::TIMESTAMP AS old_ts
+              FROM documents WHERE doc_id % 3 <> 0
+            ), newp AS (
+              SELECT 'test,' || source || ')/p' || CAST(doc_id AS VARCHAR)
+                       AS surt_key,
+                     md5(CASE WHEN doc_id % 7 = 0 THEN text || '!'
+                              ELSE text END) AS new_digest,
+                     to_timestamp(1700086400 + doc_id)::TIMESTAMP AS new_ts
+              FROM documents WHERE doc_id % 5 <> 0
+            )
+            SELECT COALESCE(o.surt_key, n.surt_key) AS surt_key,
+                   CASE WHEN o.surt_key IS NULL THEN 'added'
+                        WHEN n.surt_key IS NULL THEN 'removed'
+                        WHEN old_digest <> new_digest THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   old_digest, new_digest,
+                   strftime(old_ts, '%Y-%m-%d %H:%M:%S') AS old_ts,
+                   strftime(new_ts, '%Y-%m-%d %H:%M:%S') AS new_ts
+            FROM oldp o FULL OUTER JOIN newp n USING (surt_key)
+        """,
+        "anchor_text": r"""
+            WITH e AS (
+              SELECT 'p' || CAST(user_id % 200 AS VARCHAR) AS src,
+                     'p' || CAST(event_id % 97 AS VARCHAR) AS dst,
+                     trim(event_type) AS anchor
+              FROM events
+            ), pair AS (
+              SELECT dst, anchor, COUNT(*) AS cnt
+              FROM e GROUP BY dst, anchor
+            ), ranked AS (
+              SELECT dst, anchor, cnt,
+                     row_number() OVER (
+                       PARTITION BY dst ORDER BY cnt DESC, anchor ASC) AS rn
+              FROM pair
+            ), top AS (
+              SELECT dst,
+                     string_agg(anchor, '|' ORDER BY rn) AS top_anchors,
+                     MAX(CASE WHEN rn = 1 THEN cnt END) AS top_count
+              FROM ranked WHERE rn <= 3 GROUP BY dst
+            ), stats AS (
+              SELECT dst, CAST(COUNT(*) AS BIGINT) AS indegree,
+                     CAST(COUNT(DISTINCT src) AS BIGINT) AS n_src
+              FROM e GROUP BY dst
+            )
+            SELECT s.dst, s.indegree, s.n_src, t.top_anchors,
+                   CAST(t.top_count AS BIGINT) AS top_count
+            FROM stats s JOIN top t USING (dst)
+        """,
         "langid": _langid_oracle_sql(),
         # the stub decoder's (w,h) derivation from the payload sha256 digest,
         # re-done from the hex string (operators/multimodal.py:_fake_decode)

@@ -202,3 +202,38 @@ def lookup_prefix(out_dir: str, prefix: str, limit: int = 1000) -> list[str]:
                 elif k > prefix:
                     break
     return out
+
+
+def cdx_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Diff two CDX capture snapshots — the incremental-recrawl primitive
+    (what changed between crawl N and crawl N+1). Per surt_key:
+    ``added`` (new only), ``removed`` (old only), ``changed`` (present in
+    both, content digest differs), ``unchanged``. A scheduler feeds
+    ``added`` + ``changed`` back as the refetch set (the CDX-driven
+    complement of reseed_stale's age-based recrawl, plans/scheduler.py).
+
+    Plan at 10^10 captures: each side first reduces to its LATEST capture
+    per surt_key (max_by over (ts, digest) — the digest tie-break keeps
+    same-timestamp duplicates deterministic) — one keyed shuffle per
+    side — then ONE full outer join on surt_key; both sides arrive
+    hash-partitioned on the join key from their aggs, so the join reuses
+    that partitioning instead of re-exchanging."""
+
+    def latest(df: DataFrame, pfx: str) -> DataFrame:
+        return df.groupBy("surt_key").agg(
+            F.max_by("digest", F.struct("ts", "digest"))
+            .alias(f"{pfx}_digest"),
+            F.max("ts").alias(f"{pfx}_ts"),
+        )
+
+    j = latest(old, "old").join(latest(new, "new"), "surt_key", "full_outer")
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(F.col("old_digest") != F.col("new_digest"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        "surt_key", status.alias("status"),
+        "old_digest", "new_digest", "old_ts", "new_ts",
+    )

@@ -140,3 +140,55 @@ def test_surt_matches_driver_side_lookup_transform(spark, tmp_path):
     for u in urls:
         hits = lookup_prefix(str(tmp_path), u)
         assert any(f" {u} " in h for h in hits), u
+
+
+def test_cdx_diff_statuses(spark):
+    """added / removed / changed / unchanged per surt_key, diffing the
+    LATEST capture on each side."""
+    from context_crawler_spark.sources.cdx import cdx_diff, cdx_index
+
+    def snap(rows):
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts string, html binary"
+        ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+        return cdx_index(df)
+
+    old = snap([
+        ("https://a.test/keep", "2024-01-01 00:00:00", b"same"),
+        ("https://a.test/edit", "2024-01-01 00:00:00", b"v1"),
+        ("https://a.test/gone", "2024-01-01 00:00:00", b"bye"),
+        # two captures of /edit — the LATER one (v2) is the diff basis
+        ("https://a.test/edit", "2024-01-02 00:00:00", b"v2"),
+    ])
+    new = snap([
+        ("https://a.test/keep", "2024-02-01 00:00:00", b"same"),
+        ("https://a.test/edit", "2024-02-01 00:00:00", b"v3"),
+        ("https://a.test/born", "2024-02-01 00:00:00", b"hi"),
+    ])
+    got = {r["surt_key"]: r for r in cdx_diff(old, new).collect()}
+    assert got["test,a)/keep"]["status"] == "unchanged"
+    assert got["test,a)/edit"]["status"] == "changed"
+    assert got["test,a)/gone"]["status"] == "removed"
+    assert got["test,a)/born"]["status"] == "added"
+    assert got["test,a)/gone"]["new_digest"] is None
+    assert got["test,a)/born"]["old_digest"] is None
+    # latest-capture reduction: old side of /edit is v2's digest, and its
+    # old_ts is the later capture time
+    import hashlib
+    assert got["test,a)/edit"]["old_digest"] == hashlib.md5(b"v2").hexdigest()
+    assert str(got["test,a)/edit"]["old_ts"]).startswith("2024-01-02")
+
+
+def test_cdx_diff_same_content_same_digest_unchanged_roundtrip(spark):
+    """A snapshot diffed against itself is all-unchanged (idempotence)."""
+    from context_crawler_spark.sources.cdx import cdx_diff, cdx_index
+
+    rows = [(f"https://h{i % 3}.test/p{i}", "2024-01-01 00:00:00",
+             f"body {i}".encode()) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts string, html binary"
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    idx = cdx_index(df)
+    out = cdx_diff(idx, idx)
+    assert out.count() == 30
+    assert out.filter(F.col("status") != "unchanged").count() == 0

@@ -254,3 +254,36 @@ def test_hybrid_search_prefers_both_leg_hits(spark):
     out = hybrid_search(docs, emb, "spark customer", [1.0, 0.0], k=3, k_leg=3)
     rows = out.collect()
     assert rows[0]["doc_id"] == 0 and rows[0]["n_legs"] == 2
+
+
+def test_anchor_text_agg_tops_and_stats(spark):
+    """Top-k anchors by (count DESC, anchor ASC); indegree counts every
+    in-link, n_src distinct linking pages; anchors trimmed."""
+    from context_crawler_spark.operators.ranking import anchor_text_agg
+
+    edges = [
+        ("a", "t", "docs"), ("b", "t", "docs "), ("c", "t", "home"),
+        ("a", "t", "api"), ("a", "t", "api"), ("b", "t", "zzz"),
+        ("a", "u", "only"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, anchor string")
+    got = {r["dst"]: r for r in anchor_text_agg(df, k=3).collect()}
+    t = got["t"]
+    # counts: docs=2 (trimmed), api=2, home=1, zzz=1 → ties broken ASC
+    assert t["top_anchors"] == "api|docs|home"
+    assert t["top_count"] == 2
+    assert t["indegree"] == 6 and t["n_src"] == 3
+    u = got["u"]
+    assert u["top_anchors"] == "only" and u["indegree"] == 1 and u["n_src"] == 1
+
+
+def test_anchor_text_agg_window_is_per_dst(spark):
+    """The top-k window partitions by dst — no single-partition global
+    window may appear in the physical plan."""
+    from context_crawler_spark.operators.ranking import anchor_text_agg
+
+    df = spark.createDataFrame(
+        [("a", "t", "x")], "src string, dst string, anchor string")
+    plan = (anchor_text_agg(df)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "SinglePartition" not in plan
