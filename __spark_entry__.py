@@ -1245,6 +1245,57 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_weights(corpus, target, alpha=0.5)
 
 
+def q_frontier_priority(spark, sf_dir):
+    """Crawl-ordering composition (Cho/Garcia-Molina/Page 1998 — the
+    paper's 'importance metrics' combine link-based rank with degree):
+    frontier priority = 1000·PageRank + ln(1+indegree) per node, the
+    score a scheduler feeds into claim ordering. Same edge derivation as
+    q_pagerank so the oracle reuses its unrolled recurrence; rank is
+    rounded to 6dp BEFORE the blend in both engines, making the blend
+    arithmetic exactly replayable."""
+    from context_crawler_spark.operators.ranking import pagerank
+
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 200).alias("src"),
+        (F.col("event_id") % 200).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    ranks = pagerank(e, iters=5).select(
+        "node", F.round("rank", 6).alias("rank"))
+    indeg = (
+        e.distinct().groupBy(F.col("dst").alias("node"))
+        .agg(F.count(F.lit(1)).alias("indegree"))
+    )
+    out = ranks.join(indeg, "node", "left").na.fill({"indegree": 0})
+    return out.select(
+        "node", "rank", F.col("indegree").cast("long").alias("indegree"),
+        F.round(F.lit(1000.0) * F.col("rank")
+                + F.log(F.lit(1.0) + F.col("indegree")), 6)
+        .alias("priority"),
+    )
+
+
+def q_domain_prior(spark, sf_dir):
+    """Domain-level quality prior + filter (RefinedWeb §3.1 domain
+    curation, curation.domain_prior): per-host mean doc score broadcast-
+    joined back onto the corpus; hosts under min_docs keep a NULL
+    (neutral) prior. Hosts = source, with every 50th doc on a singleton
+    'rareN' host to exercise the NULL path; score = n_chars (integer-
+    valued doubles → exact sums in any aggregation order)."""
+    from context_crawler_spark.operators.curation import domain_prior
+
+    d = _t(spark, sf_dir, "documents")
+    host = (
+        F.when(F.col("doc_id") % 50 == 0,
+               F.concat(F.lit("rare"), F.col("doc_id").cast("string")))
+        .otherwise(F.col("source"))
+    )
+    docs = d.select(
+        "doc_id", host.alias("host"),
+        F.col("n_chars").cast("double").alias("score"),
+    )
+    return domain_prior(docs, min_docs=5, keep_threshold=310.0)
+
+
 def q_crawl_diff(spark, sf_dir):
     """Cross-snapshot crawl diff (sources/cdx.cdx_diff): two CDX capture
     snapshots synthesized from documents — old = doc_id%3!=0, new =
@@ -1542,6 +1593,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_export_plan": q_wet_export_plan,
         "anchor_text": q_anchor_text,
         "crawl_diff": q_crawl_diff,
+        "domain_prior": q_domain_prior,
+        "frontier_priority": q_frontier_priority,
         "embed_documents": q_embed_documents,
         "extract_page": q_extract_page,
         "canonicalize": q_canonicalize,
@@ -1549,6 +1602,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "multimodal_meta": q_multimodal_meta,
     }
+
+
+_PAGERANK_CTES = r"""
+            WITH e AS (
+              SELECT DISTINCT (user_id % 200) AS src, (event_id % 200) AS dst
+              FROM events WHERE (user_id % 200) != (event_id % 200)
+            ), nodes AS (
+              SELECT src AS node FROM e UNION SELECT dst FROM e
+            ), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+            r0 AS (
+              SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM nodes
+            ),
+            r1 AS (
+              SELECT nodes.node,
+                     0.15::DOUBLE / (SELECT n FROM nn)
+                     + 0.85::DOUBLE * coalesce(c.s, 0.0::DOUBLE) AS rank
+              FROM nodes LEFT JOIN (
+                SELECT e.dst AS node, sum(r0.rank / od.outdeg) AS s
+                FROM e JOIN r0 ON e.src = r0.node JOIN od ON e.src = od.src
+                GROUP BY e.dst) c ON nodes.node = c.node
+            ),
+            r2 AS (
+              SELECT nodes.node,
+                     0.15::DOUBLE / (SELECT n FROM nn)
+                     + 0.85::DOUBLE * coalesce(c.s, 0.0::DOUBLE) AS rank
+              FROM nodes LEFT JOIN (
+                SELECT e.dst AS node, sum(r1.rank / od.outdeg) AS s
+                FROM e JOIN r1 ON e.src = r1.node JOIN od ON e.src = od.src
+                GROUP BY e.dst) c ON nodes.node = c.node
+            ),
+            r3 AS (
+              SELECT nodes.node,
+                     0.15::DOUBLE / (SELECT n FROM nn)
+                     + 0.85::DOUBLE * coalesce(c.s, 0.0::DOUBLE) AS rank
+              FROM nodes LEFT JOIN (
+                SELECT e.dst AS node, sum(r2.rank / od.outdeg) AS s
+                FROM e JOIN r2 ON e.src = r2.node JOIN od ON e.src = od.src
+                GROUP BY e.dst) c ON nodes.node = c.node
+            ),
+            r4 AS (
+              SELECT nodes.node,
+                     0.15::DOUBLE / (SELECT n FROM nn)
+                     + 0.85::DOUBLE * coalesce(c.s, 0.0::DOUBLE) AS rank
+              FROM nodes LEFT JOIN (
+                SELECT e.dst AS node, sum(r3.rank / od.outdeg) AS s
+                FROM e JOIN r3 ON e.src = r3.node JOIN od ON e.src = od.src
+                GROUP BY e.dst) c ON nodes.node = c.node
+            ),
+            r5 AS (
+              SELECT nodes.node,
+                     0.15::DOUBLE / (SELECT n FROM nn)
+                     + 0.85::DOUBLE * coalesce(c.s, 0.0::DOUBLE) AS rank
+              FROM nodes LEFT JOIN (
+                SELECT e.dst AS node, sum(r4.rank / od.outdeg) AS s
+                FROM e JOIN r4 ON e.src = r4.node JOIN od ON e.src = od.src
+                GROUP BY e.dst) c ON nodes.node = c.node
+            )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1979,63 +2091,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         # PageRank: the 5-iteration power method unrolled; doubles
         # everywhere (DuckDB decimal literals cast) to match the engine
-        "pagerank": r"""
-            WITH e AS (
-              SELECT DISTINCT (user_id % 200) AS src, (event_id % 200) AS dst
-              FROM events WHERE (user_id % 200) != (event_id % 200)
-            ), nodes AS (
-              SELECT src AS node FROM e UNION SELECT dst FROM e
-            ), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-            od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
-            r0 AS (
-              SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM nodes
-            ),
-            r1 AS (
-              SELECT nodes.node,
-                     0.15::DOUBLE / (SELECT n FROM nn)
-                     + 0.85::DOUBLE * coalesce(c.s, 0.0::DOUBLE) AS rank
-              FROM nodes LEFT JOIN (
-                SELECT e.dst AS node, sum(r0.rank / od.outdeg) AS s
-                FROM e JOIN r0 ON e.src = r0.node JOIN od ON e.src = od.src
-                GROUP BY e.dst) c ON nodes.node = c.node
-            ),
-            r2 AS (
-              SELECT nodes.node,
-                     0.15::DOUBLE / (SELECT n FROM nn)
-                     + 0.85::DOUBLE * coalesce(c.s, 0.0::DOUBLE) AS rank
-              FROM nodes LEFT JOIN (
-                SELECT e.dst AS node, sum(r1.rank / od.outdeg) AS s
-                FROM e JOIN r1 ON e.src = r1.node JOIN od ON e.src = od.src
-                GROUP BY e.dst) c ON nodes.node = c.node
-            ),
-            r3 AS (
-              SELECT nodes.node,
-                     0.15::DOUBLE / (SELECT n FROM nn)
-                     + 0.85::DOUBLE * coalesce(c.s, 0.0::DOUBLE) AS rank
-              FROM nodes LEFT JOIN (
-                SELECT e.dst AS node, sum(r2.rank / od.outdeg) AS s
-                FROM e JOIN r2 ON e.src = r2.node JOIN od ON e.src = od.src
-                GROUP BY e.dst) c ON nodes.node = c.node
-            ),
-            r4 AS (
-              SELECT nodes.node,
-                     0.15::DOUBLE / (SELECT n FROM nn)
-                     + 0.85::DOUBLE * coalesce(c.s, 0.0::DOUBLE) AS rank
-              FROM nodes LEFT JOIN (
-                SELECT e.dst AS node, sum(r3.rank / od.outdeg) AS s
-                FROM e JOIN r3 ON e.src = r3.node JOIN od ON e.src = od.src
-                GROUP BY e.dst) c ON nodes.node = c.node
-            ),
-            r5 AS (
-              SELECT nodes.node,
-                     0.15::DOUBLE / (SELECT n FROM nn)
-                     + 0.85::DOUBLE * coalesce(c.s, 0.0::DOUBLE) AS rank
-              FROM nodes LEFT JOIN (
-                SELECT e.dst AS node, sum(r4.rank / od.outdeg) AS s
-                FROM e JOIN r4 ON e.src = r4.node JOIN od ON e.src = od.src
-                GROUP BY e.dst) c ON nodes.node = c.node
-            )
+        "pagerank": _PAGERANK_CTES + """
             SELECT node, round(rank, 6) AS rank FROM r5
+        """,
+        "frontier_priority": _PAGERANK_CTES + """
+            , indeg AS (
+              SELECT dst AS node, CAST(count(*) AS BIGINT) AS indegree
+              FROM e GROUP BY dst
+            ), rr AS (
+              SELECT node, round(rank, 6) AS rank FROM r5
+            )
+            SELECT rr.node, rr.rank,
+                   coalesce(i.indegree, 0) AS indegree,
+                   round(1000.0 * rr.rank
+                         + ln(1.0 + coalesce(i.indegree, 0)), 6)
+                     AS priority
+            FROM rr LEFT JOIN indeg i ON rr.node = i.node
         """,
         # corpus-unigram LM score; ntile over the ROUNDED score (both
         # engines round first, so boundary ties break on doc_id alone)
@@ -2641,6 +2712,27 @@ def oracle_sql() -> dict[str, str]:
         # clamp(best - second + best) with alphabetical tie-break — the
         # exact arithmetic of functions/textstats.py:detect_language
         "wet_export_plan": _wet_plan_oracle_sql(),
+        "domain_prior": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 50 = 0
+                          THEN 'rare' || CAST(doc_id AS VARCHAR)
+                          ELSE source END AS host,
+                     CAST(n_chars AS DOUBLE) AS score
+              FROM documents
+            ), a AS (
+              SELECT host, CAST(COUNT(*) AS BIGINT) AS host_docs,
+                     round(avg(score), 6) AS p
+              FROM d GROUP BY host
+            ), a2 AS (
+              SELECT host, host_docs,
+                     CASE WHEN host_docs >= 5 THEN p END AS host_prior
+              FROM a
+            )
+            SELECT d.doc_id, d.host, d.score, a2.host_docs, a2.host_prior,
+                   (a2.host_prior IS NULL OR a2.host_prior >= 310.0) AS keep
+            FROM d JOIN a2 USING (host)
+        """,
         "crawl_diff": r"""
             WITH oldp AS (
               SELECT 'test,' || source || ')/p' || CAST(doc_id AS VARCHAR)

@@ -461,3 +461,48 @@ def dsir_weights(
         )
         .select(F.col("id").alias(id_col), "n_feats", "dsir_weight")
     )
+
+
+def domain_prior(
+    docs: DataFrame,
+    host_col: str = "host",
+    score_col: str = "score",
+    min_docs: int = 3,
+    keep_threshold: float = 0.0,
+) -> DataFrame:
+    """Domain-level quality prior + filter (RefinedWeb §3.1 / DCLM domain
+    curation): a host whose documents are on average junk is junk — per
+    registered host, aggregate its docs' quality scores, then join the
+    prior back onto every doc and keep docs whose host clears
+    ``keep_threshold`` (hosts with fewer than ``min_docs`` docs keep a
+    neutral NULL prior and pass — too little evidence to damn a domain).
+
+    Output: every input row + ``host_docs``, ``host_prior`` (mean score,
+    6dp; NULL below min_docs), ``keep``.
+
+    Plan at 100 TB: the per-host agg partial-aggregates map-side to ≤
+    #hosts rows (~10^7 for the web — broadcastable), so the corpus itself
+    is NEVER shuffled: one small agg exchange, then a broadcast hash join
+    back onto the unshuffled corpus scan."""
+    from pyspark.sql.functions import broadcast
+
+    host = F.col(host_col)
+    agg = (
+        docs.groupBy(host.alias("__h"))
+        .agg(
+            F.count(F.lit(1)).alias("host_docs"),
+            F.round(F.avg(F.col(score_col).cast("double")), 6)
+            .alias("__prior"),
+        )
+        .withColumn(
+            "host_prior",
+            F.when(F.col("host_docs") >= min_docs, F.col("__prior")),
+        )
+        .drop("__prior")
+    )
+    joined = docs.join(broadcast(agg), host == F.col("__h")).drop("__h")
+    return joined.withColumn(
+        "keep",
+        F.col("host_prior").isNull()
+        | (F.col("host_prior") >= keep_threshold),
+    )
