@@ -127,23 +127,13 @@ def _mulmod64_const(zcol: str, c: int) -> str:
             f" % 18446744073709551616")
 
 
-def _minhash_dedup_oracle_sql(num_perm: int = 64, bands: int = 8,
-                              k: int = 5, threshold: float = 0.7) -> str:
-    """DuckDB mirror of operators/text_dedup.minhash_dedup, end to end.
-
-    The engine's signature kernel (textstats.shingle_base_hashes +
-    minhash_signature) is replayed exactly in integer SQL: byte-5-shingles
-    of the normalized text little-endian-packed into uint64 (the corpus is
-    ASCII, so char==byte — pinned by the driver's value-hash), splitmix64
-    finalizer with wraparound 64-bit multiplies (_mulmod64_const), then
-    min over the (a·x+b) mod 2^64 mod (2^61−1) universal family — the
-    numpy _PERM_A/_PERM_B constants are inlined from the single source of
-    truth. LSH banding joins on the band's minima vector directly (the
-    engine's md5 band-bucket id collides only when the minima are equal,
-    so the candidate sets coincide); word-3gram Jaccard verification and
-    min-label connected components mirror the engine's verify + keeper
-    rule. Docs with empty normalized text carry the all-zeros signature,
-    matching minhash_signature's empty-input contract."""
+def _minhash_sig_ctes(num_perm: int = 64, bands: int = 8,
+                      k: int = 5) -> str:
+    """Shared DuckDB CTE chain replaying the engine's MinHash signature
+    kernel exactly (see _minhash_dedup_oracle_sql for the derivation):
+    normalized text -> byte-5-shingle packing -> splitmix64 -> universal-
+    family minima (``sig``: doc_id, i, mh) -> per-band minima vectors
+    (``bands``: doc_id, band, bsig)."""
     from context_crawler_spark.functions.textstats import _PERM_A, _PERM_B
 
     rows = num_perm // bands
@@ -158,8 +148,7 @@ def _minhash_dedup_oracle_sql(num_perm: int = 64, bands: int = 8,
         f"::HUGEINT * {1 << (8 * j)}"
         for j in range(k)
     )
-    return rf"""
-        WITH RECURSIVE d AS (
+    return rf"""d AS (
           SELECT doc_id,
             trim(regexp_replace(lower(COALESCE(text,'')),'\s+',' ','g')) AS t
           FROM documents
@@ -198,7 +187,29 @@ def _minhash_dedup_oracle_sql(num_perm: int = 64, bands: int = 8,
         bands AS (
           SELECT doc_id, i // {rows} AS band, list(mh ORDER BY i) AS bsig
           FROM sig GROUP BY doc_id, i // {rows}
-        ),
+        )"""
+
+
+def _minhash_dedup_oracle_sql(num_perm: int = 64, bands: int = 8,
+                              k: int = 5, threshold: float = 0.7) -> str:
+    """DuckDB mirror of operators/text_dedup.minhash_dedup, end to end.
+
+    The engine's signature kernel (textstats.shingle_base_hashes +
+    minhash_signature) is replayed exactly in integer SQL: byte-5-shingles
+    of the normalized text little-endian-packed into uint64 (the corpus is
+    ASCII, so char==byte — pinned by the driver's value-hash), splitmix64
+    finalizer with wraparound 64-bit multiplies (_mulmod64_const), then
+    min over the (a·x+b) mod 2^64 mod (2^61−1) universal family — the
+    numpy _PERM_A/_PERM_B constants are inlined from the single source of
+    truth. LSH banding joins on the band's minima vector directly (the
+    engine's md5 band-bucket id collides only when the minima are equal,
+    so the candidate sets coincide); word-3gram Jaccard verification and
+    min-label connected components mirror the engine's verify + keeper
+    rule. Docs with empty normalized text carry the all-zeros signature,
+    matching minhash_signature's empty-input contract."""
+    return ("WITH RECURSIVE "
+            + _minhash_sig_ctes(num_perm, bands, k)
+            + rf""",
         cand AS (
           SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r
           FROM bands l JOIN bands r
@@ -242,7 +253,44 @@ def _minhash_dedup_oracle_sql(num_perm: int = 64, bands: int = 8,
         )
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT doc_id FROM losers)
-    """
+    """)
+
+
+def _minhash_incremental_oracle_sql(num_perm: int = 64, bands: int = 8,
+                                    k: int = 5,
+                                    threshold: float = 0.7) -> str:
+    """DuckDB mirror of text_dedup.minhash_match_index over the old/new
+    split (old = doc_id%4!=0 is the indexed history, new = doc_id%4==0 the
+    incoming batch): the same signature CTEs as _minhash_dedup_oracle_sql,
+    candidates from new×old band-vector matches, verification by the
+    matching-minima Jaccard estimator (historical TEXT never used)."""
+    return ("WITH " + _minhash_sig_ctes(num_perm, bands, k) + rf""",
+        newids AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 0),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS old_id
+          FROM bands l JOIN bands r ON l.band = r.band AND l.bsig = r.bsig
+          WHERE l.doc_id % 4 = 0 AND r.doc_id % 4 <> 0
+        ),
+        est AS (
+          SELECT c.new_id, c.old_id,
+                 round(CAST(sum(CASE WHEN sl.mh = sr.mh THEN 1 ELSE 0 END)
+                            AS DOUBLE) / {num_perm}, 6) AS est_jaccard
+          FROM cand c
+          JOIN sig sl ON sl.doc_id = c.new_id
+          JOIN sig sr ON sr.doc_id = c.old_id AND sr.i = sl.i
+          GROUP BY c.new_id, c.old_id
+        ),
+        best AS (
+          SELECT new_id, old_id, est_jaccard, row_number() OVER (
+                   PARTITION BY new_id
+                   ORDER BY est_jaccard DESC, old_id ASC) AS rn
+          FROM est
+        )
+        SELECT n.doc_id AS new_id, b.old_id AS match_id, b.est_jaccard,
+               COALESCE(b.est_jaccard >= {threshold}, FALSE) AS is_dup
+        FROM newids n LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+          ON b.new_id = n.doc_id
+    """)
 
 
 def _lsh_planes_values_sql(dim: int, n_tables: int, bits_per_table: int) -> str:
@@ -853,6 +901,25 @@ def q_minhash_dedup(spark, sf_dir):
     # matched to the 0.7 verify threshold, ~10x fewer candidates than
     # bands=16 (threshold 0.5) with ≥99% recall at jaccard ≥0.9
     return minhash_dedup(d, num_perm=64, bands=8, jaccard_threshold=0.7).select("doc_id")
+
+
+def q_minhash_incremental(spark, sf_dir):
+    """Incremental dedup against a persisted fingerprint index
+    (text_dedup.minhash_index + minhash_match_index): history = docs with
+    doc_id%4!=0 (indexed, text discarded), incoming batch = doc_id%4==0.
+    Candidates come from the LSH band join; verification is the
+    matching-minima Jaccard estimator over stored signatures only — the
+    rolling-corpus form of q_minhash_dedup."""
+    from context_crawler_spark.operators.text_dedup import (
+        minhash_index, minhash_match_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 4 != 0)
+    new = d.filter(F.col("doc_id") % 4 == 0)
+    idx = minhash_index(old, num_perm=64, bands=8)
+    return minhash_match_index(
+        new, idx, num_perm=64, bands=8, est_threshold=0.7)
 
 
 def q_simhash_dedup(spark, sf_dir):
@@ -1570,6 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "simhash": q_simhash,
         "minhash_dedup": q_minhash_dedup,
+        "minhash_incremental": q_minhash_incremental,
         "simhash_dedup": q_simhash_dedup,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2871,6 +2939,7 @@ def oracle_sql() -> dict[str, str]:
         # in exact integer SQL with the perm constants inlined; band join on
         # minima vectors, 3-gram Jaccard verify, recursive-CTE components
         "minhash_dedup": _minhash_dedup_oracle_sql(),
+        "minhash_incremental": _minhash_incremental_oracle_sql(),
         "simhash_dedup": r"""
             WITH RECURSIVE
             d AS (

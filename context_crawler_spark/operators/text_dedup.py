@@ -362,3 +362,111 @@ def repeated_ngram_spans(
             F.round(F.col("n_dup_grams") / F.col("n_grams"), 6).alias("dup_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a persisted fingerprint index
+# ---------------------------------------------------------------------------
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 128,
+    bands: int = 16,
+) -> DataFrame:
+    """Persistable MinHash-LSH fingerprint index of a corpus:
+    (id, sig array<long>, band int, band_key long) — one row per (doc,
+    band). Write it partitioned/bucketed by ``band_key`` (Iceberg bucket
+    transform on a cluster) and each future crawl batch dedups against
+    history WITHOUT touching historical text: signatures alone both find
+    candidates (band join) and verify them (matching-minima Jaccard
+    estimator), so the index is the only state the pipeline keeps.
+
+    One Arrow pass computes signature + band keys; zero shuffle here (the
+    exchange belongs to the sink's clustering)."""
+    sig = make_minhash_udf(num_perm)(F.col(text_col))
+    return (
+        df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+        .select(
+            "id", "sig",
+            F.posexplode(make_minhash_bands_udf(bands)(F.col("sig")))
+            .alias("band", "band_key"),
+        )
+    )
+
+
+def minhash_match_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 128,
+    bands: int = 16,
+    est_threshold: float = 0.7,
+) -> DataFrame:
+    """Dedup an incoming crawl batch against a historical corpus's
+    ``minhash_index`` (the incremental form of minhash_dedup — what a
+    rolling 100 TB pipeline actually runs: CC-style snapshots arrive
+    monthly and dedup against ALL prior snapshots, whose raw text is long
+    gone to cold storage).
+
+    Per new doc: ``match_id`` (historical doc with the highest estimated
+    Jaccard, ties to the smallest id), ``est_jaccard`` (fraction of equal
+    signature minima — the standard unbiased MinHash estimator, which is
+    how datasketch's MinHashLSH verifies too), ``is_dup`` (estimate ≥
+    threshold). New docs with no band collision appear with NULL match.
+
+    Plan at scale: the new batch (≪ history) bands in one Arrow pass and
+    joins the index on (band, band_key) — with the index stored bucketed
+    on band_key this is a storage-partitioned join that shuffles ONLY the
+    new side; candidate (new, old) pairs deduplicate before the estimator
+    (a zip_with/aggregate JVM expression over the two sig arrays — no
+    Python, no historical text); the best-match window partitions by
+    new id (never global)."""
+    from pyspark.sql import Window
+
+    new_banded = minhash_index(new_docs, id_col, text_col, num_perm, bands)
+    cand = (
+        new_banded.select(
+            F.col("id").alias("new_id"), F.col("sig").alias("new_sig"),
+            "band", "band_key",
+        )
+        .join(
+            index.select(
+                F.col("id").alias("old_id"), F.col("sig").alias("old_sig"),
+                "band", "band_key",
+            ),
+            ["band", "band_key"],
+        )
+        .select("new_id", "new_sig", "old_id", "old_sig")
+        .dropDuplicates(["new_id", "old_id"])
+    )
+    est = (
+        F.aggregate(
+            F.zip_with(
+                "new_sig", "old_sig",
+                lambda a, b: (a == b).cast("int"),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / F.lit(float(num_perm))
+    )
+    scored = cand.withColumn("est_jaccard", F.round(est, 6))
+    w = Window.partitionBy("new_id").orderBy(
+        F.desc("est_jaccard"), F.asc("old_id"))
+    best = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("new_id", "old_id", "est_jaccard")
+    )
+    ids = new_docs.select(F.col(id_col).alias("new_id"))
+    return ids.join(best, "new_id", "left").select(
+        "new_id",
+        F.col("old_id").alias("match_id"),
+        "est_jaccard",
+        F.coalesce(F.col("est_jaccard") >= est_threshold, F.lit(False))
+        .alias("is_dup"),
+    )

@@ -268,3 +268,42 @@ def test_ivf_query_path_loads_not_trains(spark, tmp_path, monkeypatch):
     plan = rd._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "ivf_cell" in plan.split("PartitionFilters", 1)[1][:300]
+
+
+def test_minhash_incremental_matches_history(spark):
+    """Incoming batch vs a persisted fingerprint index: exact copies match
+    their base at estimator 1.0, near-copies match high, fresh docs get
+    NULL match — all WITHOUT the historical text."""
+    from context_crawler_spark.operators.text_dedup import (
+        minhash_index, minhash_match_index,
+    )
+
+    base = [
+        f"document number {i} about topic{i} "
+        + (f"filler{i} words{i} repeat{i} unique{i} content{i} " * 8)
+        for i in range(10)
+    ]
+    old = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(base)], "doc_id long, text string")
+    new_rows = (
+        [(100 + i, base[i]) for i in range(3)]                      # exact
+        + [(200 + i, base[i].replace(f"filler{i}", "changed", 1))
+           for i in range(3)]                                        # near
+        + [(300 + i, f"entirely fresh material {i} nothing shared "
+            + (f"novel{i} tokens{i} " * 12)) for i in range(3)]      # new
+    )
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    # only signatures survive into the index (text never carried)
+    idx = minhash_index(old, num_perm=64, bands=16)
+    assert set(idx.columns) == {"id", "sig", "band", "band_key"}
+    got = {r["new_id"]: r for r in
+           minhash_match_index(new, idx, num_perm=64, bands=16,
+                               est_threshold=0.5).collect()}
+    for i in range(3):
+        assert got[100 + i]["match_id"] == i
+        assert got[100 + i]["est_jaccard"] == 1.0
+        assert got[100 + i]["is_dup"]
+        assert got[200 + i]["match_id"] == i and got[200 + i]["is_dup"]
+        assert got[300 + i]["match_id"] is None
+        assert not got[300 + i]["is_dup"]
+    assert len(got) == 9
