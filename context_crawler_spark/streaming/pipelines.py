@@ -226,3 +226,76 @@ def stream_job_intake(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup_against_index(
+    spark: SparkSession,
+    input_dir: str,
+    index_path: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    num_perm: int = 128,
+    bands: int = 16,
+    est_threshold: float = 0.7,
+):
+    """Streaming incremental dedup: micro-batches of incoming documents
+    (parquet files of (doc_id, text)) are matched against the persisted
+    MinHash fingerprint index (text_dedup.minhash_index written by the
+    batch pipeline), and NEW fingerprints are folded into the index after
+    each batch — so a duplicate arriving in batch N+1 of a doc first seen
+    in batch N is caught.
+
+    Per micro-batch (foreachBatch — the index fold-in is a batch-side
+    write, same pattern as stream_job_intake):
+      1. match the batch against the current index
+         (text_dedup.minhash_match_index — band join + signature-estimator
+         verify, historical text never needed)
+      2. append the verdicts (new_id, match_id, est_jaccard, is_dup) to
+         ``output_dir``
+      3. append the batch's OWN fingerprints to the index (survivors and
+         dups alike — CC keeps every capture's digest; downstream filters
+         on is_dup)
+    Exactly-once: re-delivered batches overwrite their own output
+    partition (batch_id in the path) and re-append identical fingerprint
+    rows whose duplicates are harmless to the estimator (same (id, band)
+    keys carry the same minima; match_index dedups candidate pairs).
+
+    ``Trigger.AvailableNow`` drains what's present then stops — resumable
+    from the checkpoint like every other pipeline here."""
+    import os
+
+    from ..operators.text_dedup import minhash_index, minhash_match_index
+
+    docs = spark.readStream.schema("doc_id long, text string").parquet(
+        input_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            have_index = os.path.isdir(index_path) and any(
+                f.endswith(".parquet") for f in os.listdir(index_path))
+            if have_index:
+                idx = spark.read.parquet(index_path)
+                verdicts = minhash_match_index(
+                    batch_df, idx, num_perm=num_perm, bands=bands,
+                    est_threshold=est_threshold)
+            else:
+                verdicts = batch_df.select(
+                    F.col("doc_id").alias("new_id"),
+                    F.lit(None).cast("long").alias("match_id"),
+                    F.lit(None).cast("double").alias("est_jaccard"),
+                    F.lit(False).alias("is_dup"),
+                )
+            (verdicts.write.mode("overwrite")
+             .parquet(os.path.join(output_dir, f"batch={batch_id}")))
+            (minhash_index(batch_df, num_perm=num_perm, bands=bands)
+             .write.mode("append").parquet(index_path))
+        finally:
+            batch_df.unpersist()
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

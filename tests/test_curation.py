@@ -294,3 +294,25 @@ def test_dsir_ratio_table_broadcasts(spark):
     # scoring join must be broadcast — the corpus side never shuffles on
     # the feature key; doc_id groupBy is the only data-sized exchange
     assert "BroadcastHashJoin" in plan
+
+
+def test_domain_prior_semantics_and_broadcast(spark):
+    """Per-host mean prior joined back; hosts under min_docs get a NULL
+    (neutral) prior and pass; the join-back must be a broadcast (the
+    corpus side is never shuffled)."""
+    from context_crawler_spark.operators.curation import domain_prior
+
+    rows = (
+        [(i, "good.test", 100.0) for i in range(5)]
+        + [(10 + i, "bad.test", 10.0) for i in range(5)]
+        + [(20, "lone.test", 1.0)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, host string, score double")
+    out = domain_prior(df, min_docs=3, keep_threshold=50.0)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[0]["host_prior"] == 100.0 and got[0]["keep"]
+    assert got[10]["host_prior"] == 10.0 and not got[10]["keep"]
+    assert got[20]["host_prior"] is None and got[20]["keep"]  # too few docs
+    assert got[20]["host_docs"] == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

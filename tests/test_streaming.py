@@ -210,3 +210,51 @@ def test_stream_job_intake_resubmission_is_a_new_job(spark, tiny_pages,
     q2.awaitTermination(600)
     s = JobWorker(spark, SnapshotStore(store_root), tiny_pages).stats()
     assert s["completed"] == 2 and s["total"] == 2
+
+
+def test_stream_dedup_against_index_across_batches(spark, tmp_path):
+    """Streaming incremental dedup: a doc first seen in batch 1 is caught
+    as a duplicate when a near-copy arrives in batch 2; fresh docs pass;
+    the fingerprint index grows batch over batch."""
+    from context_crawler_spark.streaming.pipelines import (
+        stream_dedup_against_index,
+    )
+
+    in_dir, out_dir, idx, ckpt = (
+        str(tmp_path / d) for d in ("in", "out", "idx", "ckpt"))
+    base = [
+        f"document number {i} about topic{i} "
+        + (f"filler{i} words{i} repeat{i} unique{i} content{i} " * 8)
+        for i in range(6)
+    ]
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(base)], "doc_id long, text string"
+    ).write.mode("append").parquet(in_dir)
+    q = stream_dedup_against_index(spark, in_dir, idx, out_dir, ckpt)
+    q.awaitTermination(120)
+    v1 = spark.read.parquet(out_dir)
+    # first batch: empty index → nothing to match
+    assert v1.count() == 6
+    assert v1.filter(F.col("is_dup")).count() == 0
+
+    # batch 2: one exact copy, one near copy, one fresh doc
+    batch2 = [
+        (100, base[0]),
+        (101, base[1].replace("filler1", "changed", 1)),
+        (102, "entirely fresh material nothing shared "
+              + "novel tokens " * 12),
+    ]
+    spark.createDataFrame(
+        batch2, "doc_id long, text string"
+    ).write.mode("append").parquet(in_dir)
+    q2 = stream_dedup_against_index(spark, in_dir, idx, out_dir, ckpt)
+    q2.awaitTermination(120)
+    got = {r["new_id"]: r for r in
+           spark.read.parquet(out_dir).filter(
+               F.col("new_id") >= 100).collect()}
+    assert got[100]["is_dup"] and got[100]["match_id"] == 0
+    assert got[100]["est_jaccard"] == 1.0
+    assert got[101]["is_dup"] and got[101]["match_id"] == 1
+    assert not got[102]["is_dup"] and got[102]["match_id"] is None
+    # index now fingerprints both batches
+    assert spark.read.parquet(idx).select("id").distinct().count() == 9
