@@ -1417,6 +1417,33 @@ def q_anchor_text(spark, sf_dir):
     return anchor_text_agg(e, k=3)
 
 
+def q_trap_signals(spark, sf_dir):
+    """Crawler-trap detection (operators/traps.py — Mercator WWW 1999
+    §3.2, IRLbot WWW 2008 budget control): per-host URL-space-explosion
+    signals over a synthesized candidate batch. Three host classes:
+    cal.test (calendar URLs — many URLs, ONE digit-collapsed template),
+    loop.test (cyclic path segments), ok.test (worded slugs). Zero
+    Python; one host-keyed shuffle."""
+    from context_crawler_spark.operators.traps import url_trap_signals
+
+    d = _t(spark, sf_dir, "documents")
+    url = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(
+            F.lit("https://cal.test/events/2024/"),
+            (F.col("doc_id") % 12).cast("string"), F.lit("/"),
+            F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 3 == 1, F.concat(
+            F.lit("https://loop.test/"), F.col("source"), F.lit("/"),
+            F.col("source"), F.lit("/page?session="),
+            F.col("doc_id").cast("string")))
+        .otherwise(F.concat(
+            F.lit("https://ok.test/docs/"),
+            F.regexp_replace(F.md5(F.encode("text", "UTF-8")),
+                             "[0-9]", "")))
+    )
+    return url_trap_signals(d.select(url.alias("url")))
+
+
 def q_wet_export_plan(spark, sf_dir):
     """CC-native WET export plan (sources/warc.py WET sink): run the REAL
     conversion-record serializer over the corpus and report each record's
@@ -1658,6 +1685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": q_cdx_index,
         "url_filter": q_url_filter,
         "dsir_weights": q_dsir_weights,
+        "trap_signals": q_trap_signals,
         "wet_export_plan": q_wet_export_plan,
         "anchor_text": q_anchor_text,
         "crawl_diff": q_crawl_diff,
@@ -2779,6 +2807,50 @@ def oracle_sql() -> dict[str, str]:
         # hit-rates over the first 400 regex words, confidence =
         # clamp(best - second + best) with alphabetical tie-break — the
         # exact arithmetic of functions/textstats.py:detect_language
+        "trap_signals": r"""
+            WITH u AS (
+              SELECT CASE
+                WHEN doc_id % 3 = 0 THEN 'https://cal.test/events/2024/'
+                     || CAST(doc_id % 12 AS VARCHAR) || '/'
+                     || CAST(doc_id AS VARCHAR)
+                WHEN doc_id % 3 = 1 THEN 'https://loop.test/' || source
+                     || '/' || source || '/page?session='
+                     || CAST(doc_id AS VARCHAR)
+                ELSE 'https://ok.test/docs/'
+                     || regexp_replace(md5(text), '[0-9]', '', 'g')
+                END AS url
+              FROM documents
+            ), parsed AS (
+              SELECT
+                lower(regexp_extract(url,
+                  '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
+                regexp_extract(url,
+                  '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+                CASE WHEN url LIKE '%?%' THEN 1 ELSE 0 END AS q
+              FROM u
+            ), feats AS (
+              SELECT host, q,
+                regexp_replace(path, '[0-9]+', 'N', 'g') AS tpl,
+                list_filter(string_split(path, '/'), x -> x <> '') AS segs
+              FROM parsed
+            ), agg AS (
+              SELECT host,
+                CAST(COUNT(*) AS BIGINT) AS n_urls,
+                round(avg(len(segs)), 6) AS avg_depth,
+                round(avg(q), 6) AS frac_query,
+                CAST(COUNT(DISTINCT tpl) AS BIGINT) AS n_templates,
+                round(avg(len(segs) - len(list_distinct(segs))), 6)
+                  AS avg_seg_repeat
+              FROM feats GROUP BY host
+            )
+            SELECT host, n_urls, avg_depth, frac_query, n_templates,
+              round(CAST(n_urls AS DOUBLE) / n_templates, 6)
+                AS urls_per_template,
+              avg_seg_repeat,
+              (round(CAST(n_urls AS DOUBLE) / n_templates, 6) >= 20.0
+               OR avg_seg_repeat >= 1.0) AS trap
+            FROM agg
+        """,
         "wet_export_plan": _wet_plan_oracle_sql(),
         "domain_prior": r"""
             WITH d AS (

@@ -1,0 +1,53 @@
+"""Crawler-trap detection: per-host URL-space-explosion signals."""
+
+from __future__ import annotations
+
+from context_crawler_spark.operators.traps import url_trap_signals
+
+
+def test_trap_signals_classes(spark):
+    """Calendar hosts trip the template ratio, cyclic paths trip the
+    segment-repeat signal, a normal slugged site passes."""
+    urls = (
+        [f"https://cal.test/events/2024/{m}/{d}"
+         for m in range(1, 5) for d in range(1, 11)]            # 40, 1 tpl
+        + [f"https://loop.test/a/b/a/b/{w}" for w in
+           ("x", "y", "z")]                                      # repeats
+        + ["https://ok.test/about", "https://ok.test/contact",
+           "https://ok.test/team/alice", "https://ok.test/team/bob"]
+    )
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r["host"]: r for r in url_trap_signals(df).collect()}
+
+    cal = got["cal.test"]
+    assert cal["n_templates"] == 1 and cal["urls_per_template"] == 40.0
+    assert cal["trap"]
+
+    loop = got["loop.test"]
+    assert loop["avg_seg_repeat"] == 2.0   # a,b each repeat once → 2/url
+    assert loop["trap"]
+
+    ok = got["ok.test"]
+    assert not ok["trap"]
+    assert ok["urls_per_template"] < 2.0 and ok["avg_seg_repeat"] == 0.0
+
+
+def test_trap_signals_single_shuffle(spark):
+    """All signals fold into ONE host-keyed aggregation — the physical
+    plan carries no second data-sized exchange and no Python."""
+    df = spark.createDataFrame(
+        [("https://a.test/x/1",)], "url string")
+    out = url_trap_signals(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # hashpartitioning on host appears; no SinglePartition exchange
+    assert "SinglePartition" not in plan
+
+
+def test_trap_signals_query_and_fragment_excluded_from_path(spark):
+    df = spark.createDataFrame(
+        [("https://h.test/p/1?s=9",), ("https://h.test/p/2#frag",)],
+        "url string")
+    got = url_trap_signals(df).collect()[0]
+    assert got["frac_query"] == 0.5
+    assert got["n_templates"] == 1  # both /p/N
