@@ -1417,6 +1417,42 @@ def q_anchor_text(spark, sf_dir):
     return anchor_text_agg(e, k=3)
 
 
+def q_sitemap_recrawl(spark, sf_dir):
+    """Sitemap-lastmod recrawl scheduling (sources/cdx.sitemap_recrawl_set
+    — sitemaps.org <lastmod> vs our CDX capture history). Captures exist
+    for doc_id%4!=0; lastmod is NULL every 5th doc, later than the capture
+    for even ids, earlier for odd — exercising new/unknown/stale/fresh."""
+    from context_crawler_spark.sources.cdx import (
+        cdx_index, sitemap_recrawl_set,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://"), "source", F.lit(".test/p"),
+                   F.col("doc_id").cast("string"))
+    entries = d.select(
+        url.alias("url"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None)).otherwise(
+            F.timestamp_seconds(
+                F.lit(1700000000) + F.col("doc_id")
+                + F.when(F.col("doc_id") % 2 == 0, F.lit(999999))
+                 .otherwise(F.lit(-500)))).alias("lastmod"),
+    )
+    cdx = cdx_index(d.filter(F.col("doc_id") % 4 != 0).select(
+        url.alias("url"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id"))
+        .alias("warc_ts"),
+        F.encode("text", "UTF-8").alias("html"),
+    ))
+    out = sitemap_recrawl_set(entries, cdx)
+    return out.select(
+        "url", "surt_key",
+        F.date_format("lastmod", "yyyy-MM-dd HH:mm:ss").alias("lastmod"),
+        F.date_format("last_capture", "yyyy-MM-dd HH:mm:ss")
+        .alias("last_capture"),
+        "reason", "refetch",
+    )
+
+
 def q_trap_signals(spark, sf_dir):
     """Crawler-trap detection (operators/traps.py — Mercator WWW 1999
     §3.2, IRLbot WWW 2008 budget control): per-host URL-space-explosion
@@ -1685,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": q_cdx_index,
         "url_filter": q_url_filter,
         "dsir_weights": q_dsir_weights,
+        "sitemap_recrawl": q_sitemap_recrawl,
         "trap_signals": q_trap_signals,
         "wet_export_plan": q_wet_export_plan,
         "anchor_text": q_anchor_text,
@@ -2807,6 +2844,41 @@ def oracle_sql() -> dict[str, str]:
         # hit-rates over the first 400 regex words, confidence =
         # clamp(best - second + best) with alphabetical tie-break — the
         # exact arithmetic of functions/textstats.py:detect_language
+        "sitemap_recrawl": r"""
+            WITH e AS (
+              SELECT 'https://' || source || '.test/p'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                     'test,' || source || ')/p'
+                       || CAST(doc_id AS VARCHAR) AS surt_key,
+                     CASE WHEN doc_id % 5 = 0 THEN NULL
+                          ELSE to_timestamp(1700000000 + doc_id
+                               + CASE WHEN doc_id % 2 = 0 THEN 999999
+                                      ELSE -500 END)::TIMESTAMP
+                     END AS lastmod
+              FROM documents
+            ), cap AS (
+              SELECT 'test,' || source || ')/p'
+                       || CAST(doc_id AS VARCHAR) AS surt_key,
+                     to_timestamp(1700000000 + doc_id)::TIMESTAMP AS ts
+              FROM documents WHERE doc_id % 4 <> 0
+            ), latest AS (
+              SELECT surt_key, max(ts) AS last_capture FROM cap
+              GROUP BY surt_key
+            ), j AS (
+              SELECT e.url, e.surt_key, e.lastmod, l.last_capture,
+                     CASE WHEN l.last_capture IS NULL THEN 'new'
+                          WHEN e.lastmod IS NULL THEN 'unknown'
+                          WHEN e.lastmod > l.last_capture THEN 'stale'
+                          ELSE 'fresh' END AS reason
+              FROM e LEFT JOIN latest l USING (surt_key)
+            )
+            SELECT url, surt_key,
+                   strftime(lastmod, '%Y-%m-%d %H:%M:%S') AS lastmod,
+                   strftime(last_capture, '%Y-%m-%d %H:%M:%S')
+                     AS last_capture,
+                   reason, reason IN ('new', 'stale') AS refetch
+            FROM j
+        """,
         "trap_signals": r"""
             WITH u AS (
               SELECT CASE

@@ -563,3 +563,27 @@ def parse_sitemap(content: str) -> list[str]:
     if locs:
         return [unescape(u) for u in locs]
     return [tok for tok in content.split() if tok.startswith(("http://", "https://"))]
+
+
+_SITEMAP_URLBLOCK = re.compile(r"<url\b[^>]*>(.*?)</url>", re.S | re.I)
+_SITEMAP_LASTMOD = re.compile(r"<lastmod[^>]*>\s*([^<\s]+)\s*</lastmod>", re.I)
+
+
+def parse_sitemap_entries(content: str) -> list[tuple[str, str | None]]:
+    """Sitemap XML → ``(loc, lastmod | None)`` per ``<url>`` block, in
+    document order — the freshness-aware form of ``parse_sitemap`` (the
+    sitemaps.org protocol's ``<lastmod>`` drives recrawl scheduling; see
+    sources/cdx.sitemap_recrawl_set). Bare ``<loc>`` lists and plain-text
+    sitemaps yield None lastmods."""
+    if not content:
+        return []
+    out: list[tuple[str, str | None]] = []
+    for block in _SITEMAP_URLBLOCK.findall(content):
+        locs = _SITEMAP_LOC.findall(block)
+        if not locs:
+            continue
+        lm = _SITEMAP_LASTMOD.search(block)
+        out.append((unescape(locs[0]), lm.group(1) if lm else None))
+    if out:
+        return out
+    return [(u, None) for u in parse_sitemap(content)]

@@ -237,3 +237,44 @@ def cdx_diff(old: DataFrame, new: DataFrame) -> DataFrame:
         "surt_key", status.alias("status"),
         "old_digest", "new_digest", "old_ts", "new_ts",
     )
+
+
+def sitemap_recrawl_set(
+    entries: DataFrame,
+    cdx: DataFrame,
+    url_col: str = "url",
+    lastmod_col: str = "lastmod",
+) -> DataFrame:
+    """Sitemap-freshness recrawl scheduling (sitemaps.org ``<lastmod>``):
+    join the sitemap's claimed modification times against the crawl's own
+    CDX capture history and emit, per URL, what the scheduler should do —
+    ``new`` (never captured), ``stale`` (lastmod after our latest
+    capture), ``fresh`` (capture at/after lastmod), ``unknown`` (no
+    lastmod; age-based reseed_stale in plans/scheduler.py governs these).
+    ``refetch`` is true for new+stale — the third recrawl trigger next to
+    age-based reseed_stale and content-diff cdx_diff.
+
+    Plan: sitemap entries key by the SAME surt_key expression the index
+    is laid out on; the CDX side reduces to latest-capture-per-key (one
+    keyed shuffle over index metadata, not page payloads); entries join
+    LEFT on that reduced side. Sitemap batches are tiny next to the
+    capture index — AQE broadcasts the entry side."""
+    e = entries.select(
+        F.col(url_col).alias("url"),
+        surt_key(url_col).alias("surt_key"),
+        F.col(lastmod_col).cast("timestamp").alias("lastmod"),
+    )
+    latest = cdx.groupBy("surt_key").agg(
+        F.max("ts").alias("last_capture"))
+    j = e.join(latest, "surt_key", "left")
+    reason = (
+        F.when(F.col("last_capture").isNull(), F.lit("new"))
+        .when(F.col("lastmod").isNull(), F.lit("unknown"))
+        .when(F.col("lastmod") > F.col("last_capture"), F.lit("stale"))
+        .otherwise(F.lit("fresh"))
+    )
+    return j.select(
+        "url", "surt_key", "lastmod", "last_capture",
+        reason.alias("reason"),
+        reason.isin("new", "stale").alias("refetch"),
+    )

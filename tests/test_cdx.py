@@ -192,3 +192,37 @@ def test_cdx_diff_same_content_same_digest_unchanged_roundtrip(spark):
     out = cdx_diff(idx, idx)
     assert out.count() == 30
     assert out.filter(F.col("status") != "unchanged").count() == 0
+
+
+def test_sitemap_recrawl_set_reasons(spark):
+    """new / stale / fresh / unknown classification against the capture
+    history; refetch = new + stale."""
+    from datetime import datetime
+
+    from context_crawler_spark.sources.cdx import (
+        cdx_index, sitemap_recrawl_set,
+    )
+
+    cap_rows = [
+        ("https://a.test/fresh", "2024-02-01 00:00:00", b"x"),
+        ("https://a.test/stale", "2024-01-01 00:00:00", b"y"),
+        ("https://a.test/nolm", "2024-01-01 00:00:00", b"z"),
+    ]
+    cdx = cdx_index(spark.createDataFrame(
+        cap_rows, "url string, warc_ts string, html binary"
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts")))
+    entries = spark.createDataFrame(
+        [
+            ("https://a.test/fresh", datetime(2024, 1, 15)),
+            ("https://a.test/stale", datetime(2024, 1, 20)),
+            ("https://a.test/nolm", None),
+            ("https://a.test/never", datetime(2024, 1, 1)),
+        ],
+        "url string, lastmod timestamp",
+    )
+    got = {r["url"].rsplit("/", 1)[1]: r for r in
+           sitemap_recrawl_set(entries, cdx).collect()}
+    assert got["fresh"]["reason"] == "fresh" and not got["fresh"]["refetch"]
+    assert got["stale"]["reason"] == "stale" and got["stale"]["refetch"]
+    assert got["nolm"]["reason"] == "unknown" and not got["nolm"]["refetch"]
+    assert got["never"]["reason"] == "new" and got["never"]["refetch"]

@@ -118,3 +118,29 @@ def test_descendant_selector():
 def test_compound_class_selector():
     html = '<html><body><div class="a b">yes</div><div class="c">no</div></body></html>'
     assert extract_text(html, "div.b") == "yes"
+
+
+def test_parse_sitemap_entries_lastmod():
+    """<lastmod> extraction per <url> block, order preserved; bare-loc
+    and plain-text sitemaps fall back to None lastmods."""
+    from context_crawler_spark.functions.extract import parse_sitemap_entries
+
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>https://a.test/p1</loc><lastmod>2024-01-05</lastmod></url>"
+        "<url><loc>https://a.test/p2</loc></url>"
+        "<url><lastmod>2024-01-06T10:00:00Z</lastmod>"
+        "<loc>https://a.test/p3</loc></url>"
+        "</urlset>"
+    )
+    assert parse_sitemap_entries(xml) == [
+        ("https://a.test/p1", "2024-01-05"),
+        ("https://a.test/p2", None),
+        ("https://a.test/p3", "2024-01-06T10:00:00Z"),
+    ]
+    assert parse_sitemap_entries(
+        "<urlset><loc>https://b.test/x</loc></urlset>"
+    ) == [("https://b.test/x", None)]
+    assert parse_sitemap_entries("https://c.test/1\nhttps://c.test/2") == [
+        ("https://c.test/1", None), ("https://c.test/2", None)]
+    assert parse_sitemap_entries("") == []
