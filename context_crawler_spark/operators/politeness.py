@@ -141,3 +141,42 @@ def apply_robots(
         .select(F.col("__k").alias(key))
     )
     return frontier.join(blocked, on=key, how="left_anti")
+
+
+def apply_trap_budgets(
+    frontier: DataFrame,
+    trap_hosts: DataFrame,
+    trap_budget: int = 0,
+    budget_per_host: int = 64,
+    host_col: str = "host",
+) -> DataFrame:
+    """Per-host budgets with crawler-trap demotion: hosts flagged by
+    ``operators/traps.url_trap_signals`` get ``trap_budget`` claims per
+    round (0 = frozen entirely, small = probe slowly — IRLbot-style budget
+    control) while every other host keeps ``budget_per_host``. Like
+    apply_politeness, dropped rows stay pending — a host cleared of its
+    trap flag resumes at full budget next round.
+
+    ``trap_hosts`` is per-host metadata ((host, trap boolean) — the
+    url_trap_signals output works directly) → BROADCAST join, same shape
+    as robots; the budget cut itself reuses the salted two-phase ranking.
+    """
+    from pyspark.sql.functions import broadcast
+
+    flags = trap_hosts.filter(F.col("trap")).select(
+        F.col(host_col).alias("__trap_host"))
+    budgeted = (
+        apply_politeness(frontier, budget_per_host, host_col=host_col)
+        .join(broadcast(flags),
+              F.col(host_col) == F.col("__trap_host"), "left")
+    )
+    if trap_budget <= 0:
+        return budgeted.filter(F.col("__trap_host").isNull()).drop(
+            "__trap_host")
+    salt_w = Window.partitionBy(host_col).orderBy(*claim_order())
+    return (
+        budgeted.withColumn("__tr", F.row_number().over(salt_w))
+        .filter(F.col("__trap_host").isNull()
+                | (F.col("__tr") <= trap_budget))
+        .drop("__trap_host", "__tr")
+    )

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from context_crawler_spark.operators.traps import url_trap_signals
 
 
@@ -51,3 +53,30 @@ def test_trap_signals_query_and_fragment_excluded_from_path(spark):
     got = url_trap_signals(df).collect()[0]
     assert got["frac_query"] == 0.5
     assert got["n_templates"] == 1  # both /p/N
+
+
+def test_apply_trap_budgets_freezes_and_probes(spark):
+    """Flagged hosts get the trap budget (0 = frozen, N = slow probe);
+    clean hosts keep the full budget; the flag join is a broadcast."""
+    from context_crawler_spark.operators.politeness import apply_trap_budgets
+
+    rows = [(f"https://{h}/p{i}", h, 10 - (i % 10), i)
+            for h in ("trap.test", "ok.test") for i in range(20)]
+    frontier = spark.createDataFrame(
+        rows, "url string, host string, priority int, seq long")
+    traps = spark.createDataFrame(
+        [("trap.test", True), ("ok.test", False)], "host string, trap boolean")
+
+    frozen = apply_trap_budgets(frontier, traps, trap_budget=0,
+                                budget_per_host=8)
+    by_host = {r["host"]: r["n"] for r in
+               frozen.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert by_host == {"ok.test": 8}
+
+    probed = apply_trap_budgets(frontier, traps, trap_budget=2,
+                                budget_per_host=8)
+    by_host = {r["host"]: r["n"] for r in
+               probed.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert by_host == {"ok.test": 8, "trap.test": 2}
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
