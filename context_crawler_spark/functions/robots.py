@@ -67,6 +67,27 @@ def _parse_groups(text: str) -> list[RobotsGroup]:
     return groups
 
 
+def sitemap_urls(text: str) -> list[str]:
+    """``Sitemap:`` directives from robots.txt, in file order (sitemaps.org
+    protocol §"Informing search engine crawlers"; RFC 9309 carries them as
+    ignorable other-records). Group-independent per the spec — collected
+    from anywhere in the file, including before any User-agent line —
+    absolute URLs only. Feed the result to the scheduler's sitemap seed
+    expansion (plans/scheduler.seed), closing the discovery loop:
+    robots.txt → sitemap tree → URL frontier."""
+    out: list[str] = []
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        fld, val = line.split(":", 1)
+        if fld.strip().lower() == "sitemap":
+            val = val.strip()
+            if val.startswith(("http://", "https://")):
+                out.append(val)
+    return out
+
+
 def select_rules(
     text: str, user_agent: str = DEFAULT_AGENT
 ) -> tuple[list[tuple[str, str]], float | None]:
@@ -142,3 +163,18 @@ def robots_tables(spark, robots_texts: dict[str, str],
     delays_df = spark.createDataFrame(
         delay_rows, "host string, crawl_delay_s double")
     return rules_df, delays_df
+
+
+def sitemap_table(spark, robots_texts: dict[str, str]):
+    """{host: robots.txt text} → (host, sitemap_url, pos) DataFrame — the
+    robots-declared sitemap set. Compose with the scheduler:
+    ``eng.seed(extra_seeds=[r.sitemap_url for r in table.collect()])``
+    (sitemap URLs match config.SITEMAP_RE and expand through the nested
+    sitemapindex walker, so robots.txt → sitemap tree → frontier is one
+    seed call). Per-host metadata — tiny, broadcastable."""
+    rows = []
+    for host, text in robots_texts.items():
+        for i, u in enumerate(sitemap_urls(text or "")):
+            rows.append((host, u, i))
+    return spark.createDataFrame(
+        rows, "host string, sitemap_url string, pos int")

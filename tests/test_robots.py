@@ -166,3 +166,36 @@ def test_run_crawl_robots_input_detection(tmp_path):
     texts = _read_robots_txt_dir(str(txt))
     assert set(texts) == {"a.test", "b.test"}
     assert "Disallow: /x" in texts["a.test"]
+
+
+def test_sitemap_directives_collected_group_independent():
+    """Sitemap: lines are group-independent (before any User-agent, inside
+    groups, anywhere) and keep file order; relative/garbage values drop."""
+    from context_crawler_spark.functions.robots import sitemap_urls
+
+    text = (
+        "Sitemap: https://a.test/sm-index.xml\n"
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "Sitemap: https://a.test/sm-2.xml\n"
+        "User-agent: other\n"
+        "sitemap: https://a.test/sm-3.xml   # case-insensitive + comment\n"
+        "Sitemap: /relative-ignored.xml\n"
+    )
+    assert sitemap_urls(text) == [
+        "https://a.test/sm-index.xml",
+        "https://a.test/sm-2.xml",
+        "https://a.test/sm-3.xml",
+    ]
+    assert sitemap_urls("") == []
+
+
+def test_sitemap_table_shape(spark):
+    from context_crawler_spark.functions.robots import sitemap_table
+
+    t = sitemap_table(spark, {
+        "a.test": "Sitemap: https://a.test/sm.xml\nUser-agent: *\nAllow: /",
+        "b.test": "User-agent: *\nDisallow: /x",
+    })
+    rows = [(r["host"], r["sitemap_url"], r["pos"]) for r in t.collect()]
+    assert rows == [("a.test", "https://a.test/sm.xml", 0)]
