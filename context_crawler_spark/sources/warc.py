@@ -275,6 +275,29 @@ def write_warc(rows: list[tuple[str, datetime, bytes]], gzip_members: bool = Fal
     return b"".join(chunks)
 
 
+def serialize_revisit_record(url: str, ts: datetime, digest: str,
+                             orig_url: str, orig_ts: datetime) -> bytes:
+    """ONE WARC ``revisit`` record (identical-payload-digest profile,
+    WARC/1.1 §6.7.2) — written in place of a full response when the
+    payload digest was already archived; points at the original capture.
+    This is how web archives (including Common Crawl's crawler, via
+    Heritrix's dedup) avoid storing the same body twice."""
+    header = (
+        "WARC/1.1\r\n"
+        "WARC-Type: revisit\r\n"
+        "WARC-Profile: http://netpreserve.org/warc/1.1/revisit/"
+        "identical-payload-digest\r\n"
+        f"WARC-Record-ID: {_record_id('revisit:' + url, ts)}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
+        f"WARC-Payload-Digest: md5:{digest}\r\n"
+        f"WARC-Refers-To-Target-URI: {orig_url}\r\n"
+        f"WARC-Refers-To-Date: {orig_ts.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
+        "Content-Length: 0\r\n\r\n"
+    ).encode()
+    return header + b"\r\n\r\n"
+
+
 def _write_member_files(
     df: DataFrame,
     out_dir: str,
@@ -376,6 +399,83 @@ def write_warc_files(
         df, out_dir, ".warc.gz", ser, "html",
         ["url", "warc_ts", "html"], target_mb, software,
     )
+
+
+def write_warc_files_deduped(
+    df: DataFrame,
+    out_dir: str,
+    target_mb: int = 256,
+    software: str = "context-crawler-spark/0.3",
+) -> dict:
+    """WARC sink with in-archive payload dedup: the FIRST capture of each
+    payload digest writes a full response record; every later capture of
+    the same bytes writes a 0-byte ``revisit`` record pointing at the
+    original (identical-payload-digest profile — the Heritrix/IA dedup
+    mechanism; WARC/1.1 §6.7.2). On a web corpus where boilerplate and
+    mirrored pages repeat heavily this cuts archive bytes to
+    O(distinct payloads) while keeping every capture addressable.
+
+    Plan: ONE shuffle on digest picks the first capture per payload
+    (min (warc_ts, url) — deterministic); the join back reuses that
+    partitioning; file sizing counts only original payloads. Degenerate
+    exact-duplicate (url, ts, html) rows all rank first and each writes a
+    full record. ``read_warc`` yields only response records — revisits
+    resolve through the CDX index, as in real archives (their digest
+    matches the original's entry).
+
+    Returns {"files": n, "records": total, "revisits": n_revisit}."""
+    from pyspark.sql import functions as F
+
+    with_d = df.select("url", "warc_ts", "html").withColumn(
+        "digest", F.md5(F.col("html").cast("binary")))
+    firsts = with_d.groupBy("digest").agg(
+        F.min(F.struct("warc_ts", "url")).alias("__o"))
+    marked = (
+        with_d.join(firsts, "digest")
+        .select(
+            "url", "warc_ts", "html", "digest",
+            F.col("__o.url").alias("orig_url"),
+            F.col("__o.warc_ts").alias("orig_ts"),
+        )
+        .withColumn(
+            "is_original",
+            (F.col("url") == F.col("orig_url"))
+            & (F.col("warc_ts") == F.col("orig_ts")),
+        )
+        .withColumn(
+            "__sz",
+            F.when(F.col("is_original"), F.col("html"))
+            .otherwise(F.encode(F.lit(""), "UTF-8")),
+        )
+    )
+    marked = marked.persist()
+    try:
+        stats = marked.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((~F.col("is_original")).cast("long")).alias("r"),
+        ).collect()[0]
+
+        def ser(r) -> bytes:
+            if r["is_original"]:
+                html = r["html"]
+                if isinstance(html, str):
+                    html = html.encode("utf-8")
+                return serialize_response_record(
+                    r["url"], r["warc_ts"], bytes(html))
+            return serialize_revisit_record(
+                r["url"], r["warc_ts"], r["digest"],
+                r["orig_url"], r["orig_ts"])
+
+        n_files = _write_member_files(
+            marked, out_dir, ".warc.gz", ser, "__sz",
+            ["url", "warc_ts", "html", "digest", "orig_url", "orig_ts",
+             "is_original", "__sz"],
+            target_mb, software,
+        )
+    finally:
+        marked.unpersist()
+    return {"files": n_files, "records": stats["n"],
+            "revisits": stats["r"] or 0}
 
 
 # ---------------------------------------------------------------------------

@@ -389,3 +389,59 @@ def test_wet_record_overhead_matches_serializer():
                      "Unicodé 世界".encode()):
             rec = serialize_conversion_record(url, ts, text)
             assert len(rec) == wet_record_overhead(url, len(text)) + len(text)
+
+
+def test_write_warc_files_deduped_revisit_records(spark, tmp_path):
+    """Duplicate payloads write 0-byte revisit records pointing at the
+    first capture; originals round-trip through read_warc; revisit
+    headers carry the matching digest + original URI/date; re-runs are
+    byte-identical."""
+    import glob
+    import os
+
+    from context_crawler_spark.sources.warc import (
+        gunzip_members, iter_warc_records, write_warc_files_deduped,
+    )
+
+    body_a, body_b = b"<html><body>alpha</body></html>", \
+        b"<html><body>beta</body></html>"
+    rows = [
+        ("https://a.test/orig", datetime(2021, 1, 1, 0, 0, 0), body_a),
+        ("https://a.test/copy1", datetime(2021, 1, 2, 0, 0, 0), body_a),
+        ("https://b.test/copy2", datetime(2021, 1, 3, 0, 0, 0), body_a),
+        ("https://b.test/uniq", datetime(2021, 1, 1, 0, 0, 0), body_b),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary")
+    out = str(tmp_path / "w")
+    res = write_warc_files_deduped(df, out)
+    assert res == {"files": res["files"], "records": 4, "revisits": 2}
+
+    recs = []
+    for f in sorted(glob.glob(os.path.join(out, "part-*.warc.gz"))):
+        recs.extend(iter_warc_records(gunzip_members(open(f, "rb").read())))
+    by_type: dict[str, list] = {}
+    for h, b in recs:
+        by_type.setdefault(h["warc-type"], []).append((h, b))
+    assert len(by_type["response"]) == 2
+    assert len(by_type["revisit"]) == 2
+    import hashlib
+    dig_a = hashlib.md5(body_a).hexdigest()
+    for h, b in by_type["revisit"]:
+        assert b == b""
+        assert h["warc-payload-digest"] == f"md5:{dig_a}"
+        assert h["warc-refers-to-target-uri"] == "https://a.test/orig"
+        assert h["warc-refers-to-date"] == "2021-01-01T00:00:00Z"
+        assert h["content-length"] == "0"
+
+    # reader yields only full captures (revisits resolve via the index)
+    back = read_warc(spark, out)
+    got = {(r["url"], bytes(r["html"])) for r in back.collect()}
+    assert got == {("https://a.test/orig", body_a),
+                   ("https://b.test/uniq", body_b)}
+
+    out2 = str(tmp_path / "w2")
+    write_warc_files_deduped(df, out2)
+    for f in sorted(glob.glob(os.path.join(out, "part-*.warc.gz"))):
+        f2 = os.path.join(out2, os.path.basename(f))
+        assert open(f, "rb").read() == open(f2, "rb").read()
