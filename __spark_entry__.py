@@ -1637,6 +1637,87 @@ def q_multimodal_meta(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # contract surface
+def _c4_decorated(spark, sf_dir) -> DataFrame:
+    """Deterministic line/punctuation decoration of the documents corpus
+    for the C4 queries. The synthetic text is one punctuation-free line
+    per doc, which would make every C4 line rule degenerate — so words
+    regroup into 7-word lines, each line's terminal punctuation (or a
+    leading "javascript" marker, or none) is drawn from md5(line), and
+    ~1/16 docs gain a trailing " {". Pure md5/slice/array expressions,
+    replayed verbatim by the ``_C4_DEC`` SQL CTE."""
+    d = _t(spark, sf_dir, "documents")
+    d2 = d.select(
+        "doc_id", "text", F.split(F.trim("text"), r"\s+").alias("__w")
+    )
+    w = F.col("__w")
+    nl = F.expr("(size(__w) + 6) div 7")
+    d3 = d2.withColumn(
+        "__lr",
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), nl - 1),
+            lambda i: F.array_join(F.slice(w, (i * 7 + 1).cast("int"), 7), " "),
+        ),
+    )
+
+    def h(ln):
+        return F.substring(F.md5(ln), 1, 1)
+
+    dec = F.transform(
+        F.col("__lr"),
+        lambda ln: F.when(
+            h(ln).isin("0", "1"),
+            F.concat(F.lit("javascript "), ln, F.lit(".")),
+        )
+        .when(h(ln).isin("a", "b"), F.concat(ln, F.lit("?")))
+        .when(h(ln) == "c", F.concat(ln, F.lit("!")))
+        .when(h(ln).isin("d", "e", "f"), ln)
+        .otherwise(F.concat(ln, F.lit("."))),
+    )
+    dtext = F.concat(
+        F.array_join(dec, "\n"),
+        F.when(F.substring(F.md5("text"), 1, 1) == "0", F.lit(" {"))
+        .otherwise(F.lit("")),
+    )
+    return d3.select("doc_id", dtext.alias("dtext"))
+
+
+def q_c4_clean(spark, sf_dir):
+    """C4 §2.2 page cleaning (Raffel et al. 2020) over the line-decorated
+    corpus: terminal-punctuation / ≥5-word / no-javascript line rules,
+    then the page gates (≥3 sentences, bad word, "lorem ipsum", curly
+    brace). One zero-shuffle projection (operators/c4.py); the badword
+    list uses corpus words so the gate actually splits the data."""
+    from context_crawler_spark.operators.c4 import c4_line_clean
+
+    dd = _c4_decorated(spark, sf_dir)
+    out = c4_line_clean(
+        dd.select("doc_id", F.col("dtext").alias("text")),
+        badwords=["dup"], keep_flags=True,
+    )
+    return out.select(
+        "doc_id", "line_n", "kept_n", "n_sentences",
+        "has_badword", "has_lorem", "has_brace", "c4_keep",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+def q_c4_span_dedup(spark, sf_dir):
+    """C4's corpus-level three-sentence-span dedup as per-doc stats. The
+    corpus is the decorated documents UNIONed with a doc_id+10000 copy of
+    itself, so every copy span is a duplicate of a corpus-earlier one —
+    exercising the first-occurrence election (min (doc_id, span_idx))
+    end to end. Two shuffles total (span hash election + doc_id agg)."""
+    from context_crawler_spark.operators.c4 import c4_span_dedup
+
+    dd = _c4_decorated(spark, sf_dir)
+    corpus = dd.unionByName(
+        dd.withColumn("doc_id", F.col("doc_id") + 10000)
+    )
+    return c4_span_dedup(
+        corpus.select("doc_id", F.col("dtext").alias("text"))
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1687,6 +1768,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "gopher_quality": q_gopher_quality,
         "gopher_repetition": q_gopher_repetition,
+        "c4_clean": q_c4_clean,
+        "c4_span_dedup": q_c4_span_dedup,
         "byte_budget": q_byte_budget,
         "url_slug": q_url_slug,
         "token_totals": q_token_totals,
@@ -1794,6 +1877,31 @@ _PAGERANK_CTES = r"""
                 GROUP BY e.dst) c ON nodes.node = c.node
             )
 """
+
+
+# SQL replay of _c4_decorated (shared by the c4_clean / c4_span_dedup
+# oracles): 7-word lines, md5-drawn terminal punctuation, ~1/16 trailing
+# brace — identical arithmetic to the Spark expressions.
+_C4_DEC = r"""
+            __dec AS (
+              SELECT doc_id,
+                array_to_string(list_transform(
+                  list_transform(range(0, CAST((len(ws) + 6) // 7 AS INT)),
+                    i -> array_to_string(
+                           list_slice(ws, i * 7 + 1, i * 7 + 7), ' ')),
+                  ln -> CASE
+                    WHEN substr(md5(ln), 1, 1) IN ('0', '1')
+                      THEN 'javascript ' || ln || '.'
+                    WHEN substr(md5(ln), 1, 1) IN ('a', 'b') THEN ln || '?'
+                    WHEN substr(md5(ln), 1, 1) = 'c' THEN ln || '!'
+                    WHEN substr(md5(ln), 1, 1) IN ('d', 'e', 'f') THEN ln
+                    ELSE ln || '.' END), chr(10))
+                || CASE WHEN substr(md5(text), 1, 1) = '0'
+                        THEN ' {' ELSE '' END AS dtext
+              FROM (SELECT doc_id, text,
+                           string_split_regex(trim(text), '\s+') AS ws
+                    FROM documents)
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2106,6 +2214,71 @@ def oracle_sql() -> dict[str, str]:
                     AND (5 * COALESCE(tg.top2_chars, 0) <= word_chars))
                      AS repetition_pass
             FROM s LEFT JOIN tg ON s.doc_id = tg.doc_id
+        """,
+        "c4_clean": r"""
+            WITH """ + _C4_DEC + r""",
+            g AS (
+              SELECT doc_id, dtext,
+                     string_split(dtext, chr(10)) AS lines,
+                     string_split_regex(trim(lower(dtext)), '\s+') AS lw
+              FROM __dec
+            ), k AS (
+              SELECT doc_id, dtext, lines, lw,
+                list_filter(lines, ln ->
+                  (ends_with(rtrim(ln), '.') OR ends_with(rtrim(ln), '!')
+                   OR ends_with(rtrim(ln), '?') OR ends_with(rtrim(ln), '"'))
+                  AND len(string_split_regex(trim(ln), '\s+')) >= 5
+                  AND NOT contains(lower(ln), 'javascript')) AS kept
+              FROM g
+            ), s AS (
+              SELECT doc_id,
+                CAST(len(lines) AS BIGINT) AS line_n,
+                CAST(len(kept) AS BIGINT) AS kept_n,
+                COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
+                list_has_any(lw, ['dup']) AS has_badword,
+                contains(lower(dtext), 'lorem ipsum') AS has_lorem,
+                contains(dtext, '{') AS has_brace
+              FROM k
+            )
+            SELECT doc_id, line_n, kept_n,
+              CAST(length(regexp_replace(clean_text, '[^.!?]', '', 'g'))
+                AS BIGINT) AS n_sentences,
+              has_badword, has_lorem, has_brace,
+              (length(regexp_replace(clean_text, '[^.!?]', '', 'g')) >= 3
+               AND NOT has_badword AND NOT has_lorem AND NOT has_brace)
+                AS c4_keep,
+              md5(clean_text) AS clean_md5
+            FROM s
+        """,
+        "c4_span_dedup": r"""
+            WITH """ + _C4_DEC + r""",
+            corpus AS (
+              SELECT doc_id, dtext FROM __dec
+              UNION ALL
+              SELECT doc_id + 10000 AS doc_id, dtext FROM __dec
+            ), lc AS (
+              SELECT doc_id, string_split(dtext, chr(10)) AS lines FROM corpus
+            ), spans AS (
+              SELECT doc_id,
+                unnest(list_transform(range(1, len(lines) - 1),
+                  i -> {'idx': i - 1,
+                        'span': lines[i] || ' ' || lines[i+1] || ' '
+                                || lines[i+2]}),
+                  recursive := true)
+              FROM lc WHERE len(lines) >= 3
+            ), marked AS (
+              SELECT doc_id,
+                CASE WHEN row_number() OVER (PARTITION BY span
+                       ORDER BY doc_id, idx) = 1 THEN 0 ELSE 1 END AS dup
+              FROM spans
+            ), agg AS (
+              SELECT doc_id, COUNT(*) AS n, SUM(dup) AS d
+              FROM marked GROUP BY doc_id
+            )
+            SELECT c.doc_id,
+                   CAST(COALESCE(a.n, 0) AS BIGINT) AS n_spans,
+                   CAST(COALESCE(a.d, 0) AS BIGINT) AS dup_spans
+            FROM corpus c LEFT JOIN agg a ON c.doc_id = a.doc_id
         """,
         "chunk_split_plan": """
             WITH RECURSIVE
