@@ -1718,6 +1718,37 @@ def q_c4_span_dedup(spark, sf_dir):
     )
 
 
+def _host_graph(spark, sf_dir) -> DataFrame:
+    """The deterministic 200-node link graph shared by the pagerank /
+    centrality queries (src=user_id%200, dst=event_id%200, no loops)."""
+    return _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 200).alias("src"),
+        (F.col("event_id") % 200).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+
+
+def q_harmonic_centrality(spark, sf_dir):
+    """Exact radius-3 harmonic centrality over the host graph (Boldi &
+    Vigna 2014) — the distance-based importance signal next to pagerank.
+    BFS via iterated anti-joined frontier expansion; the oracle replays
+    it as a bounded recursive CTE + MIN(d). Harmonic is a fixed-order
+    3-term float sum over exact integer counts, bit-stable."""
+    from context_crawler_spark.operators.ranking import harmonic_centrality
+
+    return harmonic_centrality(_host_graph(spark, sf_dir), radius=3)
+
+
+def q_hyperball(spark, sf_dir):
+    """HyperBall (Boldi & Vigna 2013): HLL-sketch neighborhood functions
+    — the 10^10-node estimator for which q_harmonic_centrality is the
+    exact small-graph oracle. DataSketches HLL unions are engine-specific
+    binaries, so this is rows-only by design; tests/test_ranking.py pins
+    the estimates against the exact operator."""
+    from context_crawler_spark.operators.ranking import hyperball
+
+    return hyperball(_host_graph(spark, sf_dir), radius=3, lg_k=12)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1770,6 +1801,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "c4_clean": q_c4_clean,
         "c4_span_dedup": q_c4_span_dedup,
+        "harmonic_centrality": q_harmonic_centrality,
+        "hyperball": q_hyperball,
         "byte_budget": q_byte_budget,
         "url_slug": q_url_slug,
         "token_totals": q_token_totals,
@@ -2249,6 +2282,43 @@ def oracle_sql() -> dict[str, str]:
                 AS c4_keep,
               md5(clean_text) AS clean_md5
             FROM s
+        """,
+        "harmonic_centrality": """
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT CAST(user_id % 200 AS BIGINT) AS src,
+                              CAST(event_id % 200 AS BIGINT) AS dst
+              FROM events WHERE user_id % 200 != event_id % 200
+            ), nodes AS (
+              -- NOT a bare UNION: inside a WITH RECURSIVE block DuckDB
+              -- mis-plans it here (duplicate node rows fan out the final
+              -- join); DISTINCT over UNION ALL is equivalent and stable
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e
+              )
+            ), walk(origin, node, d) AS (
+              SELECT src, dst, 1 FROM e
+              UNION
+              SELECT w.origin, e.dst, w.d + 1
+              FROM walk w JOIN e ON e.src = w.node
+              WHERE w.d < 3
+            ), dist AS (
+              SELECT origin, node, MIN(d) AS d FROM walk
+              WHERE origin != node GROUP BY origin, node
+            )
+            SELECT n.node,
+              CAST(COALESCE(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_d1,
+              CAST(COALESCE(SUM(CASE WHEN d = 2 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_d2,
+              CAST(COALESCE(SUM(CASE WHEN d = 3 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_d3,
+              ROUND(
+                COALESCE(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END), 0) / 1.0
+                + COALESCE(SUM(CASE WHEN d = 2 THEN 1 ELSE 0 END), 0) / 2.0
+                + COALESCE(SUM(CASE WHEN d = 3 THEN 1 ELSE 0 END), 0) / 3.0,
+                6) AS harmonic
+            FROM nodes n LEFT JOIN dist ON dist.origin = n.node
+            GROUP BY n.node
         """,
         "c4_span_dedup": r"""
             WITH """ + _C4_DEC + r""",

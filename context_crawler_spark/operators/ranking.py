@@ -315,3 +315,155 @@ def hybrid_search(
         .select(F.col(vec_id_col).alias(id_col), "score")
     )
     return rrf_fuse([lex, dense], k_rrf=k_rrf, topk=k, id_col=id_col)
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    radius: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Exact bounded-radius harmonic centrality over a directed link
+    graph: ``H_R(v) = Σ_{u ≠ v, d(v,u) ≤ R} 1/d(v,u)`` following
+    out-edges (Boldi & Vigna 2014, "Axioms for centrality" — the
+    centrality they recommend for web/host graphs; the bounded radius is
+    the standard crawl-scheduling variant).
+
+    BFS by iterated joins: the frontier at depth k joins the edge table
+    (shuffle keyed on the join column), new pairs are anti-joined against
+    everything already seen at a smaller depth, lineage is cut per
+    iteration (the pagerank/connected_components pattern). Shortest paths
+    never revisit a node, so seeding "seen" with (v, v, 0) both excludes
+    self-distances and prunes cycles for free.
+
+    SCALE NOTE: this enumerates every (origin, node ≤ R hops) pair —
+    linear in the size of the radius-R neighborhoods, which is fine for
+    sparse host graphs and small radii but quadratic on dense graphs as
+    R grows. At 10^10-node web scale use ``hyperball`` below (the
+    sketch-based estimator this operator is the exact oracle for).
+
+    Returns one row per node: ``n_d1..n_dR`` (count of nodes first
+    reached at each depth) and ``harmonic`` — computed as the fixed-order
+    sum ``n_d1/1.0 + n_d2/2.0 + ... `` rounded to 6dp, so the float is
+    bit-identical across engines (each term is one IEEE divide of exact
+    integers, summed left-to-right).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    frontier = e.select(
+        F.col("src").alias("origin"), F.col("dst").alias("node"),
+        F.lit(1).alias("d"),
+    ).distinct()
+    self_rows = nodes.select(
+        F.col("node").alias("origin"), "node", F.lit(0).alias("d")
+    )
+    frontier = frontier.join(
+        self_rows.select("origin", "node"), ["origin", "node"], "left_anti"
+    )
+    seen = self_rows.union(frontier).localCheckpoint(eager=False)
+    for k in range(2, radius + 1):
+        frontier = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select("origin", F.col("dst").alias("node"), F.lit(k).alias("d"))
+            .distinct()
+            .join(seen.select("origin", "node"), ["origin", "node"],
+                  "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        seen = seen.union(frontier).localCheckpoint(eager=False)
+    aggs = [
+        F.sum(F.when(F.col("d") == k, 1).otherwise(0)).cast("long")
+        .alias(f"n_d{k}")
+        for k in range(1, radius + 1)
+    ]
+    counts = seen.filter(F.col("d") > 0).groupBy("origin").agg(*aggs)
+    out = nodes.join(
+        counts, nodes["node"] == counts["origin"], "left"
+    ).select(
+        "node",
+        *[F.coalesce(f"n_d{k}", F.lit(0)).cast("long").alias(f"n_d{k}")
+          for k in range(1, radius + 1)],
+    )
+    harmonic = F.col("n_d1") / F.lit(1.0)
+    for k in range(2, radius + 1):
+        harmonic = harmonic + F.col(f"n_d{k}") / F.lit(float(k))
+    return out.withColumn("harmonic", F.round(harmonic, 6))
+
+
+def hyperball(
+    edges: DataFrame,
+    radius: int = 3,
+    lg_k: int = 12,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013, "In-core computation of geometric
+    centralities with HyperBall") — the 10^10-node path for neighborhood
+    functions and harmonic centrality, estimating ball sizes with
+    HyperLogLog counters instead of enumerating pairs.
+
+    ``B_k(v) = B_{k-1}(v) ∪ ⋃_{v→w} B_{k-1}(w)`` where every B is an HLL
+    sketch: per iteration ONE shuffle keyed on src carrying fixed-size
+    sketches (2^lg_k registers each, ~KB — per-round traffic is O(edges ×
+    sketch_bytes) regardless of ball sizes, vs the exact operator's
+    O(Σ|B_k|) blowup). Sketch ops are Spark's built-in DataSketches
+    aggregates (hll_sketch_agg / hll_union_agg / hll_union) — all
+    JVM-side, zero Python in the loop.
+
+    Returns per node the estimated neighborhood sizes ``nf_1..nf_R``
+    (|B_k(v)| − 1, i.e. excluding self) and ``harmonic_est =
+    Σ_k (nf_k − nf_{k-1})/k``, the HyperBall harmonic estimator.
+    Estimates carry standard HLL error (~1.04/√2^lg_k, ≈1.6% at the
+    default lg_k=12); tests pin them against ``harmonic_centrality`` on
+    small graphs. Not SQL-replayable by design — the sketch encoding is
+    engine-specific (DataSketches), so this operator is pytest-pinned
+    rather than DuckDB-oracled.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    balls = nodes.groupBy("node").agg(
+        F.hll_sketch_agg(F.col("node"), F.lit(lg_k)).alias("sk")
+    )
+    ests = []
+    for k in range(1, radius + 1):
+        nb = (
+            e.join(balls, e["dst"] == balls["node"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.hll_union_agg(F.col("sk"), True).alias("nb_sk"))
+        )
+        balls = (
+            balls.join(nb, "node", "left")
+            .select(
+                "node",
+                F.when(
+                    F.col("nb_sk").isNull(), F.col("sk")
+                ).otherwise(F.hll_union("sk", "nb_sk")).alias("sk"),
+                *[F.col(c) for c in balls.columns if c.startswith("nf_")],
+            )
+            .localCheckpoint(eager=False)
+        )
+        balls = balls.withColumn(
+            f"nf_{k}",
+            (F.hll_sketch_estimate("sk") - 1).cast("double"),
+        )
+        ests.append(f"nf_{k}")
+    harmonic = F.col("nf_1") / F.lit(1.0)
+    for k in range(2, radius + 1):
+        harmonic = harmonic + (
+            F.col(f"nf_{k}") - F.col(f"nf_{k-1}")
+        ) / F.lit(float(k))
+    return balls.select(
+        "node", *ests, F.round(harmonic, 6).alias("harmonic_est")
+    )

@@ -287,3 +287,70 @@ def test_anchor_text_agg_window_is_per_dst(spark):
     plan = (anchor_text_agg(df)._jdf.queryExecution()
             .executedPlan().toString())
     assert "SinglePartition" not in plan
+
+
+def test_harmonic_centrality_path_graph(spark):
+    """a->b->c->d: H_3(a) = 1 + 1/2 + 1/3; self/cycle exclusion via a
+    back-edge d->a must not count a at any depth from a."""
+    from context_crawler_spark.operators.ranking import harmonic_centrality
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r for r in harmonic_centrality(df, radius=3).collect()}
+    a = got["a"]
+    assert (a["n_d1"], a["n_d2"], a["n_d3"]) == (1, 1, 1)
+    assert abs(a["harmonic"] - (1 + 0.5 + 1 / 3)) < 1e-6
+    # d reaches a(1), b(2), c(3) — the cycle closes but d itself is
+    # never re-counted from d
+    d = got["d"]
+    assert (d["n_d1"], d["n_d2"], d["n_d3"]) == (1, 1, 1)
+
+
+def test_harmonic_centrality_min_distance_wins(spark):
+    """Diamond a->b, a->c, b->d, c->d, a->d: d is at distance 1 from a
+    (direct edge), not 2 — MIN over paths."""
+    from context_crawler_spark.operators.ranking import harmonic_centrality
+
+    edges = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("a", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    a = {r["node"]: r for r in harmonic_centrality(df, radius=2).collect()}["a"]
+    assert (a["n_d1"], a["n_d2"]) == (3, 0)
+    assert abs(a["harmonic"] - 3.0) < 1e-9
+
+
+def test_hyperball_tracks_exact_on_small_graph(spark):
+    """HyperBall estimates vs the exact operator on a 60-node ring with
+    chords: at lg_k=12 and ball sizes ≤ 60 the HLL sketches are in the
+    sparse exact regime, so estimates match the exact counts closely."""
+    from context_crawler_spark.operators.ranking import (
+        harmonic_centrality, hyperball,
+    )
+
+    n = 60
+    edges = [(i, (i + 1) % n) for i in range(n)] + [
+        (i, (i + 7) % n) for i in range(0, n, 3)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    exact = {r["node"]: r for r in harmonic_centrality(df, radius=3).collect()}
+    est = {r["node"]: r for r in hyperball(df, radius=3, lg_k=12).collect()}
+    assert set(exact) == set(est)
+    for node, e in exact.items():
+        h = est[node]
+        # cumulative ball sizes vs cumulative exact counts
+        for k in (1, 2, 3):
+            exact_ball = sum(e[f"n_d{j}"] for j in range(1, k + 1))
+            assert abs(h[f"nf_{k}"] - exact_ball) <= max(1.0, 0.05 * exact_ball)
+        assert abs(h["harmonic_est"] - e["harmonic"]) <= max(
+            0.5, 0.1 * e["harmonic"]
+        )
+
+
+def test_hyperball_plan_has_no_python(spark):
+    """The HyperBall loop is pure JVM sketch aggregation — no Python
+    workers in the physical plan."""
+    from context_crawler_spark.operators.ranking import hyperball
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    plan = (hyperball(df, radius=2)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Python" not in plan and "BatchEvalPython" not in plan
