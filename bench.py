@@ -64,6 +64,10 @@ HEADLINE = [
     "cdx_index",
     "url_filter",
     "dsir_weights",
+    "c4_clean",
+    "c4_span_dedup",
+    "harmonic_centrality",
+    "hyperball",
 ]
 
 
@@ -277,21 +281,26 @@ def main() -> None:
     r4b_added = {"decontaminate", "pii_redact", "paragraph_dedup",
                  "stratified_sample", "hybrid_search", "pack_sequences",
                  "cdx_index", "url_filter", "dsir_weights"}
+    # final r4 session: C4 cleaning pair + host-graph centrality
+    r4c_added = {"c4_clean", "c4_span_dedup", "harmonic_centrality",
+                 "hyperball"}
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "r1_comparable_total": round(
             sum(v for k, v in queries.items()
-                if k not in r2_added | r3_added | r4_added | r4b_added), 3),
+                if k not in r2_added | r3_added | r4_added | r4b_added
+                | r4c_added), 3),
         "r2_comparable_total": round(
             sum(v for k, v in queries.items()
-                if k not in r3_added | r4_added | r4b_added), 3),
+                if k not in r3_added | r4_added | r4b_added | r4c_added), 3),
         "r3_comparable_total": round(
             sum(v for k, v in queries.items()
-                if k not in r4_added | r4b_added), 3),
+                if k not in r4_added | r4b_added | r4c_added), 3),
         "r4_comparable_total": round(
-            sum(v for k, v in queries.items() if k not in r4b_added), 3),
+            sum(v for k, v in queries.items()
+                if k not in r4b_added | r4c_added), 3),
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
