@@ -69,6 +69,13 @@ def main() -> None:
     ap.add_argument("--dsir-target", default=None,
                     help="parquet of in-domain target docs: keep rows whose "
                          "DSIR importance weight is positive")
+    ap.add_argument("--c4", action="store_true",
+                    help="apply C4 line rules + page gates (Raffel et al. "
+                         "2020 §2.2) before the Gopher gate; pages need "
+                         "real line structure — punctuation-free corpora "
+                         "(e.g. --demo) drop entirely")
+    ap.add_argument("--badwords", default=None,
+                    help="comma-separated page-drop word list for --c4")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
 
@@ -104,6 +111,17 @@ def main() -> None:
             .drop("host", "domain_blocked", "word_score", "keep")
         )
         stats["after_url_filter"] = docs.count()
+
+    # 0b. C4 cleaning (line rules + page gates): the other canonical web
+    # gate, zero shuffle; rewrites text to the surviving lines
+    if args.c4:
+        from context_crawler_spark.operators.c4 import c4_line_clean
+
+        docs = c4_line_clean(
+            docs,
+            badwords=args.badwords.split(",") if args.badwords else None,
+        )
+        stats["after_c4"] = docs.count()
 
     # 1. Gopher quality gate — content rules only (the stop-word/line
     # rules need real prose; flags are all computed, callers can tighten)
