@@ -1738,6 +1738,20 @@ def q_harmonic_centrality(spark, sf_dir):
     return harmonic_centrality(_host_graph(spark, sf_dir), radius=3)
 
 
+def q_mixture_plan(spark, sf_dir):
+    """Training-mixture assembly (Pile/Dolma data-mixture stage): integer
+    weight (srcN -> N%4+1, Σw=50 over the 20 sources), 6000-token budget,
+    docs taken whole in doc_id order per source. The scan is the
+    distributed two-phase prefix sum — never a per-source window. The
+    oracle replays the integer budget arithmetic and the within-source
+    cumulative exactly."""
+    from context_crawler_spark.operators.curation import mixture_plan
+
+    d = _t(spark, sf_dir, "documents")
+    weights = {f"src{i}": (i % 4) + 1 for i in range(20)}
+    return mixture_plan(d, weights, total_tokens=6000)
+
+
 def q_hyperball(spark, sf_dir):
     """HyperBall (Boldi & Vigna 2013): HLL-sketch neighborhood functions
     — the 10^10-node estimator for which q_harmonic_centrality is the
@@ -1802,6 +1816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,
         "c4_span_dedup": q_c4_span_dedup,
         "harmonic_centrality": q_harmonic_centrality,
+        "mixture_plan": q_mixture_plan,
         "hyperball": q_hyperball,
         "byte_budget": q_byte_budget,
         "url_slug": q_url_slug,
@@ -2282,6 +2297,30 @@ def oracle_sql() -> dict[str, str]:
                 AS c4_keep,
               md5(clean_text) AS clean_md5
             FROM s
+        """,
+        "mixture_plan": r"""
+            WITH base AS (
+              SELECT doc_id, source,
+                     CAST(len(string_split_regex(trim(text), '\s+'))
+                       AS BIGINT) AS n_tokens
+              FROM documents
+            ), cum AS (
+              SELECT *, COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS cum_before
+              FROM base
+            ), wt AS (
+              SELECT *,
+                ((CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) % 4)
+                 + 1) * 6000 // 50 AS budget
+              FROM cum
+            )
+            SELECT doc_id, source, n_tokens,
+                   CAST(cum_before AS BIGINT) AS cum_before,
+                   CAST(budget AS BIGINT) AS budget,
+                   (cum_before + n_tokens <= budget) AS selected
+            FROM wt
         """,
         "harmonic_centrality": """
             WITH RECURSIVE e AS (

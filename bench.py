@@ -68,6 +68,7 @@ HEADLINE = [
     "c4_span_dedup",
     "harmonic_centrality",
     "hyperball",
+    "mixture_plan",
 ]
 
 
@@ -283,7 +284,7 @@ def main() -> None:
                  "cdx_index", "url_filter", "dsir_weights"}
     # final r4 session: C4 cleaning pair + host-graph centrality
     r4c_added = {"c4_clean", "c4_span_dedup", "harmonic_centrality",
-                 "hyperball"}
+                 "hyperball", "mixture_plan"}
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(queries.values()), 3),

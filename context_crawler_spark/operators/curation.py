@@ -506,3 +506,83 @@ def domain_prior(
         F.col("host_prior").isNull()
         | (F.col("host_prior") >= keep_threshold),
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    weights: dict[str, int],
+    total_tokens: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-mixture assembly (the Pile / Dolma "data mixture" stage):
+    split a token budget across sources by relative weight, then take each
+    source's documents in deterministic ``id_col`` order until its share
+    fills. A document is selected only if it fits ENTIRELY within its
+    source's remaining budget (no mid-document cuts — sequence packing
+    handles intra-doc layout downstream).
+
+    ``weights`` are relative INTEGER parts (how mixes are configured in
+    practice), so each source's budget is exact integer arithmetic —
+    ``total_tokens * w // Σw`` — and bit-identical in the SQL oracle.
+    Sources absent from ``weights`` get budget 0.
+
+    Plan shape at 100 TB: ONE distributed prefix scan ordered by
+    ``(source, id)`` (ordering.with_running_sum — range-sort + per-
+    partition offsets, parallelism scales with the cluster), NEVER a
+    per-source window: ``Window.partitionBy(source)`` would funnel each
+    source — and a 90%-weight source is the common case — through one
+    task. Per-source start offsets come from a metadata-sized agg
+    (≤ #sources rows) collected and re-injected as a plan-time literal
+    map, so the corpus-sized side is touched exactly twice (totals agg +
+    scan), shuffled once.
+
+    Returns one row per doc: ``n_tokens``, ``cum_before`` (tokens of
+    earlier same-source docs), ``budget`` (the source's share), and
+    ``selected``.
+    """
+    from .ordering import with_running_sum
+
+    wsum = sum(int(w) for w in weights.values())
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive integer")
+    budgets = {s: (int(total_tokens) * int(w)) // wsum
+               for s, w in weights.items()}
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("source"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        .cast("long").alias("n_tokens"),
+    )
+    totals = {
+        r["source"]: int(r["t"] or 0)
+        for r in base.groupBy("source")
+        .agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    starts: dict[str, int] = {}
+    acc = 0
+    for s in sorted(totals):  # lexicographic == the scan's string order
+        starts[s] = acc
+        acc += totals[s]
+
+    scanned = with_running_sum(
+        base, [F.col("source"), F.col("id")], "n_tokens", "__g_before"
+    )
+    start_map = F.create_map(
+        *[F.lit(x) for s in sorted(starts) for x in (s, starts[s])]
+    )
+    budget_map = F.create_map(
+        *[F.lit(x) for s in sorted(budgets) for x in (s, int(budgets[s]))]
+    )
+    cum_before = (F.col("__g_before") - start_map[F.col("source")]).cast("long")
+    budget = F.coalesce(budget_map[F.col("source")], F.lit(0)).cast("long")
+    return scanned.select(
+        F.col("id").alias(id_col),
+        "source",
+        "n_tokens",
+        cum_before.alias("cum_before"),
+        budget.alias("budget"),
+        (cum_before + F.col("n_tokens") <= budget).alias("selected"),
+    )

@@ -316,3 +316,56 @@ def test_domain_prior_semantics_and_broadcast(spark):
     assert got[20]["host_docs"] == 1
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_mixture_plan_budget_cut(spark):
+    """Two sources, weights 3:1, budget 40 -> budgets 30/10; docs taken
+    whole in id order until the next doesn't fit."""
+    from context_crawler_spark.operators.curation import mixture_plan
+
+    rows = [
+        (1, "a", "w " * 12),   # a: 12 tokens, cum_before 0  -> fits (<=30)
+        (2, "a", "w " * 12),   # cum 12 -> 24 <= 30 fits
+        (3, "a", "w " * 12),   # cum 24 -> 36 > 30 dropped
+        (4, "b", "w " * 8),    # b: 8 <= 10 fits
+        (5, "b", "w " * 8),    # cum 8 -> 16 > 10 dropped
+    ]
+    df = spark.createDataFrame(
+        [(i, s, t.strip()) for i, s, t in rows],
+        "doc_id long, source string, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           mixture_plan(df, {"a": 3, "b": 1}, total_tokens=40).collect()}
+    assert [got[i]["selected"] for i in (1, 2, 3, 4, 5)] == [
+        True, True, False, True, False]
+    assert got[3]["cum_before"] == 24 and got[3]["budget"] == 30
+    assert got[5]["cum_before"] == 8 and got[5]["budget"] == 10
+
+
+def test_mixture_plan_unlisted_source_and_surplus(spark):
+    """A source missing from weights gets budget 0 (nothing selected); a
+    budget above the source's total selects everything."""
+    from context_crawler_spark.operators.curation import mixture_plan
+
+    df = spark.createDataFrame(
+        [(1, "a", "x y z"), (2, "zz", "x y")],
+        "doc_id long, source string, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           mixture_plan(df, {"a": 1}, total_tokens=1000).collect()}
+    assert got[1]["selected"] and got[1]["budget"] == 1000
+    assert not got[2]["selected"] and got[2]["budget"] == 0
+
+
+def test_mixture_plan_no_per_source_single_partition_window(spark):
+    """The scan is the distributed prefix sum — the executed plan must not
+    contain a single-partition window."""
+    from context_crawler_spark.operators.curation import mixture_plan
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")],
+        "doc_id long, source string, text string",
+    )
+    plan = (mixture_plan(df, {"a": 1, "b": 1}, 10)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "SinglePartition" not in plan
