@@ -256,6 +256,15 @@ def main() -> None:
     # loaded run distinguishable from a regression in the artifact itself)
     load_start = [round(x, 2) for x in os.getloadavg()]
     _warmup(spark)
+    # build-or-load the IVF index BEFORE timing: index construction is the
+    # offline build step (VERDICT r2 #1 — the query path loads, never
+    # trains); on a fresh /tmp the first q_ann_ivf_topk would otherwise be
+    # charged a one-time ~25 s training cost that is not query work. The
+    # cost is still recorded (ivf_build_or_load_sec) rather than hidden.
+    import __spark_entry__ as entrymod
+    t0 = time.time()
+    entrymod._ivf_index(spark, sf_dir)
+    ivf_build_s = round(time.time() - t0, 3)
     # the north-star frontier metrics run FIRST, on a fresh session: when
     # they ran last (r3/early-r4 layout) they inherited a JVM degraded by
     # 33 queries + the 50-query recall sweep (GC debt, dozens of stale
@@ -306,6 +315,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
         "frontier": {**frontier, **extract},
+        "ivf_build_or_load_sec": ivf_build_s,
         "ann_recall_at_10": ann_recall,
         "loadavg": {"start": load_start, "after_frontier": load_mid,
                     "end": load_end},
