@@ -1763,6 +1763,87 @@ def q_hyperball(spark, sf_dir):
     return hyperball(_host_graph(spark, sf_dir), radius=3, lg_k=12)
 
 
+def q_shuffle_shard(spark, sf_dir):
+    """Deterministic training-order shuffle + contiguous sharding
+    (curation.shuffle_shard): order by md5(seed:id) via the distributed
+    two-phase scan (never a single-partition row_number), shard = pos *
+    n_shards // total. The oracle replays the permutation with a window
+    row_number over the same key."""
+    from context_crawler_spark.operators.curation import shuffle_shard
+
+    d = _t(spark, sf_dir, "documents")
+    out = shuffle_shard(d, seed="epoch0", n_shards=16)
+    return out.select("doc_id", "shuffle_key", "pos", "shard")
+
+
+def q_classifier_filter(spark, sf_dir):
+    """Model-based quality gate (curation.classifier_score — the DCLM /
+    FineWeb-Edu linear-classifier stage): hashed bag-of-words, integer
+    weight-table fold, sigmoid at threshold 0.5. Zero shuffle, zero
+    Python; the oracle replays the md5-bucket hash and the integer fold
+    with list_transform/list_sum."""
+    from context_crawler_spark.operators.curation import classifier_score
+
+    return classifier_score(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_normalize_text(spark, sf_dir):
+    """Unicode NFC + control-strip + whitespace-collapse normalization
+    (curation.normalize_text — the CCNet/Dolma pre-hash cleaning pass).
+    Input is mutated with a decomposed accent, a BEL control char, a tab
+    and space runs so every step observably fires; the oracle replays via
+    DuckDB's nfc_normalize + the identical RE2-subset patterns."""
+    from context_crawler_spark.operators.curation import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    suffix = "  x\te\u0301\x07  "  # tab, combining acute, BEL, space runs
+    mutated = d.select(
+        "doc_id", F.concat(F.col("text"), F.lit(suffix)).alias("text")
+    )
+    return normalize_text(mutated)
+
+
+def q_change_rate(spark, sf_dir):
+    """Adaptive recrawl-interval estimation (sources/cdx.py
+    estimate_change_rate — Cho & Garcia-Molina, ACM TOIT 2003): per-URL
+    Poisson change rate from CDX capture history, revisit interval =
+    1/lambda clamped to [1h, 90d]. History synthesized per doc: doc_id%5+1
+    captures spaced (1+doc_id%7) hours, digest flips every (1+doc_id%3)
+    captures. The oracle replays the lag/groupBy and the bias-reduced
+    estimator with ln()."""
+    from context_crawler_spark.sources.cdx import estimate_change_rate
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    caps = d.select(
+        F.concat(F.lit("test,site)/p"), F.col("doc_id").cast("string"))
+        .alias("surt_key"),
+        F.col("doc_id"),
+        F.col("text"),
+        F.explode(F.sequence(F.lit(0), (F.col("doc_id") % 5).cast("int")))
+        .alias("r"),
+    ).select(
+        "surt_key",
+        F.timestamp_seconds(
+            F.lit(1700000000)
+            + F.col("doc_id")
+            + F.col("r") * (F.lit(3600) * (1 + F.col("doc_id") % 7))
+        ).alias("ts"),
+        F.md5(
+            F.concat(
+                F.col("text"),
+                F.floor(F.col("r") / (1 + F.col("doc_id") % 3))
+                .cast("string"),
+            )
+        ).alias("digest"),
+    )
+    out = estimate_change_rate(caps)
+    return out.select(
+        "surt_key", "n_captures", "n_changes", "span_sec",
+        "lambda_per_sec", "revisit_sec",
+        F.unix_timestamp("next_fetch_ts").alias("next_fetch_epoch"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1818,6 +1899,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality": q_harmonic_centrality,
         "mixture_plan": q_mixture_plan,
         "hyperball": q_hyperball,
+        "shuffle_shard": q_shuffle_shard,
+        "classifier_filter": q_classifier_filter,
+        "normalize_text": q_normalize_text,
+        "change_rate": q_change_rate,
         "byte_budget": q_byte_budget,
         "url_slug": q_url_slug,
         "token_totals": q_token_totals,
@@ -2321,6 +2406,127 @@ def oracle_sql() -> dict[str, str]:
                    CAST(budget AS BIGINT) AS budget,
                    (cum_before + n_tokens <= budget) AS selected
             FROM wt
+        """,
+        "shuffle_shard": r"""
+            WITH keyed AS (
+              SELECT doc_id,
+                     md5('epoch0:' || CAST(doc_id AS VARCHAR))
+                       AS shuffle_key
+              FROM documents
+            ), laid AS (
+              SELECT doc_id, shuffle_key,
+                     ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1
+                       AS pos,
+                     COUNT(*) OVER () AS total
+              FROM keyed
+            )
+            SELECT doc_id, shuffle_key, CAST(pos AS BIGINT) AS pos,
+                   CAST(pos * 16 // total AS BIGINT) AS shard
+            FROM laid
+        """,
+        "classifier_filter": r"""
+            WITH w AS (
+              SELECT doc_id,
+                list_filter(
+                  string_split_regex(lower(trim(text)), '[^a-z0-9'']+'),
+                  x -> x <> '') AS words
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                CAST(len(words) AS INTEGER) AS n_words,
+                CAST(list_sum(list_transform(words, x ->
+                  (((strpos('0123456789abcdef', substr(md5(x), 1, 1)) - 1)
+                    * 16
+                    + strpos('0123456789abcdef', substr(md5(x), 2, 1)) - 1)
+                   * 2654435761) % 1001)) AS BIGINT) AS wsum
+              FROM w
+            ), m AS (
+              SELECT doc_id, n_words,
+                ROUND(CAST(wsum AS DOUBLE) / (500.0 * n_words) - 1.0, 6)
+                  AS mean_weight
+              FROM s
+            )
+            SELECT doc_id, n_words,
+                   CASE WHEN n_words > 0 THEN mean_weight END
+                     AS mean_weight,
+                   CASE WHEN n_words > 0
+                     THEN ROUND(1.0 / (1.0 + EXP(-mean_weight)), 6) END
+                     AS score,
+                   COALESCE(CASE WHEN n_words > 0
+                     THEN ROUND(1.0 / (1.0 + EXP(-mean_weight)), 6) >= 0.5
+                     END, FALSE) AS keep
+            FROM m
+        """,
+        "normalize_text": r"""
+            WITH mutated AS (
+              SELECT doc_id,
+                text || '  x' || chr(9) || 'e' || chr(769) || chr(7)
+                     || '  ' AS t
+              FROM documents
+            ), n AS (
+              SELECT doc_id, t,
+                trim(regexp_replace(regexp_replace(regexp_replace(
+                  nfc_normalize(t),
+                  '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                  '\n{3,}', chr(10) || chr(10), 'g'),
+                  '[ \t]+', ' ', 'g')) AS tn
+              FROM mutated
+            )
+            SELECT doc_id, tn AS text_norm, tn <> t AS changed,
+                   CAST(length(t) AS INTEGER) AS n_chars_before,
+                   CAST(length(tn) AS INTEGER) AS n_chars_after
+            FROM n
+        """,
+        "change_rate": r"""
+            WITH caps AS (
+              SELECT 'test,site)/p' || CAST(doc_id AS VARCHAR) AS surt_key,
+                     to_timestamp(1700000000 + doc_id
+                       + r * (3600 * (1 + doc_id % 7))) AS ts,
+                     md5(text || CAST((r // (1 + doc_id % 3)) AS VARCHAR))
+                       AS digest
+              FROM documents, range(0, 5) AS t(r)
+              WHERE doc_id < 400 AND r <= doc_id % 5
+            ), lagd AS (
+              SELECT surt_key, ts, digest,
+                     LAG(digest) OVER (PARTITION BY surt_key ORDER BY ts)
+                       AS pd
+              FROM caps
+            ), g AS (
+              SELECT surt_key,
+                     COUNT(*) AS n_captures,
+                     SUM(CASE WHEN pd IS NOT NULL AND digest <> pd
+                         THEN 1 ELSE 0 END) AS n_changes,
+                     CAST(epoch(MAX(ts)) - epoch(MIN(ts)) AS BIGINT)
+                       AS span_sec,
+                     MAX(ts) AS last_capture
+              FROM lagd GROUP BY surt_key
+            ), est AS (
+              SELECT *,
+                ROUND(-ln((CAST(n_captures AS DOUBLE)
+                           - CAST(n_changes AS DOUBLE) - 0.5)
+                          / (CAST(n_captures AS DOUBLE) - 0.5))
+                      / (CAST(span_sec AS DOUBLE)
+                         / (CAST(n_captures AS DOUBLE) - 1.0)), 9)
+                  + 0.0 AS lam,  -- X=0 gives -0.0 here; Spark emits +0.0
+                (n_captures >= 2 AND span_sec > 0) AS est_ok
+              FROM g
+            ), iv AS (
+              SELECT *,
+                CAST(CASE WHEN est_ok AND lam > 0
+                     THEN LEAST(GREATEST(CAST(ROUND(1.0 / lam) AS BIGINT),
+                                         3600), 7776000)
+                     ELSE 7776000 END AS BIGINT) AS revisit_sec
+              FROM est
+            )
+            SELECT surt_key,
+                   CAST(n_captures AS BIGINT) AS n_captures,
+                   CAST(n_changes AS BIGINT) AS n_changes,
+                   span_sec,
+                   CASE WHEN est_ok THEN lam END AS lambda_per_sec,
+                   revisit_sec,
+                   CAST(epoch(last_capture) AS BIGINT) + revisit_sec
+                     AS next_fetch_epoch
+            FROM iv
         """,
         "harmonic_centrality": """
             WITH RECURSIVE e AS (

@@ -69,6 +69,10 @@ HEADLINE = [
     "harmonic_centrality",
     "hyperball",
     "mixture_plan",
+    "shuffle_shard",
+    "classifier_filter",
+    "normalize_text",
+    "change_rate",
 ]
 
 
@@ -293,7 +297,8 @@ def main() -> None:
                  "cdx_index", "url_filter", "dsir_weights"}
     # final r4 session: C4 cleaning pair + host-graph centrality
     r4c_added = {"c4_clean", "c4_span_dedup", "harmonic_centrality",
-                 "hyperball", "mixture_plan"}
+                 "hyperball", "mixture_plan", "shuffle_shard",
+                 "classifier_filter", "normalize_text", "change_rate"}
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(queries.values()), 3),

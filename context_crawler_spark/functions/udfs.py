@@ -265,3 +265,14 @@ def embed_udf(text: pd.Series) -> pd.Series:
     _, encode = resolve_encoder()
     vecs = encode(text.fillna("").tolist())
     return pd.Series([v.tolist() for v in vecs])
+
+
+@F.pandas_udf(StringType())
+def nfc_normalize_udf(texts: pd.Series) -> pd.Series:
+    """Unicode NFC normalization, Arrow-batched (vectorized
+    ``Series.str.normalize`` — the whole batch normalizes in C, one
+    JVM<->Python crossing per batch). Spark SQL has no normalization
+    built-in; this is the documented slow-path exception. The DuckDB
+    oracle replays it with ``nfc_normalize()`` — both implement
+    Unicode TR#15 canonical composition, so outputs are byte-identical."""
+    return texts.fillna("").str.normalize("NFC")

@@ -586,3 +586,155 @@ def mixture_plan(
         budget.alias("budget"),
         (cum_before + F.col("n_tokens") <= budget).alias("selected"),
     )
+
+
+def shuffle_shard(
+    df: DataFrame,
+    seed: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order shuffle + contiguous sharding.
+
+    Training pipelines need the corpus in a SHUFFLED but REPRODUCIBLE
+    order (T5 / GPT-3 data loaders shuffle once at preparation time, and
+    every rerun — retry, resume, different cluster size — must yield the
+    same order or experiments aren't comparable). ``df.orderBy(rand())``
+    fails that; this is the standard keyed shuffle: order by
+    ``md5(seed:id)``, which is uniform, so the induced permutation is
+    pseudorandom yet a pure function of (seed, data).
+
+    The global position comes from the distributed two-phase scan
+    (``ordering.with_global_seq``): range-partition on the hash key, one
+    metadata-sized per-partition count to the driver, then a narrow
+    JVM-side stamp — NEVER a single-partition ``row_number() OVER ()``,
+    so a 10^10-doc corpus is laid out at full parallelism. Shards are
+    contiguous position chunks, ``shard = pos * n_shards // total``:
+    balanced to ±1 row by construction with zero extra shuffle (the
+    range layout already clusters positions), unlike ``pmod(hash)``
+    sharding which needs a second exchange to make shards contiguous
+    files. Reference parity: the reference has no trainer-facing layout
+    step (its dataset sink stops at insertion order, src/core.ts:341);
+    this is downstream-pipeline surface the brief asks for.
+    """
+    from .ordering import with_global_seq
+
+    key = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    counts: dict = {}
+    laid = with_global_seq(
+        df.withColumn("shuffle_key", key),
+        [F.col("shuffle_key"), F.col(id_col)],
+        seq_col="pos",
+        counts_out=counts,
+    )
+    total = int(counts.get("total", 0))
+    if total == 0:
+        return laid.withColumn("shard", F.lit(0))
+    # exact integer math, replayable in ANSI SQL: pos*n < 2^63 for any
+    # corpus below ~5*10^17 docs
+    return laid.withColumn(
+        "shard", (F.col("pos") * n_shards / F.lit(total)).cast("long")
+    )
+
+
+# fasttext-style hashed-linear quality classifier ---------------------------
+#
+# DCLM (Li et al. 2024) and FineWeb-Edu (Penedo et al. 2024) both gate the
+# corpus with a cheap linear text classifier: hash each token into a fixed
+# bucket space, average the bucket weights, squash. The MODEL here is a
+# deterministic hash-derived weight table (a stand-in — real deployments
+# drop in trained weights as a plan-time array literal, same plan shape);
+# the PLAN is the real thing: tokenize -> hash -> lookup -> mean -> sigmoid
+# as pure JVM higher-order expressions, zero Python, zero shuffle.
+
+CLASSIFIER_BUCKETS = 256
+_HEX = "0123456789abcdef"
+
+
+def _bucket_expr(word):
+    """Bucket id 0..255 from the first two md5 hex digits of the word —
+    pure instr/substr arithmetic so the DuckDB oracle replays it
+    byte-for-byte (no hex->int cast portability trap)."""
+    h = F.md5(word)
+    d1 = F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1
+    d2 = F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
+    return d1 * 16 + d2
+
+
+def classifier_score(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Model-based quality gate (DCLM / FineWeb-Edu stage): per document,
+    hashed-bag-of-words linear score ``sigmoid(mean_w weight[bucket(w)])``
+    and a keep flag at ``threshold``.
+
+    weight[b] = ((b*2654435761) mod 1001)/500 - 1  — a fixed pseudo-random
+    table in [-1, 1] (Knuth multiplicative constant), integer-exact in any
+    engine; swapping in trained weights is a one-literal change. The fold
+    accumulates the INTEGER table values (order-independent, exact in any
+    engine) and converts to float in one final expression; mean and score
+    are rounded to 6 dp before comparison/output so a last-ulp ``exp``
+    difference can't flip the hash or the keep decision.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"[^a-z0-9']+")
+    df = df.withColumn(
+        "__words", F.filter(words, lambda w: w != F.lit(""))
+    )
+    wsum = F.aggregate(
+        F.col("__words"),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + (_bucket_expr(w) * F.lit(2654435761)) % 1001,
+    )
+    n = F.size("__words")
+    mean = F.round(wsum.cast("double") / (500.0 * n) - 1.0, 6)
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-mean)), 6)
+    return df.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        F.when(n > 0, mean).alias("mean_weight"),
+        F.when(n > 0, score).alias("score"),
+        F.coalesce(F.when(n > 0, score >= threshold), F.lit(False)).alias(
+            "keep"
+        ),
+    )
+
+
+def normalize_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unicode + whitespace normalization — the cleaning pass CCNet/Dolma
+    run before any hashing or dedup, because 'café' composed and 'café'
+    with a combining accent are different byte strings to every
+    fingerprint downstream.
+
+    Steps (order matters, each a pure projection — zero shuffle):
+      1. NFC composition (Arrow-batched pandas UDF — Spark has no JVM
+         normalizer built-in; one Python crossing per batch, vectorized);
+      2. strip C0/DEL control chars except \\n and \\t (JVM regex);
+      3. collapse 3+ newlines to a paragraph break, runs of spaces/tabs
+         to one space; trim.
+
+    Patterns use the Java-regex/RE2 common subset so the DuckDB oracle
+    runs the identical strings (with its 'g' flag).
+    """
+    from ..functions.udfs import nfc_normalize_udf
+
+    nfc = nfc_normalize_udf(F.col(text_col))
+    cleaned = F.regexp_replace(
+        nfc, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", ""
+    )
+    cleaned = F.regexp_replace(cleaned, "\\n{3,}", "\n\n")
+    cleaned = F.regexp_replace(cleaned, "[ \\t]+", " ")
+    cleaned = F.trim(cleaned)
+    return df.select(
+        F.col(id_col),
+        cleaned.alias("text_norm"),
+        (cleaned != F.col(text_col)).alias("changed"),
+        F.length(text_col).alias("n_chars_before"),
+        F.length(cleaned).alias("n_chars_after"),
+    )
