@@ -1800,7 +1800,9 @@ def q_normalize_text(spark, sf_dir):
     mutated = d.select(
         "doc_id", F.concat(F.col("text"), F.lit(suffix)).alias("text")
     )
-    return normalize_text(mutated)
+    return normalize_text(mutated).select(
+        "doc_id", "text_norm", "changed", "n_chars_before", "n_chars_after"
+    )
 
 
 def q_change_rate(spark, sf_dir):

@@ -732,7 +732,7 @@ def normalize_text(
     cleaned = F.regexp_replace(cleaned, "[ \\t]+", " ")
     cleaned = F.trim(cleaned)
     return df.select(
-        F.col(id_col),
+        "*",
         cleaned.alias("text_norm"),
         (cleaned != F.col(text_col)).alias("changed"),
         F.length(text_col).alias("n_chars_before"),

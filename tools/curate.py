@@ -76,6 +76,20 @@ def main() -> None:
                          "(e.g. --demo) drop entirely")
     ap.add_argument("--badwords", default=None,
                     help="comma-separated page-drop word list for --c4")
+    ap.add_argument("--normalize", action="store_true",
+                    help="NFC + control-strip + whitespace-collapse the "
+                         "text BEFORE any hashing/dedup (CCNet/Dolma "
+                         "pre-hash cleaning)")
+    ap.add_argument("--classifier-threshold", type=float, default=None,
+                    help="keep only docs whose hashed-linear classifier "
+                         "score (DCLM/FineWeb-Edu-style gate) is >= this")
+    ap.add_argument("--shuffle-shards", type=int, default=0,
+                    help="final layout: deterministic training-order "
+                         "shuffle, write partitioned into this many "
+                         "contiguous shards")
+    ap.add_argument("--shuffle-seed", default="epoch0",
+                    help="seed for --shuffle-shards (new seed = new "
+                         "reproducible permutation)")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
 
@@ -111,6 +125,19 @@ def main() -> None:
             .drop("host", "domain_blocked", "word_score", "keep")
         )
         stats["after_url_filter"] = docs.count()
+
+    # 0a. Unicode + whitespace normalization — FIRST text-touching stage:
+    # every hash downstream (exact dedup, paragraph blocks, minhash) must
+    # see composed, control-free bytes or equal documents won't collide
+    if args.normalize:
+        from context_crawler_spark.operators.curation import normalize_text
+
+        docs = (
+            normalize_text(docs)  # pure projection — zero shuffle
+            .withColumn("text", F.col("text_norm"))
+            .drop("text_norm", "changed", "n_chars_before", "n_chars_after")
+        )
+        stats["after_normalize"] = docs.count()
 
     # 0b. C4 cleaning (line rules + page gates): the other canonical web
     # gate, zero shuffle; rewrites text to the surviving lines
@@ -174,6 +201,18 @@ def main() -> None:
         )
         stats["after_dsir"] = deduped.count()
 
+    # 5c. model-based quality gate (DCLM/FineWeb-Edu stage): hashed-linear
+    # classifier score, zero shuffle (stand-in weight table — trained
+    # weights drop in as a literal)
+    if args.classifier_threshold is not None:
+        from context_crawler_spark.operators.curation import classifier_score
+
+        keep = classifier_score(
+            deduped, threshold=args.classifier_threshold
+        ).filter(F.col("keep")).select("doc_id")
+        deduped = deduped.join(keep, "doc_id")
+        stats["after_classifier"] = deduped.count()
+
     # 6. stratified sampling
     if args.sample:
         deduped = stratified_sample(deduped, parse_rates(args.sample)).drop(
@@ -181,8 +220,23 @@ def main() -> None:
         )
         stats["after_sample"] = deduped.count()
 
+    # 6b. final trainer layout: deterministic shuffle + contiguous shards
+    # (reproducible across reruns; one range exchange, shard = position
+    # chunk so partitionBy writes one file group per shard)
+    if args.shuffle_shards:
+        from context_crawler_spark.operators.curation import shuffle_shard
+
+        deduped = shuffle_shard(
+            deduped, seed=args.shuffle_seed, n_shards=args.shuffle_shards
+        ).drop("shuffle_key")
+        stats["shuffle_shards"] = args.shuffle_shards
+
     if args.output:
-        deduped.write.mode("overwrite").parquet(args.output)
+        w = deduped.write.mode("overwrite")
+        if args.shuffle_shards:
+            w = deduped.sortWithinPartitions("pos").write.mode(
+                "overwrite").partitionBy("shard")
+        w.parquet(args.output)
         stats["output"] = args.output
     stats["final"] = deduped.count()
 
