@@ -1846,6 +1846,90 @@ def q_change_rate(spark, sf_dir):
     )
 
 
+def q_justext(spark, sf_dir):
+    """jusText boilerplate block classification (operators/boilerplate.py
+    — Pomikálek 2011 ch. 4): per-block features → context-free class →
+    decided-neighbor context pass, all within-row HOFs. Blocks
+    synthesized as 15-word chunks of each document; every 5th block gets
+    10 anchor words (exercising the link-density BAD rule); thresholds
+    tuned to the corpus's ~0-20% stopword densities so all four classes
+    and both context transitions occur. The oracle replays the features
+    with list functions and the neighbor scans with IGNORE-NULLS
+    windows."""
+    from context_crawler_spark.operators.boilerplate import justext_classify
+
+    d = _t(spark, sf_dir, "documents")
+    # words materialized as a COLUMN first (CollapseProject rule a,
+    # quality_filter.py gopher_repetition docstring): the raw split()
+    # inside the slice lambda would re-split per block index
+    d = d.select("doc_id", F.split(F.col("text"), " ").alias("__w"))
+    words = F.col("__w")
+    nb = F.floor((F.size(words) + 14) / 15).cast("int")
+    base = d.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), nb - 1),
+            lambda i: F.array_join(F.slice(words, i * 15 + 1, 15), " "),
+        ).alias("blocks"),
+        F.transform(
+            F.sequence(F.lit(0), nb - 1),
+            lambda i: F.when(i % 5 == 0, F.lit(10)).otherwise(F.lit(0)),
+        ).alias("linkw"),
+    )
+    out = justext_classify(
+        base, "blocks", link_words_col="linkw",
+        length_low=60, length_high=85,
+        stopwords_low_pct=6, stopwords_high_pct=13,
+    )
+    z = F.arrays_zip(
+        F.col("jt_words").alias("w"), F.col("jt_chars").alias("c"),
+        F.col("jt_stops").alias("s"), F.col("linkw").alias("l"),
+        F.col("jt_cf").alias("cf"), F.col("jt_class").alias("k"),
+    )
+    return out.select("doc_id", F.posexplode(z)).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("block_idx"),
+        F.col("col.w").cast("long").alias("n_words"),
+        F.col("col.c").cast("long").alias("n_chars_blk"),
+        F.col("col.s").cast("long").alias("stop_cnt"),
+        F.col("col.l").cast("long").alias("link_words"),
+        F.col("col.cf").cast("long").alias("cf_class"),
+        F.col("col.k").cast("long").alias("final_class"),
+    )
+
+
+def q_focused_priority(spark, sf_dir):
+    """Focused-crawl frontier scoring (ranking.focused_priority —
+    Chakrabarti et al. WWW 1999): anchor-text topic hits per link target,
+    zero-evidence edges filtered before the one dst shuffle, parent-page
+    relevance broadcast in. Link graph from events (src=user_id%200,
+    dst=event_id%97, anchor='<event_type> page <event_id%7>'); parent
+    hits = src_num%3."""
+    from context_crawler_spark.operators.ranking import focused_priority
+
+    e = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("p"), (F.col("user_id") % 200).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("p"), (F.col("event_id") % 97).cast("string"))
+        .alias("dst"),
+        F.concat(
+            F.col("event_type"), F.lit(" page "),
+            (F.col("event_id") % 7).cast("string"),
+        ).alias("anchor"),
+    )
+    parents = (
+        _t(spark, sf_dir, "events")
+        .select((F.col("user_id") % 200).alias("n")).distinct()
+        .select(
+            F.concat(F.lit("p"), F.col("n").cast("string")).alias("src"),
+            (F.col("n") % 3).cast("int").alias("hits"),
+        )
+    )
+    return focused_priority(
+        e, "click purchase checkout 3 5", parent_hits=parents
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1905,6 +1989,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_filter": q_classifier_filter,
         "normalize_text": q_normalize_text,
         "change_rate": q_change_rate,
+        "justext": q_justext,
+        "focused_priority": q_focused_priority,
         "byte_budget": q_byte_budget,
         "url_slug": q_url_slug,
         "token_totals": q_token_totals,
@@ -2529,6 +2615,116 @@ def oracle_sql() -> dict[str, str]:
                    CAST(epoch(last_capture) AS BIGINT) + revisit_sec
                      AS next_fetch_epoch
             FROM iv
+        """,
+        "justext": r"""
+            WITH docs AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), w -> w != '')
+                       AS words
+              FROM documents
+            ), idx AS (
+              -- range() as a table function can't see lateral columns;
+              -- the LIST form + unnest can
+              SELECT doc_id, words,
+                     unnest(range(0, CAST(ceil(len(words) / 15.0)
+                                          AS BIGINT))) AS i
+              FROM docs
+            ), blk AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS block_idx,
+                     array_to_string(words[i*15+1 : i*15+15], ' ') AS block,
+                     CASE WHEN i % 5 = 0 THEN 10 ELSE 0 END AS link_words
+              FROM idx
+            ), feat AS (
+              SELECT doc_id, block_idx, block, link_words,
+                     len(list_filter(string_split(trim(block), ' '),
+                                     w -> w != '')) AS n_words,
+                     length(trim(block)) AS n_chars_blk,
+                     len(list_filter(string_split(lower(trim(block)), ' '),
+                         w -> list_contains(
+                           ['the','a','an','and','or','of','to','in','is',
+                            'are','was','it','on','for','with','as','at',
+                            'by','be','this','that','from','but','not',
+                            'have','has'], w))) AS stop_cnt
+              FROM blk
+            ), cf AS (
+              SELECT doc_id, block_idx, n_words, n_chars_blk, stop_cnt,
+                     link_words,
+                     CASE
+                       WHEN link_words * 100 > n_words * 20 THEN 0
+                       WHEN contains(block, chr(169))
+                         OR contains(block, '&copy;') THEN 0
+                       WHEN n_words = 0 THEN 0
+                       WHEN n_chars_blk < 60 THEN 1
+                       WHEN stop_cnt * 100 >= n_words * 13 THEN
+                         CASE WHEN n_chars_blk > 85 THEN 3 ELSE 2 END
+                       WHEN stop_cnt * 100 >= n_words * 6 THEN 2
+                       ELSE 0
+                     END AS cf_class
+              FROM feat
+            ), ctx AS (
+              SELECT *,
+                COALESCE(LAST_VALUE(
+                    CASE WHEN cf_class IN (0,3) THEN cf_class END
+                    IGNORE NULLS) OVER (
+                  PARTITION BY doc_id ORDER BY block_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS prev_dec,
+                COALESCE(FIRST_VALUE(
+                    CASE WHEN cf_class IN (0,3) THEN cf_class END
+                    IGNORE NULLS) OVER (
+                  PARTITION BY doc_id ORDER BY block_idx
+                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+                  AS next_dec
+              FROM cf
+            )
+            SELECT doc_id, block_idx,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   CAST(n_chars_blk AS BIGINT) AS n_chars_blk,
+                   CAST(stop_cnt AS BIGINT) AS stop_cnt,
+                   CAST(link_words AS BIGINT) AS link_words,
+                   CAST(cf_class AS BIGINT) AS cf_class,
+                   CAST(CASE
+                     WHEN cf_class IN (0,3) THEN cf_class
+                     WHEN cf_class = 2 THEN
+                       CASE WHEN prev_dec = 3 OR next_dec = 3
+                            THEN 3 ELSE 0 END
+                     ELSE
+                       CASE WHEN prev_dec = 3 AND next_dec = 3
+                            THEN 3 ELSE 0 END
+                   END AS BIGINT) AS final_class
+            FROM ctx
+        """,
+        "focused_priority": r"""
+            WITH e AS (
+              SELECT 'p' || CAST(user_id % 200 AS VARCHAR) AS src,
+                     'p' || CAST(event_id % 97 AS VARCHAR) AS dst,
+                     event_type || ' page '
+                       || CAST(event_id % 7 AS VARCHAR) AS anchor
+              FROM events
+            ), parents AS (
+              SELECT DISTINCT 'p' || CAST(user_id % 200 AS VARCHAR) AS src,
+                     CAST((user_id % 200) % 3 AS BIGINT) AS hits
+              FROM events
+            ), per_edge AS (
+              SELECT e.dst,
+                     len(list_intersect(
+                       list_distinct(list_filter(
+                         string_split(lower(regexp_replace(
+                           e.anchor, '[^A-Za-z0-9]+', ' ', 'g')), ' '),
+                         w -> w != '')),
+                       ['3','5','checkout','click','purchase']))
+                       AS hits,
+                     COALESCE(p.hits, 0) AS ph
+              FROM e LEFT JOIN parents p USING (src)
+            )
+            SELECT dst,
+                   CAST(SUM(hits) AS BIGINT) AS anchor_hits,
+                   CAST(SUM(ph) AS BIGINT) AS src_hits,
+                   CAST(COUNT(*) AS BIGINT) AS n_links,
+                   CAST(2 * SUM(hits) + SUM(ph) AS BIGINT) AS priority
+            FROM per_edge
+            WHERE hits > 0 OR ph > 0
+            GROUP BY dst
         """,
         "harmonic_centrality": """
             WITH RECURSIVE e AS (

@@ -73,6 +73,8 @@ HEADLINE = [
     "classifier_filter",
     "normalize_text",
     "change_rate",
+    "justext",
+    "focused_priority",
 ]
 
 

@@ -467,3 +467,65 @@ def hyperball(
     return balls.select(
         "node", *ests, F.round(harmonic, 6).alias("harmonic_est")
     )
+
+
+def focused_priority(
+    edges: DataFrame,
+    topic: str,
+    parent_hits: DataFrame | None = None,
+    anchor_weight: int = 2,
+) -> DataFrame:
+    """Focused-crawl frontier prioritization (Chakrabarti, van den Berg &
+    Dom, WWW 1999 "Focused crawling: a new approach to topic-specific Web
+    resource discovery"): score each unvisited link TARGET by the topic
+    evidence around the links that point at it — the anchor text (the
+    strongest signal, weighted ``anchor_weight``) plus, optionally, the
+    relevance of the PAGES the links come from (``parent_hits``:
+    (src, hits) integer scores, e.g. topic-term counts over the parent's
+    extracted text). The result feeds the frontier's ``priority`` column,
+    turning the BFS scheduler into a best-first topical crawler — the
+    fourth priority source next to config priority, PageRank, and the
+    indegree blend (q:frontier_priority).
+
+    Plan shape: per-edge anchor hits are a JVM projection
+    (``array_intersect`` of the distinct anchor words with the topic
+    terms — integer counts, oracle-exact); edges with zero evidence are
+    FILTERED BEFORE the one dst-keyed shuffle, so the exchange carries
+    only topical edges (the bm25 postings-filter shape — on a 100 TB
+    link graph with a narrow topic that is orders of magnitude less than
+    the full edge set); ``parent_hits`` joins the filtered edges on src.
+    No window, no Python, no driver collect.
+
+    Returns (dst, anchor_hits, src_hits, n_links, priority) with
+    ``priority = anchor_weight*anchor_hits + src_hits``; ties are
+    resolved downstream by the frontier's deterministic (priority DESC,
+    seq) claim order.
+    """
+    terms = tokenize_query(topic)
+    if not terms:
+        raise ValueError("empty topic")
+    terms_lit = F.array(*[F.lit(t) for t in terms])
+    per_edge = edges.select(
+        "src", "dst",
+        F.size(F.array_intersect(
+            F.array_distinct(alnum_words("anchor")), terms_lit,
+        )).alias("__hits"),
+    )
+    if parent_hits is not None:
+        ph = parent_hits.select(
+            "src", F.col("hits").cast("long").alias("__ph"))
+        per_edge = per_edge.join(F.broadcast(ph), "src", "left") \
+            .withColumn("__ph", F.coalesce("__ph", F.lit(0)))
+    else:
+        per_edge = per_edge.withColumn("__ph", F.lit(0))
+    topical = per_edge.filter((F.col("__hits") > 0) | (F.col("__ph") > 0))
+    out = topical.groupBy("dst").agg(
+        F.sum("__hits").alias("anchor_hits"),
+        F.sum("__ph").alias("src_hits"),
+        F.count(F.lit(1)).alias("n_links"),
+    )
+    return out.select(
+        "dst", "anchor_hits", "src_hits", "n_links",
+        (F.lit(anchor_weight) * F.col("anchor_hits")
+         + F.col("src_hits")).alias("priority"),
+    )

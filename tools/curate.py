@@ -80,6 +80,14 @@ def main() -> None:
                     help="NFC + control-strip + whitespace-collapse the "
                          "text BEFORE any hashing/dedup (CCNet/Dolma "
                          "pre-hash cleaning)")
+    ap.add_argument("--justext", action="store_true",
+                    help="jusText boilerplate removal: classify \\n\\n-"
+                         "separated blocks, keep GOOD blocks, drop pages "
+                         "with none (runs before the C4/Gopher page gates)")
+    ap.add_argument("--justext-params", default="80,200,30,32",
+                    help="length_low,length_high,stopwords_low_pct,"
+                         "stopwords_high_pct for --justext (jusText paper "
+                         "defaults; retune per corpus/stoplist)")
     ap.add_argument("--classifier-threshold", type=float, default=None,
                     help="keep only docs whose hashed-linear classifier "
                          "score (DCLM/FineWeb-Edu-style gate) is >= this")
@@ -138,6 +146,28 @@ def main() -> None:
             .drop("text_norm", "changed", "n_chars_before", "n_chars_after")
         )
         stats["after_normalize"] = docs.count()
+
+    # 0a2. jusText boilerplate removal — block-level, BEFORE the page
+    # gates: C4/Gopher judge whole pages, so nav/footer boilerplate left
+    # in the text skews their stats; zero shuffle
+    if args.justext:
+        from context_crawler_spark.operators.boilerplate import (
+            justext_classify,
+        )
+
+        lo, hi, slo, shi = (int(x) for x in args.justext_params.split(","))
+        docs = (
+            justext_classify(
+                docs.withColumn("blocks", F.split("text", r"\n{2,}")),
+                length_low=lo, length_high=hi,
+                stopwords_low_pct=slo, stopwords_high_pct=shi,
+            )
+            .filter(F.col("n_good") > 0)
+            .withColumn("text", F.col("content_text"))
+            .drop("blocks", "jt_words", "jt_chars", "jt_stops", "jt_cf",
+                  "jt_class", "content_text", "n_blocks", "n_good")
+        )
+        stats["after_justext"] = docs.count()
 
     # 0b. C4 cleaning (line rules + page gates): the other canonical web
     # gate, zero shuffle; rewrites text to the surviving lines
