@@ -1898,6 +1898,37 @@ def q_justext(spark, sf_dir):
     )
 
 
+def q_soft404(spark, sf_dir):
+    """Soft-404 detection (operators/traps.soft_404_signals — Bar-Yossef
+    et al. WWW 2004): HTTP-200 responses whose body is an error page.
+    Pages synthesized from documents: status 404 every 7th doc (hard
+    miss — never soft-flagged), titles cycle through error-phrase /
+    bare-404 / clean, bodies cycle through tiny-error / full-text /
+    empty, exercising every flag combination."""
+    from context_crawler_spark.operators.traps import soft_404_signals
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        F.concat(F.lit("https://"), "source", F.lit(".test/p"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(404))
+         .otherwise(F.lit(200)).alias("status"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("Page Not Found"))
+         .when(F.col("doc_id") % 5 == 1, F.lit("Error 404 - missing"))
+         .otherwise(F.concat(F.lit("Doc "),
+                             F.col("doc_id").cast("string"))).alias("title"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("The page you requested does not exist."))
+         .when(F.col("doc_id") % 3 == 1, F.col("text"))
+         .otherwise(F.lit("")).alias("text"),
+    )
+    out = soft_404_signals(pages)
+    return out.select(
+        "url", "status", "s404_title_hit", "s404_head_hit", "s404_tiny",
+        "soft_404",
+    )
+
+
 def q_focused_priority(spark, sf_dir):
     """Focused-crawl frontier scoring (ranking.focused_priority —
     Chakrabarti et al. WWW 1999): anchor-text topic hits per link target,
@@ -1991,6 +2022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_rate": q_change_rate,
         "justext": q_justext,
         "focused_priority": q_focused_priority,
+        "soft404": q_soft404,
         "byte_budget": q_byte_budget,
         "url_slug": q_url_slug,
         "token_totals": q_token_totals,
@@ -2693,6 +2725,57 @@ def oracle_sql() -> dict[str, str]:
                             THEN 3 ELSE 0 END
                    END AS BIGINT) AS final_class
             FROM ctx
+        """,
+        "soft404": r"""
+            WITH pages AS (
+              SELECT 'https://' || source || '.test/p'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                     CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END
+                       AS status,
+                     CASE WHEN doc_id % 5 = 0 THEN 'Page Not Found'
+                          WHEN doc_id % 5 = 1 THEN 'Error 404 - missing'
+                          ELSE 'Doc ' || CAST(doc_id AS VARCHAR) END
+                       AS title,
+                     CASE WHEN doc_id % 3 = 0
+                            THEN 'The page you requested does not exist.'
+                          WHEN doc_id % 3 = 1 THEN text
+                          ELSE '' END AS text
+              FROM documents
+            ), sig AS (
+              SELECT url, status,
+                lower(title) AS lt,
+                lower(substring(text, 1, 400)) AS head,
+                length(text) AS n
+              FROM pages
+            ), flags AS (
+              SELECT url, status,
+                (lt LIKE '%page not found%' OR lt LIKE '%404 not found%'
+                 OR lt LIKE '%404 error%' OR lt LIKE '%error 404%'
+                 OR lt LIKE '%page does not exist%'
+                 OR lt LIKE '%no longer available%'
+                 OR lt LIKE '%page cannot be found%'
+                 OR lt LIKE '%page you requested%'
+                 OR lt LIKE '%page has been removed%'
+                 OR lt LIKE '%file not found%'
+                 OR regexp_matches(lt, '(^|[^0-9])404([^0-9]|$)'))
+                  AS s404_title_hit,
+                (head LIKE '%page not found%' OR head LIKE '%404 not found%'
+                 OR head LIKE '%404 error%' OR head LIKE '%error 404%'
+                 OR head LIKE '%page does not exist%'
+                 OR head LIKE '%no longer available%'
+                 OR head LIKE '%page cannot be found%'
+                 OR head LIKE '%page you requested%'
+                 OR head LIKE '%page has been removed%'
+                 OR head LIKE '%file not found%') AS s404_head_hit,
+                n < 120 AS s404_tiny,
+                n AS n
+              FROM sig
+            )
+            SELECT url, status, s404_title_hit, s404_head_hit, s404_tiny,
+                   (status = 200 AND (s404_title_hit
+                     OR (s404_head_hit AND s404_tiny) OR n = 0))
+                     AS soft_404
+            FROM flags
         """,
         "focused_priority": r"""
             WITH e AS (

@@ -75,6 +75,7 @@ HEADLINE = [
     "change_rate",
     "justext",
     "focused_priority",
+    "soft404",
 ]
 
 

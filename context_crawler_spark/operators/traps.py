@@ -78,3 +78,70 @@ def url_trap_signals(
         "host", "n_urls", "avg_depth", "frac_query", "n_templates",
         "urls_per_template", "avg_seg_repeat", "trap",
     )
+
+
+# soft-404 detection -----------------------------------------------------
+
+# Error-page phrases (lowercase). Bar-Yossef, Broder, Kumar & Tomkins,
+# "Sic transit gloria telae: towards an understanding of the web's
+# decay", WWW 2004 §3 observed that a large share of dead pages answer
+# HTTP 200 with an error BODY ("soft 404s"); crawl pipelines detect them
+# by fingerprint phrases + degenerate content before the pages pollute
+# the corpus and the link graph.
+SOFT404_PHRASES = [
+    "page not found", "404 not found", "404 error", "error 404",
+    "page does not exist", "no longer available", "page cannot be found",
+    "page you requested", "page has been removed", "file not found",
+]
+
+
+def soft_404_signals(
+    pages: DataFrame,
+    url_col: str = "url",
+    status_col: str = "status",
+    title_col: str = "title",
+    text_col: str = "text",
+    min_chars: int = 120,
+    head_chars: int = 400,
+) -> DataFrame:
+    """Flag HTTP-200 responses whose BODY is an error page (soft 404s).
+
+    Appends integer/boolean signal columns — all zero-shuffle JVM
+    projections, oracle-replayable:
+
+    ``s404_title_hit``  — an error phrase (or a bare "404") in the title;
+    ``s404_head_hit``   — an error phrase in the first ``head_chars`` of
+                          the text (error pages lead with the message;
+                          bounding the scan keeps the work O(1) per row
+                          and stops a long legit article that merely
+                          MENTIONS "404 error" late from matching);
+    ``s404_tiny``       — fewer than ``min_chars`` of text (stub body);
+    ``soft_404``        — status==200 AND (title hit, or head hit on a
+                          tiny body, or an empty body).
+
+    Pair with the hard-status path: the fetch stage already turns real
+    4xx/5xx into misses (operators/fetch.py); this catches the 200s that
+    lie. Downstream: drop from the corpus, and feed ``soft_404`` URLs to
+    the recrawl scheduler as dead (the reference has no equivalent — it
+    stores whatever the selector extracts, src/core.ts:265).
+    """
+    title = F.coalesce(F.lower(F.col(title_col)), F.lit(""))
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    head = F.lower(F.substring(text, 1, head_chars))
+
+    def any_phrase(col):
+        hit = F.lit(False)
+        for p in SOFT404_PHRASES:
+            hit = hit | col.contains(p)
+        return hit
+
+    title_hit = any_phrase(title) | title.rlike(r"(^|[^0-9])404([^0-9]|$)")
+    head_hit = any_phrase(head)
+    tiny = F.length(text) < min_chars
+    return pages.withColumns({
+        "s404_title_hit": title_hit,
+        "s404_head_hit": head_hit,
+        "s404_tiny": tiny,
+        "soft_404": (F.col(status_col) == 200)
+        & (title_hit | (head_hit & tiny) | (F.length(text) == 0)),
+    })

@@ -80,3 +80,30 @@ def test_apply_trap_budgets_freezes_and_probes(spark):
     assert by_host == {"ok.test": 8, "trap.test": 2}
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_soft_404_signals(spark):
+    """Soft-404 flags: 200s with error bodies flagged; hard 404s, long
+    legit pages (even ones mentioning '404 error' late), and small-but-
+    clean pages are not. Zero shuffle, zero Python."""
+    from context_crawler_spark.operators.traps import soft_404_signals
+
+    long_ok = "All about HTTP status codes. " * 20 + "The 404 error code."
+    rows = [
+        ("u1", 200, "Page Not Found", long_ok),        # title hit alone
+        ("u2", 200, "My 404 collection", long_ok),     # bare-404 title
+        ("u3", 200, "Welcome", "Error 404 - page does not exist"),  # tiny+head
+        ("u4", 200, "Welcome", ""),                    # empty body
+        ("u5", 200, "Welcome", long_ok),               # clean long page
+        ("u6", 404, "Page Not Found", ""),             # hard miss: not soft
+        ("u7", 200, "Welcome", "short but fine page"), # tiny but clean
+        ("u8", 200, "v4042 release notes", long_ok),   # digit-flanked 404
+    ]
+    df = spark.createDataFrame(rows, "url string, status int, title string, text string")
+    out = soft_404_signals(df)
+    got = {r["url"]: r["soft_404"] for r in out.collect()}
+    assert got == {"u1": True, "u2": True, "u3": True, "u4": True,
+                   "u5": False, "u6": False, "u7": False, "u8": False}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
