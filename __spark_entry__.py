@@ -1898,6 +1898,41 @@ def q_justext(spark, sf_dir):
     )
 
 
+def q_dust_rules(spark, sf_dir):
+    """DUST parameter-rule mining (operators/dust.dust_rules — Bar-Yossef
+    et al. WWW 2007): learn (host, param) content-irrelevant params from
+    digest-equal URL groups. Groups synthesized from documents: 3 URLs
+    per content group (bare ?a=1 / +session param / different ?b=2 —
+    only the first pair is an instance); the session param is 'sid'
+    except every 4th group uses 'ref', giving two rules per host with
+    different supports. The oracle replays the parse, the same-digest
+    self-join, the one-sided single-param difference, and the
+    distinct-group support."""
+    from context_crawler_spark.operators.dust import dust_rules
+
+    d = _t(spark, sf_dir, "documents")
+    gid = F.floor(F.col("doc_id") / 3)
+    r = F.col("doc_id") % 3
+    sess = F.when(gid % 4 == 0, F.lit("ref")).otherwise(F.lit("sid"))
+    base = F.concat(
+        F.lit("https://h"), (gid % 7).cast("string"),
+        F.lit(".test/page"), gid.cast("string"),
+    )
+    pages = d.select(
+        F.when(r == 0, F.concat(base, F.lit("?a=1")))
+         .when(r == 1, F.concat(base, F.lit("?a=1&"), sess, F.lit("=s"),
+                                gid.cast("string")))
+         .otherwise(F.concat(base, F.lit("?b=2"))).alias("url"),
+        F.md5(F.concat(F.lit("g"), gid.cast("string"))).alias("digest"),
+    )
+    out = dust_rules(pages, min_support=2)
+    return out.select(
+        "host", "param",
+        F.col("support").cast("long").alias("support"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+    )
+
+
 def q_soft404(spark, sf_dir):
     """Soft-404 detection (operators/traps.soft_404_signals — Bar-Yossef
     et al. WWW 2004): HTTP-200 responses whose body is an error page.
@@ -2023,6 +2058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "justext": q_justext,
         "focused_priority": q_focused_priority,
         "soft404": q_soft404,
+        "dust_rules": q_dust_rules,
         "byte_budget": q_byte_budget,
         "url_slug": q_url_slug,
         "token_totals": q_token_totals,
@@ -2725,6 +2761,56 @@ def oracle_sql() -> dict[str, str]:
                             THEN 3 ELSE 0 END
                    END AS BIGINT) AS final_class
             FROM ctx
+        """,
+        "dust_rules": r"""
+            WITH pages AS (
+              SELECT CASE
+                  WHEN doc_id % 3 = 0 THEN base || '?a=1'
+                  WHEN doc_id % 3 = 1 THEN base || '?a=1&' || sess
+                       || '=s' || CAST(gid AS VARCHAR)
+                  ELSE base || '?b=2' END AS url,
+                md5('g' || CAST(gid AS VARCHAR)) AS digest
+              FROM (
+                SELECT doc_id, doc_id // 3 AS gid,
+                  CASE WHEN (doc_id // 3) % 4 = 0
+                       THEN 'ref' ELSE 'sid' END AS sess,
+                  'https://h' || CAST((doc_id // 3) % 7 AS VARCHAR)
+                    || '.test/page' || CAST(doc_id // 3 AS VARCHAR) AS base
+                FROM documents
+              )
+            ), e AS (
+              SELECT digest, url,
+                lower(regexp_extract(url,
+                  '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
+                regexp_extract(url,
+                  '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+                list_sort(list_filter(string_split(
+                  regexp_extract(url, '^[^?#]*\?([^#]*)', 1), '&'),
+                  p -> p != '')) AS params
+              FROM pages
+            ), pairs AS (
+              SELECT a.host AS host, a.digest AS digest,
+                list_filter(a.params,
+                  x -> NOT list_contains(b.params, x)) AS ea,
+                list_filter(b.params,
+                  x -> NOT list_contains(a.params, x)) AS eb
+              FROM e a JOIN e b
+                ON a.digest = b.digest AND a.host = b.host
+               AND a.path = b.path AND a.url < b.url
+            ), inst AS (
+              SELECT host, digest,
+                string_split(CASE
+                  WHEN len(ea) = 1 AND len(eb) = 0 THEN ea[1]
+                  WHEN len(eb) = 1 AND len(ea) = 0 THEN eb[1]
+                END, '=')[1] AS param
+              FROM pairs
+            )
+            SELECT host, param,
+                   CAST(COUNT(DISTINCT digest) AS BIGINT) AS support,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM inst WHERE param IS NOT NULL
+            GROUP BY host, param
+            HAVING COUNT(DISTINCT digest) >= 2
         """,
         "soft404": r"""
             WITH pages AS (

@@ -76,6 +76,7 @@ HEADLINE = [
     "justext",
     "focused_priority",
     "soft404",
+    "dust_rules",
 ]
 
 
