@@ -761,18 +761,28 @@ def q_gopher_quality(spark, sf_dir):
 
 
 def q_gopher_repetition(spark, sf_dir):
-    """Gopher A1.1 repetition filters: within-row HOF dup-line/paragraph
-    stats (zero shuffle) + the distributed top-2-gram kernel (explode →
-    groupBy — ONE shuffle keyed on doc_id, linear at corpus scale)."""
+    """Gopher A1.1 repetition filters — the full Rae et al. Table A1 set:
+    dup-line/paragraph stats + top-{2,3,4}-gram + duplicate-{5..10}-gram
+    character fractions, all within-row HOF folds (zero shuffle)."""
     from context_crawler_spark.operators.quality_filter import gopher_repetition
 
-    d = _t(spark, sf_dir, "documents")
+    # toy-scale only (same note as q_dsir_weights): one parquet file = one
+    # scan task, serializing the nine per-row n-gram pipelines; a 100 TB
+    # corpus arrives in thousands of splits and never needs this
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
     out = gopher_repetition(d.select("doc_id", "text"))
+    gram_cols = (
+        [f"top{n}_chars" for n in (2, 3, 4)]
+        + [f"dup{n}_chars" for n in range(5, 11)]
+        + [f"f_top{n}gram" for n in (2, 3, 4)]
+        + [f"f_dup{n}gram" for n in range(5, 11)]
+    )
     return out.select(
         "doc_id", "line_n", "line_dup", "line_dup_chars", "para_dup",
-        "para_dup_chars", "top2_chars",
+        "para_dup_chars", *gram_cols,
         "f_dup_lines", "f_dup_paras", "f_dup_line_chars",
-        "f_dup_para_chars", "f_top2gram", "repetition_pass",
+        "f_dup_para_chars", "repetition_pass",
     )
 
 
@@ -2109,6 +2119,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _gopher_gram_ctes() -> tuple[str, str, str]:
+    """CTE block + join/select fragments for the full Gopher Table A1
+    n-gram statistics: top-{2,3,4}-gram chars (max count×length) and
+    duplicate-{5..10}-gram chars (Σ (count−1)×length — beyond-the-first
+    convention, matching the Spark fold)."""
+    ctes, joins, cols, flags = [], [], [], []
+    for n, pct, kind in ((2, 20, "top"), (3, 18, "top"), (4, 16, "top"),
+                         (5, 15, "dup"), (6, 14, "dup"), (7, 13, "dup"),
+                         (8, 12, "dup"), (9, 11, "dup"), (10, 10, "dup")):
+        col = f"{kind}{n}_chars"
+        agg = ("MAX(cnt * length(gram))" if kind == "top"
+               else "SUM(CASE WHEN cnt > 1 THEN (cnt - 1) * length(gram) "
+                    "ELSE 0 END)")
+        ctes.append(f"""
+            t{n} AS (
+              SELECT doc_id, CAST({agg} AS BIGINT) AS {col}
+              FROM (
+                SELECT doc_id, gram, COUNT(*) AS cnt
+                FROM (
+                  SELECT doc_id,
+                         unnest(list_transform(
+                           range(1, len(words) - {n - 2}),
+                           i -> array_to_string(
+                             words[i : i + {n - 1}], ' '))) AS gram
+                  FROM g WHERE len(words) >= {n}
+                ) GROUP BY doc_id, gram
+              ) GROUP BY doc_id
+            )""")
+        joins.append(f"LEFT JOIN t{n} ON s.doc_id = t{n}.doc_id")
+        cols.append(
+            f"CAST(COALESCE({col}, 0) AS BIGINT) AS {col}")
+        flags.append(
+            f"(100 * COALESCE({col}, 0) <= {pct} * word_chars) "
+            f"AS f_{kind}{n}gram")
+    flag_names = [f"f_{k}{n}gram" for n, _, k in
+                  ((2, 0, "top"), (3, 0, "top"), (4, 0, "top"),
+                   (5, 0, "dup"), (6, 0, "dup"), (7, 0, "dup"),
+                   (8, 0, "dup"), (9, 0, "dup"), (10, 0, "dup"))]
+    return (",".join(ctes), "\n            ".join(joins),
+            ",\n                   ".join(cols + flags),
+            " AND ".join(flag_names))
+
+
+(_GOPHER_GRAM_CTES, _GOPHER_GRAM_JOINS, _GOPHER_GRAM_COLS,
+ _GOPHER_GRAM_PASS) = _gopher_gram_ctes()
+
+
 _PAGERANK_CTES = r"""
             WITH e AS (
               SELECT DISTINCT (user_id % 200) AS src, (event_id % 200) AS dst
@@ -2473,36 +2530,23 @@ def oracle_sql() -> dict[str, str]:
                   AS BIGINT) AS word_chars,
                 words
               FROM g
-            ), tg AS (
-              SELECT doc_id,
-                     CAST(MAX(cnt * length(gram)) AS BIGINT) AS top2_chars
-              FROM (
-                SELECT doc_id, gram, COUNT(*) AS cnt
-                FROM (
-                  SELECT doc_id,
-                         unnest(list_transform(range(1, len(words)),
-                                i -> words[i] || ' ' || words[i + 1]))
-                           AS gram
-                  FROM g WHERE len(words) >= 2
-                ) GROUP BY doc_id, gram
-              ) GROUP BY doc_id
-            )
+            ),""" + _GOPHER_GRAM_CTES + r"""
+            , wide AS (
             SELECT s.doc_id, line_n, line_dup, line_dup_chars, para_dup,
                    para_dup_chars,
-                   CAST(COALESCE(tg.top2_chars, 0) AS BIGINT) AS top2_chars,
+                   """ + _GOPHER_GRAM_COLS + r""",
                    (10 * line_dup <= 3 * line_n) AS f_dup_lines,
                    (10 * para_dup <= 3 * para_n) AS f_dup_paras,
                    (5 * line_dup_chars <= line_chars) AS f_dup_line_chars,
-                   (5 * para_dup_chars <= para_chars) AS f_dup_para_chars,
-                   (5 * COALESCE(tg.top2_chars, 0) <= word_chars)
-                     AS f_top2gram,
-                   ((10 * line_dup <= 3 * line_n)
-                    AND (10 * para_dup <= 3 * para_n)
-                    AND (5 * line_dup_chars <= line_chars)
-                    AND (5 * para_dup_chars <= para_chars)
-                    AND (5 * COALESCE(tg.top2_chars, 0) <= word_chars))
-                     AS repetition_pass
-            FROM s LEFT JOIN tg ON s.doc_id = tg.doc_id
+                   (5 * para_dup_chars <= para_chars) AS f_dup_para_chars
+            FROM s
+            """ + _GOPHER_GRAM_JOINS + r"""
+            )
+            SELECT *,
+                   (f_dup_lines AND f_dup_paras AND f_dup_line_chars
+                    AND f_dup_para_chars AND """ + _GOPHER_GRAM_PASS \
+                + r""") AS repetition_pass
+            FROM wide
         """,
         "c4_clean": r"""
             WITH """ + _C4_DEC + r""",

@@ -98,13 +98,16 @@ def _hof_char_sum(col: Column) -> Column:
 
 def gopher_repetition(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:
-    """Gopher A1.1 repetition filters: duplicate line / paragraph fraction
-    (≤0.30), duplicate line / paragraph CHARACTER fraction (≤0.20, counting
-    occurrences beyond the first of each repeated unit — the DataTrove
-    convention), and top-2-gram character fraction (≤0.20, the most common
-    word 2-gram's count×length over total word characters).
+    """Gopher A1.1 repetition filters — the FULL Rae et al. Table A1 set
+    (r4 late): duplicate line / paragraph fraction (≤0.30), duplicate
+    line / paragraph CHARACTER fraction (≤0.20, counting occurrences
+    beyond the first of each repeated unit — the DataTrove convention),
+    top-{2,3,4}-gram character fraction (≤{0.20,0.18,0.16}, the most
+    common word n-gram's count×length over total word characters), and
+    duplicate-{5..10}-gram character fraction (≤{0.15..0.10},
+    beyond-the-first convention, same as lines/paras).
 
-    Shape (r4): every statistic — including the top 2-gram — is computed
+    Shape (r4): every statistic — including all nine n-gram stats — is computed
     WITHIN the row, so the whole operator is one zero-shuffle projection.
     The 2-gram max is ``array_sort`` + one run-length fold over the sorted
     grams (O(n log n) per row, vs the O(n²) count-each-distinct HOF that
@@ -143,18 +146,36 @@ def gopher_repetition(df: DataFrame, text_col: str = "text",
         }
 
     words = F.col("__words")
-    grams = F.when(
-        F.size(words) >= 2,
-        F.zip_with(
-            F.slice(words, 1, F.size(words) - 1),
-            F.slice(words, 2, F.size(words) - 1),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    # run-length fold over the sorted grams: max over runs of count×length
+
+    def grams_n(n: int) -> Column:
+        if n == 2:
+            return F.when(
+                F.size(words) >= 2,
+                F.zip_with(
+                    F.slice(words, 1, F.size(words) - 1),
+                    F.slice(words, 2, F.size(words) - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        # general n: slice over a MATERIALIZED words column (the
+        # repeated_ngram_spans idiom — rule (b) forbids element_at over a
+        # raw expression, not slice over a column)
+        return F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (n - 1)),
+                lambda i: F.array_join(F.slice(words, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    # ONE run-length fold over the sorted grams yields both statistics:
+    # best = max over runs of count×length (the top-n-gram chars) and
+    # dup = Σ length over occurrences beyond the first of each repeated
+    # gram (the duplicate-n-gram chars, same beyond-the-first convention
+    # as the line/para char fractions above)
     zero = F.lit(0).cast("long")
     acc0 = F.struct(F.lit("").alias("prev"), zero.alias("run"),
-                    zero.alias("best"))
+                    zero.alias("best"), zero.alias("dup"))
 
     def step(acc, x):
         run = F.when(x == acc["prev"], acc["run"] + 1) \
@@ -163,34 +184,61 @@ def gopher_repetition(df: DataFrame, text_col: str = "text",
             x.alias("prev"), run.alias("run"),
             F.greatest(acc["best"],
                        run * F.length(x).cast("long")).alias("best"),
+            (acc["dup"] + F.when(x == acc["prev"],
+                                 F.length(x).cast("long"))
+                           .otherwise(zero)).alias("dup"),
         )
 
-    top2_chars = F.aggregate(F.array_sort(grams), acc0, step,
-                             lambda acc: acc["best"])
+    def gram_fold(n: int) -> Column:
+        return F.aggregate(F.array_sort(grams_n(n)), acc0, step)
+
+    # dup-gram arrays are referenced twice (Σlen minus Σlen-of-distinct),
+    # and HOF expressions get no codegen subexpression elimination —
+    # materialize them as columns first (rule a again; profiled 3-4x)
+    dup_ns = (5, 6, 7, 8, 9, 10)
+    base = base.withColumns({f"__g{n}": grams_n(n) for n in dup_ns})
+
+    gram_cols: dict[str, Column] = {}
+    for n in (2, 3, 4):
+        gram_cols[f"top{n}_chars"] = gram_fold(n)["best"]
+    for n in dup_ns:
+        # beyond-the-first duplicate chars ≡ Σlen(grams) − Σlen(distinct
+        # grams): an O(n) hash-distinct instead of the top-gram's
+        # O(n log n) sort+fold
+        g = F.col(f"__g{n}")
+        gram_cols[f"dup{n}_chars"] = (
+            _hof_char_sum(g) - _hof_char_sum(F.array_distinct(g)))
+
     out = base.withColumns({
         **unit_stats("__lines", "__lines_d", "line"),
         **unit_stats("__paras", "__paras_d", "para"),
         "word_chars": _hof_char_sum(words),
-        "top2_chars": top2_chars,
-    }).drop("__lines", "__paras", "__words", "__lines_d", "__paras_d")
-    return (
-        out.withColumn("f_dup_lines",
-                       10 * F.col("line_dup") <= 3 * F.col("line_n"))
-        .withColumn("f_dup_paras",
-                    10 * F.col("para_dup") <= 3 * F.col("para_n"))
-        .withColumn("f_dup_line_chars",
-                    5 * F.col("line_dup_chars") <= F.col("line_chars"))
-        .withColumn("f_dup_para_chars",
-                    5 * F.col("para_dup_chars") <= F.col("para_chars"))
-        .withColumn("f_top2gram",
-                    5 * F.col("top2_chars") <= F.col("word_chars"))
-        .withColumn(
-            "repetition_pass",
-            F.col("f_dup_lines") & F.col("f_dup_paras")
-            & F.col("f_dup_line_chars") & F.col("f_dup_para_chars")
-            & F.col("f_top2gram"),
-        )
-    )
+        **gram_cols,
+    }).drop("__lines", "__paras", "__words", "__lines_d", "__paras_d",
+            *[f"__g{n}" for n in dup_ns])
+    # full Rae et al. Table A1 thresholds, integer cross-multiplied:
+    # top n-gram char fraction ≤ {2: 20%, 3: 18%, 4: 16%}; duplicate
+    # n-gram char fraction ≤ {5: 15%, 6: 14%, 7: 13%, 8: 12%, 9: 11%,
+    # 10: 10%}
+    flag_cols: dict[str, Column] = {
+        "f_dup_lines": 10 * F.col("line_dup") <= 3 * F.col("line_n"),
+        "f_dup_paras": 10 * F.col("para_dup") <= 3 * F.col("para_n"),
+        "f_dup_line_chars":
+            5 * F.col("line_dup_chars") <= F.col("line_chars"),
+        "f_dup_para_chars":
+            5 * F.col("para_dup_chars") <= F.col("para_chars"),
+    }
+    for n, pct in ((2, 20), (3, 18), (4, 16)):
+        flag_cols[f"f_top{n}gram"] = (
+            100 * F.col(f"top{n}_chars") <= pct * F.col("word_chars"))
+    for n, pct in ((5, 15), (6, 14), (7, 13), (8, 12), (9, 11), (10, 10)):
+        flag_cols[f"f_dup{n}gram"] = (
+            100 * F.col(f"dup{n}_chars") <= pct * F.col("word_chars"))
+    out = out.withColumns(flag_cols)
+    all_pass = F.lit(True)
+    for name in flag_cols:
+        all_pass = all_pass & F.col(name)
+    return out.withColumn("repetition_pass", all_pass)
 
 
 def gopher_filter(df: DataFrame, text_col: str = "text",

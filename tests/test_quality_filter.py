@@ -121,3 +121,34 @@ def test_repetition_single_word_doc(spark):
     df = spark.createDataFrame([(1, "lonely")], "doc_id long, text string")
     r = gopher_repetition(df).collect()[0]
     assert r["top2_chars"] == 0 and r["f_top2gram"]
+
+
+def test_repetition_full_table_ngram_stats(spark):
+    """Full Table A1 extension: top-3/4-gram and duplicate-5..10-gram
+    character fractions (beyond-the-first convention)."""
+    from context_crawler_spark.operators.quality_filter import gopher_repetition
+
+    filler = " ".join(f"w{i}" for i in range(200))
+    # "alpha beta gamma" repeated 30x: dominant 3-gram (and its 5-gram
+    # windows repeat too)
+    tri = ("alpha beta gamma " * 30) + filler
+    # a 5-word phrase repeated 3 times, far apart -> dup-5-gram chars > 0
+    phrase = "one two three four five"
+    spaced = f"{phrase} {filler} {phrase} {' '.join(f'x{i}' for i in range(200))} {phrase}"
+    df = spark.createDataFrame(
+        [(1, filler), (2, tri), (3, spaced)], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in gopher_repetition(df).collect()}
+    # unique text: every n-gram stat zero-duplicate, all flags pass
+    assert rows[1]["dup5_chars"] == 0 and rows[1]["repetition_pass"]
+    assert rows[1]["top3_chars"] > 0          # max count*len, count==1
+    # tri: "alpha beta gamma" 3-gram occurs 30x -> 16 chars * 30 = 480
+    assert rows[2]["top3_chars"] == 480
+    assert not rows[2]["f_top3gram"] and not rows[2]["repetition_pass"]
+    # spaced: the 5-gram "one two three four five" (23 chars) occurs 3x,
+    # 2 occurrences beyond the first
+    assert rows[3]["dup5_chars"] == 46
+    # 46/word-chars is under 15% here, so the flag still passes
+    assert rows[3]["f_dup5gram"]
+    # zero shuffle, zero Python
+    plan = gopher_repetition(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
