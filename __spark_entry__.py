@@ -1428,10 +1428,13 @@ def q_anchor_text(spark, sf_dir):
 
 
 def q_sitemap_recrawl(spark, sf_dir):
-    """Sitemap-lastmod recrawl scheduling (sources/cdx.sitemap_recrawl_set
-    — sitemaps.org <lastmod> vs our CDX capture history). Captures exist
-    for doc_id%4!=0; lastmod is NULL every 5th doc, later than the capture
-    for even ids, earlier for odd — exercising new/unknown/stale/fresh."""
+    """Sitemap-lastmod + changefreq recrawl scheduling
+    (sources/cdx.sitemap_recrawl_set — sitemaps.org metadata vs our CDX
+    capture history). Captures exist for doc_id%4!=0; lastmod is NULL
+    every 5th doc, later than the capture for even ids, earlier for odd;
+    the NULL-lastmod rows carry changefreq daily/yearly/never (doc_id%15
+    ∈ {0,5,10}) against a 'now' ~2.3 days past the captures — exercising
+    new/unknown/stale/fresh/due and the never→unknown rule."""
     from context_crawler_spark.sources.cdx import (
         cdx_index, sitemap_recrawl_set,
     )
@@ -1446,6 +1449,10 @@ def q_sitemap_recrawl(spark, sf_dir):
                 F.lit(1700000000) + F.col("doc_id")
                 + F.when(F.col("doc_id") % 2 == 0, F.lit(999999))
                  .otherwise(F.lit(-500)))).alias("lastmod"),
+        F.when(F.col("doc_id") % 15 == 0, F.lit("daily"))
+         .when(F.col("doc_id") % 15 == 5, F.lit("yearly"))
+         .when(F.col("doc_id") % 15 == 10, F.lit("never"))
+         .alias("changefreq"),
     )
     cdx = cdx_index(d.filter(F.col("doc_id") % 4 != 0).select(
         url.alias("url"),
@@ -1453,13 +1460,16 @@ def q_sitemap_recrawl(spark, sf_dir):
         .alias("warc_ts"),
         F.encode("text", "UTF-8").alias("html"),
     ))
-    out = sitemap_recrawl_set(entries, cdx)
+    out = sitemap_recrawl_set(
+        entries, cdx, changefreq_col="changefreq",
+        now_ts=F.timestamp_seconds(F.lit(1700200000)),
+    )
     return out.select(
         "url", "surt_key",
         F.date_format("lastmod", "yyyy-MM-dd HH:mm:ss").alias("lastmod"),
         F.date_format("last_capture", "yyyy-MM-dd HH:mm:ss")
         .alias("last_capture"),
-        "reason", "refetch",
+        "hint_interval_sec", "reason", "refetch",
     )
 
 
@@ -3753,7 +3763,10 @@ def oracle_sql() -> dict[str, str]:
                           ELSE to_timestamp(1700000000 + doc_id
                                + CASE WHEN doc_id % 2 = 0 THEN 999999
                                       ELSE -500 END)::TIMESTAMP
-                     END AS lastmod
+                     END AS lastmod,
+                     CASE WHEN doc_id % 15 = 0 THEN CAST(86400 AS BIGINT)
+                          WHEN doc_id % 15 = 5 THEN 31536000
+                     END AS hint_interval_sec
               FROM documents
             ), cap AS (
               SELECT 'test,' || source || ')/p'
@@ -3765,7 +3778,13 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY surt_key
             ), j AS (
               SELECT e.url, e.surt_key, e.lastmod, l.last_capture,
+                     e.hint_interval_sec,
                      CASE WHEN l.last_capture IS NULL THEN 'new'
+                          WHEN e.lastmod IS NULL
+                               AND e.hint_interval_sec IS NOT NULL
+                               AND epoch(l.last_capture)
+                                   + e.hint_interval_sec <= 1700200000
+                               THEN 'due'
                           WHEN e.lastmod IS NULL THEN 'unknown'
                           WHEN e.lastmod > l.last_capture THEN 'stale'
                           ELSE 'fresh' END AS reason
@@ -3775,7 +3794,8 @@ def oracle_sql() -> dict[str, str]:
                    strftime(lastmod, '%Y-%m-%d %H:%M:%S') AS lastmod,
                    strftime(last_capture, '%Y-%m-%d %H:%M:%S')
                      AS last_capture,
-                   reason, reason IN ('new', 'stale') AS refetch
+                   hint_interval_sec,
+                   reason, reason IN ('new', 'stale', 'due') AS refetch
             FROM j
         """,
         "trap_signals": r"""

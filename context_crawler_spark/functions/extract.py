@@ -567,6 +567,10 @@ def parse_sitemap(content: str) -> list[str]:
 
 _SITEMAP_URLBLOCK = re.compile(r"<url\b[^>]*>(.*?)</url>", re.S | re.I)
 _SITEMAP_LASTMOD = re.compile(r"<lastmod[^>]*>\s*([^<\s]+)\s*</lastmod>", re.I)
+_SITEMAP_CHANGEFREQ = re.compile(
+    r"<changefreq[^>]*>\s*([^<\s]+)\s*</changefreq>", re.I)
+_SITEMAP_PRIORITY = re.compile(
+    r"<priority[^>]*>\s*([^<\s]+)\s*</priority>", re.I)
 
 
 def parse_sitemap_entries(content: str) -> list[tuple[str, str | None]]:
@@ -575,15 +579,40 @@ def parse_sitemap_entries(content: str) -> list[tuple[str, str | None]]:
     sitemaps.org protocol's ``<lastmod>`` drives recrawl scheduling; see
     sources/cdx.sitemap_recrawl_set). Bare ``<loc>`` lists and plain-text
     sitemaps yield None lastmods."""
+    return [(u, lm) for (u, lm, _cf, _pr)
+            in parse_sitemap_entries_full(content)]
+
+
+def parse_sitemap_entries_full(
+    content: str,
+) -> list[tuple[str, str | None, str | None, float | None]]:
+    """Sitemap XML → ``(loc, lastmod, changefreq, priority)`` per
+    ``<url>`` block — all four sitemaps.org optional fields. changefreq
+    is lowercased but otherwise passed through (the protocol says
+    consumers may ignore bogus values); a non-numeric ``<priority>``
+    yields None. Bare ``<loc>`` lists degrade to all-None metadata."""
     if not content:
         return []
-    out: list[tuple[str, str | None]] = []
+    out: list[tuple[str, str | None, str | None, float | None]] = []
     for block in _SITEMAP_URLBLOCK.findall(content):
         locs = _SITEMAP_LOC.findall(block)
         if not locs:
             continue
         lm = _SITEMAP_LASTMOD.search(block)
-        out.append((unescape(locs[0]), lm.group(1) if lm else None))
+        cf = _SITEMAP_CHANGEFREQ.search(block)
+        pr = _SITEMAP_PRIORITY.search(block)
+        prio: float | None = None
+        if pr:
+            try:
+                prio = float(pr.group(1))
+            except ValueError:
+                prio = None
+        out.append((
+            unescape(locs[0]),
+            lm.group(1) if lm else None,
+            cf.group(1).lower() if cf else None,
+            prio,
+        ))
     if out:
         return out
-    return [(u, None) for u in parse_sitemap(content)]
+    return [(u, None, None, None) for u in parse_sitemap(content)]

@@ -37,7 +37,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Pure-expression pipeline: every step is a JVM built-in so the identical
@@ -239,44 +239,92 @@ def cdx_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     )
 
 
+# sitemaps.org <changefreq> → revisit seconds. 'always' = 0 (due on
+# every pass), 'never' maps to no hint (the protocol says crawlers may
+# still revisit; we fall back to age-based reseed_stale). 30-day month
+# and 365-day year, fixed so the oracle replays the CASE exactly.
+CHANGEFREQ_SEC = {
+    "always": 0,
+    "hourly": 3600,
+    "daily": 86400,
+    "weekly": 604800,
+    "monthly": 2592000,
+    "yearly": 31536000,
+}
+
+
 def sitemap_recrawl_set(
     entries: DataFrame,
     cdx: DataFrame,
     url_col: str = "url",
     lastmod_col: str = "lastmod",
+    changefreq_col: str | None = None,
+    now_ts=None,
 ) -> DataFrame:
-    """Sitemap-freshness recrawl scheduling (sitemaps.org ``<lastmod>``):
-    join the sitemap's claimed modification times against the crawl's own
-    CDX capture history and emit, per URL, what the scheduler should do —
-    ``new`` (never captured), ``stale`` (lastmod after our latest
-    capture), ``fresh`` (capture at/after lastmod), ``unknown`` (no
-    lastmod; age-based reseed_stale in plans/scheduler.py governs these).
-    ``refetch`` is true for new+stale — the third recrawl trigger next to
-    age-based reseed_stale and content-diff cdx_diff.
+    """Sitemap-freshness recrawl scheduling (sitemaps.org ``<lastmod>``
+    + optional ``<changefreq>``): join the sitemap's claimed metadata
+    against the crawl's own CDX capture history and emit, per URL, what
+    the scheduler should do — ``new`` (never captured), ``stale``
+    (lastmod after our latest capture), ``fresh`` (capture at/after
+    lastmod), ``due`` (no lastmod, but the changefreq interval has
+    elapsed since our last capture — requires ``changefreq_col`` and
+    ``now_ts``), ``unknown`` (no usable metadata; age-based reseed_stale
+    in plans/scheduler.py governs these). ``refetch`` is true for
+    new+stale+due — the third recrawl trigger next to age-based
+    reseed_stale and content-diff cdx_diff. 'never' deliberately yields
+    ``unknown``, not never-refetch: the protocol lets crawlers ignore
+    the hint, and trusting it unconditionally would let a stale sitemap
+    pin dead content forever.
 
     Plan: sitemap entries key by the SAME surt_key expression the index
     is laid out on; the CDX side reduces to latest-capture-per-key (one
     keyed shuffle over index metadata, not page payloads); entries join
     LEFT on that reduced side. Sitemap batches are tiny next to the
-    capture index — AQE broadcasts the entry side."""
-    e = entries.select(
+    capture index — AQE broadcasts the entry side. The changefreq path
+    adds only a projection (interval CASE + one timestamp compare)."""
+    cols = [
         F.col(url_col).alias("url"),
         surt_key(url_col).alias("surt_key"),
         F.col(lastmod_col).cast("timestamp").alias("lastmod"),
-    )
+    ]
+    if changefreq_col is not None:
+        hint = F.lower(F.col(changefreq_col))
+        interval = F.lit(None).cast("long")
+        for name, sec in CHANGEFREQ_SEC.items():
+            interval = F.when(hint == name, F.lit(sec)) \
+                .otherwise(interval)
+        # rebuild as a chained CASE (the loop above nests in reverse;
+        # order is irrelevant — keys are disjoint)
+        cols.append(interval.alias("hint_interval_sec"))
+    else:
+        cols.append(F.lit(None).cast("long").alias("hint_interval_sec"))
+    e = entries.select(*cols)
     latest = cdx.groupBy("surt_key").agg(
         F.max("ts").alias("last_capture"))
     j = e.join(latest, "surt_key", "left")
+    if now_ts is not None:
+        now_col = (now_ts if isinstance(now_ts, Column)
+                   else F.lit(now_ts).cast("timestamp"))
+        due = (
+            F.col("hint_interval_sec").isNotNull()
+            & (F.unix_timestamp(F.col("last_capture"))
+               + F.col("hint_interval_sec")
+               <= F.unix_timestamp(now_col))
+        )
+    else:
+        due = F.lit(False)
     reason = (
         F.when(F.col("last_capture").isNull(), F.lit("new"))
+        .when(F.col("lastmod").isNull() & due, F.lit("due"))
         .when(F.col("lastmod").isNull(), F.lit("unknown"))
         .when(F.col("lastmod") > F.col("last_capture"), F.lit("stale"))
         .otherwise(F.lit("fresh"))
     )
     return j.select(
         "url", "surt_key", "lastmod", "last_capture",
+        "hint_interval_sec",
         reason.alias("reason"),
-        reason.isin("new", "stale").alias("refetch"),
+        reason.isin("new", "stale", "due").alias("refetch"),
     )
 
 

@@ -226,3 +226,63 @@ def test_sitemap_recrawl_set_reasons(spark):
     assert got["stale"]["reason"] == "stale" and got["stale"]["refetch"]
     assert got["nolm"]["reason"] == "unknown" and not got["nolm"]["refetch"]
     assert got["never"]["reason"] == "new" and got["never"]["refetch"]
+
+
+def test_sitemap_changefreq_due(spark):
+    """<changefreq> hint: captured URLs without lastmod become 'due' when
+    the hint interval has elapsed at now_ts; 'never' and absent hints
+    stay 'unknown'; lastmod takes precedence over the hint."""
+    from pyspark.sql import functions as F
+
+    from context_crawler_spark.sources.cdx import sitemap_recrawl_set
+
+    entries = spark.createDataFrame([
+        ("https://s.test/daily", None, "daily"),
+        ("https://s.test/yearly", None, "yearly"),
+        ("https://s.test/never", None, "never"),
+        ("https://s.test/nohint", None, None),
+        # lastmod after capture wins over the yearly (not-due) hint
+        ("https://s.test/stale", "2023-11-20 00:00:00", "yearly"),
+    ], "url string, lastmod string, changefreq string")
+    cdx = spark.createDataFrame(
+        [(f"test,s)/{p}", "2023-11-15 00:00:00")
+         for p in ("daily", "yearly", "never", "nohint", "stale")],
+        "surt_key string, ts string",
+    ).select("surt_key", F.col("ts").cast("timestamp").alias("ts"))
+    out = sitemap_recrawl_set(
+        entries, cdx, changefreq_col="changefreq",
+        # 2 days after the captures: daily elapsed, yearly not
+        now_ts=F.to_timestamp(F.lit("2023-11-17 00:00:00")),
+    )
+    got = {r["url"].rsplit("/", 1)[1]: (r["reason"], r["refetch"])
+           for r in out.collect()}
+    assert got == {
+        "daily": ("due", True),
+        "yearly": ("unknown", False),
+        "never": ("unknown", False),
+        "nohint": ("unknown", False),
+        "stale": ("stale", True),
+    }
+
+
+def test_parse_sitemap_entries_full():
+    from context_crawler_spark.functions.extract import (
+        parse_sitemap_entries, parse_sitemap_entries_full,
+    )
+
+    xml = """<?xml version="1.0"?>
+    <urlset><url><loc>https://a.test/1</loc>
+      <lastmod>2024-01-01</lastmod><changefreq>Daily</changefreq>
+      <priority>0.8</priority></url>
+    <url><loc>https://a.test/2</loc><priority>bogus</priority></url>
+    </urlset>"""
+    full = parse_sitemap_entries_full(xml)
+    assert full == [
+        ("https://a.test/1", "2024-01-01", "daily", 0.8),
+        ("https://a.test/2", None, None, None),
+    ]
+    # back-compat wrapper keeps the (loc, lastmod) shape
+    assert parse_sitemap_entries(xml) == [
+        ("https://a.test/1", "2024-01-01"),
+        ("https://a.test/2", None),
+    ]
