@@ -86,6 +86,10 @@ def main() -> None:
     p.add_argument("--cdx-out", default=None,
                    help="directory for a CDX capture index over the crawled "
                         "pages (SURT-keyed sorted shards + cluster.idx)")
+    p.add_argument("--soft404-report", action="store_true",
+                   help="after the crawl, flag HTTP-200 error pages "
+                        "(traps.soft_404_signals) over the extracted "
+                        "output and report the count")
     p.add_argument("--demo", action="store_true",
                    help="run on the built-in tiny synthetic site")
     args = p.parse_args()
@@ -182,6 +186,16 @@ def main() -> None:
             eng.pages_out().select("url").distinct(), "url"
         ).select("url", "warc_ts", "html")
         cdx = write_cdx_shards(cdx_index(crawled), args.cdx_out)
+    soft404 = None
+    if args.soft404_report and meta.get("fetched_total"):
+        from pyspark.sql import functions as F
+
+        from context_crawler_spark.operators.traps import soft_404_signals
+
+        po = eng.pages_out().withColumn("status", F.lit(200))
+        soft404 = (
+            soft_404_signals(po).filter("soft_404").count()
+        )
     print(json.dumps({
         "job": cfg.name,
         "rounds": meta.get("round"),
@@ -191,6 +205,7 @@ def main() -> None:
         "snapshot": store.head_id(),
         "warc_files": n_warc,
         "cdx": cdx,
+        "soft_404_flagged": soft404,
         "metrics_tail": eng.metrics()[-3:],
     }))
 
