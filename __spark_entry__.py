@@ -1155,6 +1155,18 @@ def q_unigram_quality(spark, sf_dir):
     return unigram_logprob(d)
 
 
+def q_ngram_lm(spark, sf_dir):
+    """Trigram stupid-backoff LM score per document (Brants et al. 2007)
+    — the distributed form of CCNet's KenLM perplexity gate (Wenzek et
+    al. 2020). All three count orders build in ONE shuffle; backoff keys
+    resolve with one melted count join; per-position log-scores are
+    quantized to integer micro-nats so the per-doc sum is
+    order-independent and exactly SQL-replayable."""
+    from context_crawler_spark.operators.quality_filter import ngram_lm_score
+
+    return ngram_lm_score(_t(spark, sf_dir, "documents"))
+
+
 def q_repeated_spans(spark, sf_dir):
     """Per-doc duplicated n-gram span stats — the scalable stand-in for
     suffix-array exact-substring dedup (Lee et al. 2022). The engine
@@ -2103,6 +2115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "pagerank": q_pagerank,
         "unigram_quality": q_unigram_quality,
+        "ngram_lm": q_ngram_lm,
         "repeated_spans": q_repeated_spans,
         "hybrid_search": q_hybrid_search,
         "decontaminate": q_decontaminate,
@@ -3172,6 +3185,80 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, logprob,
                    ntile(3) OVER (ORDER BY logprob DESC, doc_id) AS bucket
             FROM scored
+        """,
+        # trigram stupid-backoff LM (Brants 2007): identical count build,
+        # backoff CASE, and integer micro-nat quantization as the engine;
+        # IEEE div/mul are bit-deterministic, ln() agrees at the 1e-6
+        # quantum (same contract as unigram_quality)
+        "ngram_lm": r"""
+            WITH w AS (
+              SELECT doc_id, list_filter(string_split(lower(regexp_replace(
+                  text, '[^A-Za-z0-9]+', ' ', 'g')), ' '),
+                  x -> x != '') AS ws
+              FROM documents
+            ), g AS (
+              SELECT unnest(
+                list_transform(ws, x -> '1|' || x)
+                || list_transform(generate_series(1, len(ws) - 1),
+                    i -> '2|' || ws[i] || ' ' || ws[i+1])
+                || list_transform(generate_series(1, len(ws) - 2),
+                    i -> '3|' || ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+              ) AS key FROM w
+            ), counts AS (
+              SELECT key, count(*) AS cnt FROM g GROUP BY key
+            ), tot AS (
+              SELECT CAST(sum(cnt) AS DOUBLE) AS n_total
+              FROM counts WHERE key LIKE '1|%'
+            ), pos AS (
+              SELECT doc_id, unnest(generate_series(0, len(ws) - 1)) AS pos,
+                     ws
+              FROM w WHERE len(ws) >= 1
+            ), keys AS (
+              SELECT doc_id, pos,
+                '1|' || ws[pos+1] AS uni,
+                CASE WHEN pos >= 1 THEN '1|' || ws[pos] END AS uni_ctx,
+                CASE WHEN pos >= 1
+                     THEN '2|' || ws[pos] || ' ' || ws[pos+1] END AS bi,
+                CASE WHEN pos >= 2
+                     THEN '2|' || ws[pos-1] || ' ' || ws[pos] END AS bi_ctx,
+                CASE WHEN pos >= 2 THEN '3|' || ws[pos-1] || ' ' || ws[pos]
+                     || ' ' || ws[pos+1] END AS tri
+              FROM pos
+            ), r AS (
+              SELECT k.doc_id, k.pos,
+                cu.cnt AS c_uni, cuc.cnt AS c_uni_ctx, cb.cnt AS c_bi,
+                cbc.cnt AS c_bi_ctx, ct.cnt AS c_tri, tot.n_total
+              FROM keys k
+              LEFT JOIN counts cu ON cu.key = k.uni
+              LEFT JOIN counts cuc ON cuc.key = k.uni_ctx
+              LEFT JOIN counts cb ON cb.key = k.bi
+              LEFT JOIN counts cbc ON cbc.key = k.bi_ctx
+              LEFT JOIN counts ct ON ct.key = k.tri
+              CROSS JOIN tot
+            ), s AS (
+              SELECT doc_id,
+                CASE
+                  WHEN pos >= 2 THEN coalesce(
+                    CASE WHEN c_tri IS NOT NULL
+                         THEN c_tri::DOUBLE / c_bi_ctx END,
+                    0.4 * coalesce(
+                      CASE WHEN c_bi IS NOT NULL
+                           THEN c_bi::DOUBLE / c_uni_ctx END,
+                      0.4 * (coalesce(c_uni::DOUBLE, 0.5) / n_total)))
+                  WHEN pos = 1 THEN coalesce(
+                    CASE WHEN c_bi IS NOT NULL
+                         THEN c_bi::DOUBLE / c_uni_ctx END,
+                    0.4 * (coalesce(c_uni::DOUBLE, 0.5) / n_total))
+                  ELSE coalesce(c_uni::DOUBLE, 0.5) / n_total
+                END AS sv
+              FROM r
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+                   CAST(sum(CAST(round(ln(sv) * 1e6) AS BIGINT)) AS BIGINT)
+                       AS lp_micro,
+                   round(sum(CAST(round(ln(sv) * 1e6) AS BIGINT)) / 1e6
+                         / count(*), 6) AS avg_logscore
+            FROM s GROUP BY doc_id
         """,
         # repeated 8-gram spans: the engine shuffles xxhash64(gram) keys;
         # per-doc counts are hash-invariant, so the oracle uses raw grams

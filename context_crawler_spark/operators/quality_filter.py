@@ -337,3 +337,145 @@ def unigram_logprob(
         F.col("id").alias(id_col), "n_tokens", "logprob",
         bucket.alias("bucket"),
     )
+
+
+def ngram_lm_score(
+    df: DataFrame, train: DataFrame | None = None,
+    id_col: str = "doc_id", text_col: str = "text", alpha: float = 0.4,
+) -> DataFrame:
+    """Trigram stupid-backoff LM score per document — the distributed
+    form of CCNet's KenLM perplexity gate.
+
+    CCNet (Wenzek et al. 2020) filters web text by the perplexity of a
+    5-gram KenLM trained on Wikipedia; the binary KenLM is not available
+    here, and Kneser-Ney's normalized discounts need multiple passes.
+    Stupid backoff (Brants et al. 2007, "Large Language Models in Machine
+    Translation") is the published web-scale answer: unnormalized relative
+    frequencies with a fixed backoff multiplier,
+
+        S(w | a b) = C(a b w)/C(a b)   if C(a b w) > 0
+                   = alpha * S(w | b)  otherwise
+        S(w | b)   = C(b w)/C(b)       if C(b w) > 0
+                   = alpha * S(w)      otherwise
+        S(w)       = C(w)/N            (OOV: 0.5/N pseudo-count)
+
+    trained on MapReduce precisely because no step needs a global
+    normalizer — counts and scoring distribute freely. ``train`` is the
+    LM corpus (CCNet: Wikipedia); it defaults to ``df`` itself, which
+    scores repetitive common-phrase docs high and rare-token docs low —
+    the ordering the head/middle/tail buckets consume.
+
+    Plan shape (3 shuffles total, none O(corpus^2)):
+      1. ONE explode -> groupBy(gram) shuffle builds all three count
+         orders at once (order-prefixed keys "1|w", "2|a b", "3|a b w");
+         heavy hitters partial-aggregate map-side.
+      2. Per-position backoff keys (tri/bi/uni + both contexts) are built
+         WITHIN-ROW from the word array (zero shuffle), melted to
+         (id, pos, role, key) rows, and resolved with ONE shuffle join
+         against the counts — Brants' count-sharding by gram key — AQE
+         broadcasts the count table when it fits.
+      3. One groupBy(id, pos) folds the five roles back into a row, the
+         backoff CASE picks the level, and a final groupBy(id) sums.
+
+    Cross-engine determinism: each position's log-score is quantized to
+    integer micro-nats (round(ln(S)*1e6) as BIGINT) BEFORE the per-doc
+    sum, so the sum is order-independent and the DuckDB oracle replays
+    it exactly; IEEE division/multiplication are bit-deterministic and
+    ln() agreement holds at 1e-6 (same contract as unigram_logprob).
+
+    Output: (id_col, n_scored, lp_micro, avg_logscore) — one row per doc
+    with >= 1 token; avg_logscore = lp_micro / 1e6 / n_scored, rounded 6.
+    """
+    from context_crawler_spark.operators.ranking import alnum_words
+
+    train = df if train is None else train
+    a = float(alpha)
+
+    # -- 1. count table: all orders, one shuffle ------------------------
+    tw = train.select(alnum_words(text_col).alias("ws"))
+    n = F.col("ws")
+
+    def gram(size: int) -> Column:
+        # order-prefixed gram strings built within-row
+        return F.transform(
+            F.slice(n, 1, F.greatest(F.size(n) - size + 1, F.lit(0))),
+            lambda _, i: F.concat_ws(
+                " ", *[F.element_at(n, i + j + 1) for j in range(size)]),
+        )
+
+    grams = tw.select(F.explode(F.concat(
+        F.transform(gram(1), lambda g: F.concat(F.lit("1|"), g)),
+        F.transform(gram(2), lambda g: F.concat(F.lit("2|"), g)),
+        F.transform(gram(3), lambda g: F.concat(F.lit("3|"), g)),
+    )).alias("key"))
+    counts = grams.groupBy("key").agg(F.count(F.lit(1)).alias("cnt"))
+    total = (
+        counts.filter(F.col("key").startswith("1|"))
+        .agg(F.sum("cnt").alias("n_total"))
+    )
+
+    # -- 2. per-position backoff keys, melted, one count join ----------
+    did = F.col(id_col)
+    docs = df.select(did.alias("id"), alnum_words(text_col).alias("ws")) \
+        .filter(F.size("ws") >= 1)
+    w = F.col("ws")
+
+    def at(i_off):  # element i+1-off (1-based element_at), None-safe
+        return lambda i: F.element_at(w, i + 1 - i_off)
+
+    keyed = docs.select(
+        "id",
+        F.posexplode(F.transform(w, lambda _, i: F.struct(
+            F.concat(F.lit("1|"), at(0)(i)).alias("uni"),
+            F.when(i >= 1, F.concat(
+                F.lit("1|"), at(1)(i))).alias("uni_ctx"),
+            F.when(i >= 1, F.concat(
+                F.lit("2|"), at(1)(i), F.lit(" "), at(0)(i))).alias("bi"),
+            F.when(i >= 2, F.concat(
+                F.lit("2|"), at(2)(i), F.lit(" "), at(1)(i))).alias("bi_ctx"),
+            F.when(i >= 2, F.concat(
+                F.lit("3|"), at(2)(i), F.lit(" "), at(1)(i), F.lit(" "),
+                at(0)(i))).alias("tri"),
+        ))).alias("pos", "k"),
+    )
+    roles = ["uni", "uni_ctx", "bi", "bi_ctx", "tri"]
+    melted = keyed.select(
+        "id", "pos",
+        F.explode(F.filter(
+            F.array(*[
+                F.struct(F.lit(r).alias("role"), F.col(f"k.{r}").alias("key"))
+                for r in roles]),
+            lambda s: s["key"].isNotNull(),
+        )).alias("rk"),
+    ).select("id", "pos", "rk.role", "rk.key")
+    resolved = (
+        melted.join(counts, "key", "left")
+        .groupBy("id", "pos")
+        .agg(*[F.max(F.when(F.col("role") == r, F.col("cnt")))
+               .alias(f"c_{r}") for r in roles])
+        .join(F.broadcast(total))
+    )
+
+    # -- 3. backoff CASE + quantized per-doc fold -----------------------
+    c = {r: F.col(f"c_{r}") for r in roles}
+    lvl1 = F.coalesce(c["uni"].cast("double"), F.lit(0.5)) / F.col("n_total")
+    lvl2 = F.when(c["bi"].isNotNull(),
+                  c["bi"].cast("double") / c["uni_ctx"])
+    lvl3 = F.when(c["tri"].isNotNull(),
+                  c["tri"].cast("double") / c["bi_ctx"])
+    s = F.when(
+        F.col("pos") >= 2, F.coalesce(lvl3, a * F.coalesce(lvl2, a * lvl1)),
+    ).when(F.col("pos") == 1, F.coalesce(lvl2, a * lvl1)).otherwise(lvl1)
+    return (
+        resolved.select(
+            "id",
+            F.round(F.log(s) * 1e6).cast("bigint").alias("__lp_micro"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_scored"),
+             F.sum("__lp_micro").alias("lp_micro"))
+        .select(
+            F.col("id").alias(id_col), "n_scored", "lp_micro",
+            F.round(F.col("lp_micro") / 1e6 / F.col("n_scored"), 6)
+            .alias("avg_logscore"),
+        )
+    )

@@ -354,3 +354,60 @@ def test_hyperball_plan_has_no_python(spark):
     plan = (hyperball(df, radius=2)._jdf.queryExecution()
             .executedPlan().toString())
     assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_ngram_lm_backoff_arithmetic(spark):
+    """Hand-computed stupid backoff on a 2-doc corpus (self-trained).
+
+    Corpus: "a b c" and "a b d" -> N=6; C(a)=C(b)=2, C(c)=C(d)=1;
+    C(a b)=2, C(b c)=C(b d)=1; C(a b c)=C(a b d)=1.
+    Doc 1 positions: S(a)=2/6; S(b|a)=C(a b)/C(a)=1.0;
+    S(c|a b)=C(a b c)/C(a b)=0.5.
+    """
+    from context_crawler_spark.operators.quality_filter import ngram_lm_score
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in ngram_lm_score(df).collect()}
+    want = round(math.log(2 / 6), 6) + 0.0 + round(math.log(0.5), 6)
+    assert rows[1]["n_scored"] == 3
+    assert rows[1]["avg_logscore"] == pytest.approx(want / 3, abs=2e-6)
+    assert rows[1]["lp_micro"] == rows[2]["lp_micro"]  # symmetric docs
+
+
+def test_ngram_lm_backoff_levels_and_oov(spark):
+    """Separate train corpus: a seen bigram scores C(bi)/C(ctx); an
+    unseen trigram with seen bigram backs off once (alpha*); a fully
+    OOV token gets alpha^2 * 0.5/N at position>=2."""
+    from context_crawler_spark.operators.quality_filter import ngram_lm_score
+
+    train = spark.createDataFrame(
+        [(10, "x y z"), (11, "x y w")], "doc_id long, text string")
+    score = spark.createDataFrame(
+        [(1, "x y q")], "doc_id long, text string")
+    out = ngram_lm_score(score, train=train).head()
+    # N=6: pos0 S(x)=2/6; pos1 S(y|x)=C(x y)/C(x)=1.0;
+    # pos2 q: trigram+bigram unseen, unigram OOV -> 0.4*0.4*(0.5/6)
+    want = (round(math.log(2 / 6) * 1e6)
+            + round(math.log(1.0) * 1e6)
+            + round(math.log(0.16 * 0.5 / 6) * 1e6))
+    assert out["n_scored"] == 3
+    assert abs(out["lp_micro"] - want) <= 3  # ln() ulp per position
+
+
+def test_ngram_lm_repetitive_beats_rare(spark):
+    """The CCNet-gate ordering: a doc of corpus-common phrases outranks
+    a rare-token doc; empty docs emit no row."""
+    from context_crawler_spark.operators.quality_filter import ngram_lm_score
+
+    docs = [
+        (1, "the quick fox " * 6),
+        (2, "the quick fox jumps high"),
+        (3, "zeta omega epsilon"),
+        (4, "   ...   "),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in ngram_lm_score(df).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["avg_logscore"] > rows[2]["avg_logscore"] \
+        > rows[3]["avg_logscore"]
