@@ -951,6 +951,20 @@ def q_embedding_near_dup(spark, sf_dir):
     return pairs.select("id_l", "id_r", F.round("cosine", 6).alias("cosine"))
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): cluster-bounded embedding near-dup
+    removal keeping each duplicate group's LOWEST-centroid-sim member.
+    Centroids are the first 8 corpus vectors (deterministic stand-in for
+    the k-means matrix — the operator takes any); tau=0.38 because the
+    synthetic vectors are near-orthogonal (max pairwise cosine ~0.47)."""
+    from context_crawler_spark.operators.text_dedup import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = [list(r["embedding"]) for r in
+             e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()]
+    return semantic_dedup(e, cents, tau=0.38)
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed ANN top-k (the 10^9-vector scale path). Runs the
     shipped default ``probe_flips=2`` — the setting whose recall@10 is
@@ -2107,6 +2121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental": q_minhash_incremental,
         "simhash_dedup": q_simhash_dedup,
         "embedding_near_dup": q_embedding_near_dup,
+        "semantic_dedup": q_semantic_dedup,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "chunk_documents": q_chunk_documents,
@@ -3712,6 +3727,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
                      AS total_words
             FROM documents GROUP BY lang
+        """,
+        # SemDeDup: identical assignment (argmax rounded cosine, lower
+        # cluster id on ties), identical keep-the-outlier drop rule;
+        # cosines round to 6 before every comparison (topk_cosine contract)
+        "semantic_dedup": """
+            WITH cents AS (
+              SELECT CAST(vec_id AS INT) AS cl, embedding AS cvec
+              FROM embeddings WHERE vec_id < 8
+            ), assign AS (
+              SELECT vec_id, embedding, cl,
+                     round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                         CAST(cvec AS DOUBLE[])), 6) AS cs,
+                     row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY round(list_cosine_similarity(
+                           embedding, cvec), 6) DESC, cl) AS rn
+              FROM embeddings CROSS JOIN cents
+            ), best AS (
+              SELECT vec_id, embedding, cl AS cluster, cs AS centroid_sim
+              FROM assign WHERE rn = 1
+            ), dropped AS (
+              SELECT DISTINCT l.vec_id
+              FROM best l JOIN best r
+                ON l.cluster = r.cluster AND l.vec_id != r.vec_id
+              WHERE round(list_cosine_similarity(
+                        CAST(l.embedding AS DOUBLE[]),
+                        CAST(r.embedding AS DOUBLE[])), 6) >= 0.38
+                AND (r.centroid_sim < l.centroid_sim
+                     OR (r.centroid_sim = l.centroid_sim
+                         AND r.vec_id < l.vec_id))
+            )
+            SELECT b.vec_id, b.cluster, b.centroid_sim,
+                   (d.vec_id IS NULL) AS keep
+            FROM best b LEFT JOIN dropped d ON b.vec_id = d.vec_id
         """,
         "topk_cosine": """
             SELECT vec_id,

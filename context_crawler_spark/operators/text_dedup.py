@@ -470,3 +470,124 @@ def minhash_match_index(
         F.coalesce(F.col("est_jaccard") >= est_threshold, F.lit(False))
         .alias("is_dup"),
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication") — embedding-space near-dup
+    removal that catches paraphrases MinHash/SimHash token overlap misses.
+
+    The paper's shape, exactly: k-means-cluster the embeddings, compare
+    pairs ONLY within a cluster (the step that turns O(N^2) into
+    O(sum cluster^2)), and inside every duplicate group (pairwise cosine
+    >= tau) KEEP the point with the LOWEST cosine to its cluster centroid
+    — Abbas et al. §2.2 found keeping the "outlier" of each group beats
+    keeping a random or central member.
+
+    Plan shape: ``centroids`` is the trained centroid matrix
+    (operators/search.train_ivf_centroids output, or any k-means). Here it
+    is inlined as literal arrays and the argmax fold runs WITHIN-ROW
+    (zero-shuffle assignment, whole-stage codegen) — right for k up to a
+    few hundred; at the paper's k=50k pass a precomputed ``cluster_col``
+    from search.with_ivf_cells (broadcast numpy argmax, still zero
+    shuffle) instead. The only shuffles are the cluster-keyed self-join
+    and the drop-decision anti-join — both bounded by cluster size, never
+    all-pairs.
+
+    Cross-engine determinism: cosines round to 6 decimals BEFORE every
+    comparison (argmax, tau, keeper rank) — the same contract as
+    topk_cosine — and every tie breaks on the lower id/cluster.
+
+    Output: (id_col, cluster, centroid_sim, keep) for every input row.
+    """
+    norm = F.sqrt(F.aggregate(
+        F.col("__v"), F.lit(0.0), lambda a, x: a + x * x))
+    scored = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+        *( [F.col(cluster_col).alias("__cl")] if cluster_col else [] ),
+    ).withColumn("__n", norm)
+
+    if cluster_col is None:
+        import numpy as np
+
+        def cos_lit(c: list[float]):
+            cv = np.asarray(c, dtype=np.float64)
+            cn = float(np.linalg.norm(cv)) or 1.0
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col("__v"),
+                    F.array(*[F.lit(float(x)) for x in cv]),
+                    lambda x, y: x * y),
+                F.lit(0.0), lambda a, x: a + x)
+            return F.round(dot / (F.col("__n") * F.lit(cn)), 6)
+
+        cands = F.array(*[
+            F.struct(F.lit(i).alias("cl"), cos_lit(c).alias("cs"))
+            for i, c in enumerate(centroids)
+        ])
+        # strict > keeps the FIRST (lowest cluster id) on rounded ties
+        best = F.aggregate(
+            cands, F.struct(F.lit(-1).alias("cl"), F.lit(-2.0).alias("cs")),
+            lambda acc, s: F.when(s["cs"] > acc["cs"], s).otherwise(acc))
+        scored = scored.withColumn("__b", best).select(
+            "__id", "__v", "__n",
+            F.col("__b.cl").alias("__cl"), F.col("__b.cs").alias("__csim"))
+    else:
+        import numpy as np
+
+        cmat = np.asarray(centroids, dtype=np.float64)
+        carr = F.array(*[
+            F.array(*[F.lit(float(x)) for x in row]) for row in cmat])
+        cn = F.element_at(
+            F.array(*[F.lit(float(max(np.linalg.norm(r), 1e-300)))
+                      for r in cmat]),
+            F.col("__cl").cast("int") + 1)
+        dot = F.aggregate(
+            F.zip_with(F.col("__v"),
+                       F.element_at(carr, F.col("__cl").cast("int") + 1),
+                       lambda x, y: x * y),
+            F.lit(0.0), lambda a, x: a + x)
+        scored = scored.withColumn(
+            "__csim", F.round(dot / (F.col("__n") * cn), 6))
+
+    left = scored.select(
+        F.col("__cl").alias("cl"), F.col("__id").alias("id_l"),
+        F.col("__v").alias("v_l"), F.col("__n").alias("n_l"),
+        F.col("__csim").alias("cs_l"))
+    right = scored.select(
+        F.col("__cl").alias("cl"), F.col("__id").alias("id_r"),
+        F.col("__v").alias("v_r"), F.col("__n").alias("n_r"),
+        F.col("__csim").alias("cs_r"))
+    dot = F.aggregate(
+        F.zip_with("v_l", "v_r", lambda x, y: x * y),
+        F.lit(0.0), lambda a, x: a + x)
+    # i drops when SOME tau-neighbor j ranks better as the kept outlier:
+    # lower centroid_sim, id tie-break (Abbas et al. keep-low-sim rule)
+    dropped = (
+        left.join(right, "cl")
+        .filter(F.col("id_l") != F.col("id_r"))
+        .withColumn("__cos", F.round(
+            dot / (F.col("n_l") * F.col("n_r")), 6))
+        .filter(
+            (F.col("__cos") >= F.lit(float(tau)))
+            & ((F.col("cs_r") < F.col("cs_l"))
+               | ((F.col("cs_r") == F.col("cs_l"))
+                  & (F.col("id_r") < F.col("id_l")))))
+        .select(F.col("id_l").alias("__id")).distinct()
+    )
+    return (
+        scored.join(dropped.withColumn("__drop", F.lit(True)),
+                    "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__cl").alias("cluster"),
+            F.col("__csim").alias("centroid_sim"),
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"))
+    )

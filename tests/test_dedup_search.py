@@ -307,3 +307,64 @@ def test_minhash_incremental_matches_history(spark):
         assert got[300 + i]["match_id"] is None
         assert not got[300 + i]["is_dup"]
     assert len(got) == 9
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023)
+
+
+def _unit(*xs):
+    import math
+    n = math.sqrt(sum(x * x for x in xs))
+    return [x / n for x in xs]
+
+
+def test_semantic_dedup_keeps_group_outlier(spark):
+    """Two near-identical vectors in one cluster: the one FARTHER from the
+    centroid is kept (Abbas et al. §2.2 keep-low-sim rule); an unrelated
+    vector in another cluster is untouched."""
+    from context_crawler_spark.operators.text_dedup import semantic_dedup
+
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    rows = [
+        (1, _unit(1.0, 0.05, 0.0, 0.0)),   # cluster 0, near centroid
+        (2, _unit(1.0, 0.08, 0.01, 0.0)),  # cluster 0, dup of 1, farther
+        (3, _unit(0.0, 1.0, 0.2, 0.0)),    # cluster 1, alone
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(df, cents, tau=0.99).collect()}
+    assert (out[1]["cluster"], out[2]["cluster"], out[3]["cluster"]) == (0, 0, 1)
+    assert out[2]["centroid_sim"] < out[1]["centroid_sim"]
+    assert not out[1]["keep"] and out[2]["keep"] and out[3]["keep"]
+
+
+def test_semantic_dedup_cross_cluster_pairs_never_compared(spark):
+    """Identical vectors assigned to different clusters (via the
+    precomputed cluster_col scale path) are both kept — SemDeDup only
+    compares within a cluster."""
+    from context_crawler_spark.operators.text_dedup import semantic_dedup
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    v = _unit(1.0, 1.0)
+    df = spark.createDataFrame(
+        [(1, v, 0), (2, v, 1)],
+        "vec_id long, embedding array<double>, cell int")
+    out = {r["vec_id"]: r for r in semantic_dedup(
+        df, cents, tau=0.9, cluster_col="cell").collect()}
+    assert out[1]["keep"] and out[2]["keep"]
+    assert out[1]["cluster"] == 0 and out[2]["cluster"] == 1
+
+
+def test_semantic_dedup_id_tiebreak_and_group_of_three(spark):
+    """A three-way dup group with equal centroid_sim keeps exactly the
+    lowest id; rounded-tie determinism."""
+    from context_crawler_spark.operators.text_dedup import semantic_dedup
+
+    cents = [[1.0, 0.0]]
+    v = _unit(1.0, 0.25)
+    df = spark.createDataFrame(
+        [(7, v), (3, v), (9, v)], "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["keep"] for r in
+           semantic_dedup(df, cents, tau=0.999).collect()}
+    assert out == {3: True, 7: False, 9: False}
