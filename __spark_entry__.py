@@ -1169,6 +1169,18 @@ def q_unigram_quality(spark, sf_dir):
     return unigram_logprob(d)
 
 
+def q_domain_cap(spark, sf_dir):
+    """Per-domain doc cap (RefinedWeb §3.4 / FineWeb balance step): keep
+    the 30 longest docs per source, id-ascending ties — exact two-phase
+    salted top-k (operators/curation.domain_cap), identical output to the
+    naive one-window form the oracle runs."""
+    from context_crawler_spark.operators.curation import domain_cap
+
+    d = _t(spark, sf_dir, "documents")
+    return domain_cap(d, cap=30, host_col="source").select(
+        "doc_id", "source", "n_chars", "domain_rank")
+
+
 def q_ngram_lm(spark, sf_dir):
     """Trigram stupid-backoff LM score per document (Brants et al. 2007)
     — the distributed form of CCNet's KenLM perplexity gate (Wenzek et
@@ -2130,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "pagerank": q_pagerank,
         "unigram_quality": q_unigram_quality,
+        "domain_cap": q_domain_cap,
         "ngram_lm": q_ngram_lm,
         "repeated_spans": q_repeated_spans,
         "hybrid_search": q_hybrid_search,
@@ -3200,6 +3213,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, logprob,
                    ntile(3) OVER (ORDER BY logprob DESC, doc_id) AS bucket
             FROM scored
+        """,
+        "domain_cap": r"""
+            SELECT doc_id, source, n_chars, domain_rank
+            FROM (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id) AS domain_rank
+              FROM documents
+            ) WHERE domain_rank <= 30
         """,
         # trigram stupid-backoff LM (Brants 2007): identical count build,
         # backoff CASE, and integer micro-nat quantization as the engine;

@@ -738,3 +738,50 @@ def normalize_text(
         F.length(text_col).alias("n_chars_before"),
         F.length(cleaned).alias("n_chars_after"),
     )
+
+
+def domain_cap(
+    docs: DataFrame,
+    cap: int,
+    host_col: str = "host",
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Per-domain document cap — keep at most ``cap`` docs per host,
+    preferring high ``order_col`` (id ascending on ties).
+
+    The FineWeb/Dolma balance step: after global dedup a handful of hosts
+    (forums, wikis, doc mirrors) still dominate the token count; capping
+    per registered domain bounds any single host's contribution before
+    mixture assembly (RefinedWeb §3.4 caps URLs per domain the same way).
+
+    Plan shape — skew-safe two-phase top-k, NOT one global window: a
+    single ``row_number() OVER (PARTITION BY host)`` drags every row of a
+    10^8-doc megahost through ONE task. Phase 1 ranks within
+    (host, salt = pmod(xxhash64(id), n_salts)) and keeps ``cap`` rows per
+    salt — after this no host holds more than n_salts*cap rows. Phase 2
+    re-ranks the survivors per host exactly. Both phases shuffle only
+    (host,salt)-bounded groups; the phase-2 input is O(#hosts * cap).
+
+    Output: the kept rows with ``domain_rank`` (1-based within host).
+    The result is EXACTLY what the naive one-window form produces —
+    phase 1 can only evict rows ranked > cap within their salt, which
+    are ranked > cap within the whole host a fortiori.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(order_col).desc(), F.col(id_col).asc()]
+    salted = docs.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)))
+    w1 = Window.partitionBy(host_col, "__salt").orderBy(*order)
+    pre = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= cap).drop("__r1")
+    )
+    w2 = Window.partitionBy(host_col).orderBy(*order)
+    return (
+        pre.withColumn("domain_rank", F.row_number().over(w2))
+        .filter(F.col("domain_rank") <= cap)
+        .drop("__salt")
+    )

@@ -529,3 +529,24 @@ def test_estimate_change_rate_single_shuffle(spark):
     # the lag window and the groupBy share ONE hash exchange on surt_key
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "SinglePartition" not in plan
+
+
+def test_domain_cap_two_phase_equals_naive_window(spark):
+    """The salted two-phase top-k returns exactly the naive one-window
+    result, including cross-salt tie ordering; hosts under the cap pass
+    through whole."""
+    from pyspark.sql import Window
+    from context_crawler_spark.operators.curation import domain_cap
+
+    rows = [(i, "big.example" if i < 40 else "small.example", (i * 7) % 13)
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, host string, n_chars long")
+    got = {(r["doc_id"], r["domain_rank"])
+           for r in domain_cap(df, cap=5, n_salts=4).collect()}
+    w = Window.partitionBy("host").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc())
+    want = {(r["doc_id"], r["rk"]) for r in
+            df.withColumn("rk", F.row_number().over(w))
+              .filter(F.col("rk") <= 5).collect()}
+    assert got == want
+    assert sum(1 for (_, rk) in got if rk) == 10  # 5 per host, both hosts
