@@ -1169,6 +1169,16 @@ def q_unigram_quality(spark, sf_dir):
     return unigram_logprob(d)
 
 
+def q_unigram_entropy(spark, sf_dir):
+    """RedPajama-v2 rps_doc_unigram_entropy + unique-word fraction:
+    H = ln(n) - sum(c*ln c)/n from per-(doc,word) counts; per-word terms
+    quantize to integer micro-nats before the per-doc sum (ngram_lm
+    contract) so the value is order-independent and SQL-replayable."""
+    from context_crawler_spark.operators.quality_filter import unigram_entropy
+
+    return unigram_entropy(_t(spark, sf_dir, "documents"))
+
+
 def q_domain_cap(spark, sf_dir):
     """Per-domain doc cap (RefinedWeb §3.4 / FineWeb balance step): keep
     the 30 longest docs per source, id-ascending ties — exact two-phase
@@ -2143,6 +2153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "unigram_quality": q_unigram_quality,
         "domain_cap": q_domain_cap,
+        "unigram_entropy": q_unigram_entropy,
         "ngram_lm": q_ngram_lm,
         "repeated_spans": q_repeated_spans,
         "hybrid_search": q_hybrid_search,
@@ -3213,6 +3224,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, logprob,
                    ntile(3) OVER (ORDER BY logprob DESC, doc_id) AS bucket
             FROM scored
+        """,
+        "unigram_entropy": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(lower(regexp_replace(
+                         text, '[^A-Za-z0-9]+', ' ', 'g')), ' '),
+                         w -> w != '')) AS w
+              FROM documents
+            ), wc AS (
+              SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w
+            )
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_words,
+                   CAST(count(*) AS BIGINT) AS n_unique,
+                   round(count(*) / CAST(sum(c) AS DOUBLE), 6)
+                       AS unique_frac,
+                   round(ln(sum(c))
+                         - sum(CAST(round(c * ln(c) * 1e6) AS BIGINT))
+                           / 1e6 / sum(c), 6) AS entropy
+            FROM wc GROUP BY doc_id
         """,
         "domain_cap": r"""
             SELECT doc_id, source, n_chars, domain_rank

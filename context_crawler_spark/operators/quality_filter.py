@@ -479,3 +479,46 @@ def ngram_lm_score(
             .alias("avg_logscore"),
         )
     )
+
+
+def unigram_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Per-document unigram Shannon entropy + unique-word fraction — the
+    RedPajama-v2 quality signals ``rps_doc_unigram_entropy`` and unique-
+    word ratio (Together 2023; also a Gopher-adjacent repetition signal:
+    low entropy == a few tokens dominate the doc).
+
+    H = ln(n) - (sum over distinct words of c*ln(c)) / n, computed from
+    per-(doc, word) counts: one explode -> groupBy(doc, word) shuffle
+    (partial-aggregates map-side), then a per-doc fold. The per-word
+    contribution quantizes to integer micro-nats BEFORE the per-doc sum
+    (the ngram_lm contract) so the sum is order-independent and the
+    DuckDB oracle replays it exactly.
+
+    Output: (id_col, n_words, n_unique, unique_frac, entropy); docs with
+    zero words emit no row."""
+    from context_crawler_spark.operators.ranking import alnum_words
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(alnum_words(text_col)).alias("w"))
+    wc = toks.groupBy("id", "w").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        wc.groupBy("id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count(F.lit(1)).alias("n_unique"),
+            F.sum(F.round(F.col("c") * F.log("c") * 1e6).cast("bigint"))
+            .alias("__clc_micro"),
+        )
+        .select(
+            F.col("id").alias(id_col), "n_words", "n_unique",
+            F.round(F.col("n_unique") / F.col("n_words"), 6)
+            .alias("unique_frac"),
+            F.round(
+                F.log("n_words")
+                - F.col("__clc_micro") / 1e6 / F.col("n_words"), 6)
+            .alias("entropy"),
+        )
+    )

@@ -4,6 +4,8 @@ built-in expression path."""
 
 from __future__ import annotations
 
+import pytest
+
 from context_crawler_spark.operators.quality_filter import (
     gopher_filter,
     gopher_flags,
@@ -152,3 +154,22 @@ def test_repetition_full_table_ngram_stats(spark):
     # zero shuffle, zero Python
     plan = gopher_repetition(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_unigram_entropy_hand_computed(spark):
+    """'a a b b' -> H = ln 2 exactly; a single-word doc -> 0; uniform
+    4-distinct doc -> ln 4; empty doc emits no row."""
+    import math
+    from context_crawler_spark.operators.quality_filter import unigram_entropy
+
+    df = spark.createDataFrame(
+        [(1, "a a b b"), (2, "word"), (3, "p q r s"), (4, "!!!")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in unigram_entropy(df).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["entropy"] == pytest.approx(math.log(2), abs=2e-6)
+    assert rows[1]["n_words"] == 4 and rows[1]["n_unique"] == 2
+    assert rows[1]["unique_frac"] == 0.5
+    assert rows[2]["entropy"] == 0.0
+    assert rows[3]["entropy"] == pytest.approx(math.log(4), abs=2e-6)
+    assert rows[3]["unique_frac"] == 1.0
