@@ -77,6 +77,10 @@ HEADLINE = [
     "focused_priority",
     "soft404",
     "dust_rules",
+    "ngram_lm",
+    "semantic_dedup",
+    "domain_cap",
+    "unigram_entropy",
 ]
 
 
@@ -303,6 +307,12 @@ def main() -> None:
     r4c_added = {"c4_clean", "c4_span_dedup", "harmonic_centrality",
                  "hyperball", "mixture_plan", "shuffle_shard",
                  "classifier_filter", "normalize_text", "change_rate"}
+    # late-r4 sessions: crawl hygiene (jusText/focused/soft-404/DUST) and
+    # the LM/semantic curation family — excluded from every earlier
+    # subtotal (they were silently inflating r1-r4 comparables before)
+    r4d_added = {"justext", "focused_priority", "soft404", "dust_rules",
+                 "ngram_lm", "semantic_dedup", "domain_cap",
+                 "unigram_entropy"}
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(queries.values()), 3),
@@ -310,16 +320,18 @@ def main() -> None:
         "r1_comparable_total": round(
             sum(v for k, v in queries.items()
                 if k not in r2_added | r3_added | r4_added | r4b_added
-                | r4c_added), 3),
+                | r4c_added | r4d_added), 3),
         "r2_comparable_total": round(
             sum(v for k, v in queries.items()
-                if k not in r3_added | r4_added | r4b_added | r4c_added), 3),
+                if k not in r3_added | r4_added | r4b_added | r4c_added
+                | r4d_added), 3),
         "r3_comparable_total": round(
             sum(v for k, v in queries.items()
-                if k not in r4_added | r4b_added | r4c_added), 3),
+                if k not in r4_added | r4b_added | r4c_added
+                | r4d_added), 3),
         "r4_comparable_total": round(
             sum(v for k, v in queries.items()
-                if k not in r4b_added | r4c_added), 3),
+                if k not in r4b_added | r4c_added | r4d_added), 3),
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
