@@ -956,13 +956,15 @@ def q_semantic_dedup(spark, sf_dir):
     removal keeping each duplicate group's LOWEST-centroid-sim member.
     Centroids are the first 8 corpus vectors (deterministic stand-in for
     the k-means matrix — the operator takes any); tau=0.38 because the
-    synthetic vectors are near-orthogonal (max pairwise cosine ~0.47)."""
+    synthetic vectors are near-orthogonal (max pairwise cosine ~0.47).
+    pair_blocks=8 exercises the big-cluster skew path: 8 toy clusters
+    alone would cap the pair join at 8 tasks."""
     from context_crawler_spark.operators.text_dedup import semantic_dedup
 
     e = _t(spark, sf_dir, "embeddings")
     cents = [list(r["embedding"]) for r in
              e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()]
-    return semantic_dedup(e, cents, tau=0.38)
+    return semantic_dedup(e, cents, tau=0.38, pair_blocks=8)
 
 
 def q_ann_lsh_topk(spark, sf_dir):

@@ -479,6 +479,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cluster_col: str | None = None,
+    pair_blocks: int = 1,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication") — embedding-space near-dup
@@ -500,6 +501,17 @@ def semantic_dedup(
     shuffle) instead. The only shuffles are the cluster-keyed self-join
     and the drop-decision anti-join — both bounded by cluster size, never
     all-pairs.
+
+    ``pair_blocks`` (B>1) is the skew knob for the big-cluster/few-
+    cluster regime: a join keyed on cluster id alone caps parallelism at
+    n_clusters tasks, and a hot cluster's O(cluster^2) pairs land on ONE
+    task. Blocked all-pairs splits them — the right side keys on
+    (cluster, hash(id) mod B), the left side replicates over all B block
+    values — so each unordered pair still meets exactly once, join keys
+    go from n_clusters to n_clusters*B, and a hot cluster's pair work
+    spreads over B tasks at the cost of a B-fold (row-count, not
+    pair-count) left-side shuffle. B=1 is the paper's plain cluster join
+    — right when k is large enough that every cluster is small.
 
     Cross-engine determinism: cosines round to 6 decimals BEFORE every
     comparison (argmax, tau, keeper rank) — the same contract as
@@ -569,18 +581,47 @@ def semantic_dedup(
         F.zip_with("v_l", "v_r", lambda x, y: x * y),
         F.lit(0.0), lambda a, x: a + x)
     # i drops when SOME tau-neighbor j ranks better as the kept outlier:
-    # lower centroid_sim, id tie-break (Abbas et al. keep-low-sim rule)
+    # lower centroid_sim, id tie-break (Abbas et al. keep-low-sim rule).
+    # The rule is decidable per UNORDERED pair — exactly one member of a
+    # tau-pair is the worse one (higher centroid_sim; equal sims break on
+    # the higher id) — so the self-join keeps id_l < id_r and evaluates
+    # each pair's cosine fold ONCE, not once per direction: the 64-dim
+    # zip_with/aggregate per pair is the whole cost of this operator, and
+    # this halves it at every scale. Output-identical to the both-
+    # directions form (the dropped set is the union of per-pair losers
+    # either way).
+    join_keys = ["cl"]
+    if int(pair_blocks) > 1:
+        B = int(pair_blocks)
+        left = left.withColumn(
+            "__pb", F.explode(F.array(*[F.lit(b) for b in range(B)])))
+        right = right.withColumn(
+            "__pb",
+            F.pmod(F.xxhash64(F.col("id_r").cast("string")), F.lit(B))
+            .cast("int"))
+        join_keys = ["cl", "__pb"]
+        # When AQE turns the cluster join into a BROADCAST join (small
+        # corpus / hot-cluster regime — precisely when pair_blocks is
+        # asked for), probe-side parallelism is the left side's partition
+        # count, not the join-key count; a one-file scan would evaluate
+        # every pair fold in ONE task. Round-robin the replicated left
+        # side across the cores first — a row-count-sized exchange that
+        # buys pair-count-sized parallelism.
+        left = left.repartition(
+            df.sparkSession.sparkContext.defaultParallelism)
     dropped = (
-        left.join(right, "cl")
-        .filter(F.col("id_l") != F.col("id_r"))
+        left.join(right, join_keys)
+        .filter(F.col("id_l") < F.col("id_r"))
         .withColumn("__cos", F.round(
             dot / (F.col("n_l") * F.col("n_r")), 6))
-        .filter(
-            (F.col("__cos") >= F.lit(float(tau)))
-            & ((F.col("cs_r") < F.col("cs_l"))
-               | ((F.col("cs_r") == F.col("cs_l"))
-                  & (F.col("id_r") < F.col("id_l")))))
-        .select(F.col("id_l").alias("__id")).distinct()
+        .filter(F.col("__cos") >= F.lit(float(tau)))
+        .select(
+            F.when(
+                (F.col("cs_l") > F.col("cs_r"))
+                # equal sims: the HIGHER id drops, and id_l < id_r here
+                , F.col("id_l"),
+            ).otherwise(F.col("id_r")).alias("__id"))
+        .distinct()
     )
     return (
         scored.join(dropped.withColumn("__drop", F.lit(True)),
