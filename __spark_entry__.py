@@ -1280,6 +1280,20 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def q_temperature_sample(spark, sf_dir):
+    """Temperature-based multilingual rebalancing (XLM-R alpha=0.3): per-
+    language keep rates derived IN the plan from corpus counts as
+    p_l^alpha (clamped at 1, 9dp-rounded before the exact integer/hex
+    threshold build), then the deterministic md5-threshold keep. Corpus
+    never shuffled — rates broadcast back (counts agg is ≤#langs rows)."""
+    from context_crawler_spark.operators.curation import temperature_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return temperature_sample(d, alpha=0.3, budget_frac=0.5).select(
+        "doc_id", "lang", "sample_key", "keep_rate"
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """GPT-style concat-then-chop sequence packing at window=128 tokens:
     per doc, global token offset (distributed two-phase prefix scan — no
@@ -1520,6 +1534,44 @@ def q_sitemap_recrawl(spark, sf_dir):
         F.date_format("last_capture", "yyyy-MM-dd HH:mm:ss")
         .alias("last_capture"),
         "hint_interval_sec", "reason", "refetch",
+    )
+
+
+def q_conditional_fetch(spark, sf_dir):
+    """HTTP revalidation planning (sources/cdx.conditional_fetch_plan —
+    RFC 9110 §13.1): per refetch URL, the LATEST capture's validators
+    become If-None-Match / If-Modified-Since headers. History exists for
+    doc_id%4!=0; every historied URL has a first capture (etag only on
+    doc_id%3==0), and even doc_ids have a LATER second capture carrying a
+    new etag + Last-Modified — the plan must pick the second. doc_id%4==0
+    rows have no history -> unconditional full GET."""
+    from context_crawler_spark.sources.cdx import conditional_fetch_plan
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://"), "source", F.lit(".test/p"),
+                   F.col("doc_id").cast("string"))
+    hist = d.filter(F.col("doc_id") % 4 != 0)
+    cap1 = hist.select(
+        url.alias("url"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias("ts"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit('"e1-'), F.col("doc_id").cast("string"),
+                        F.lit('"'))).alias("etag"),
+        F.lit(None).cast("string").alias("last_modified"),
+    )
+    cap2 = hist.filter(F.col("doc_id") % 2 == 0).select(
+        url.alias("url"),
+        F.timestamp_seconds(F.lit(1700500000) + F.col("doc_id")).alias("ts"),
+        F.concat(F.lit('"e2-'), F.col("doc_id").cast("string"),
+                 F.lit('"')).alias("etag"),
+        F.lit("Mon, 01 Jan 2024 00:00:00 GMT").alias("last_modified"),
+    )
+    refetch = d.select(url.alias("url"))
+    out = conditional_fetch_plan(refetch, cap1.unionByName(cap2))
+    return out.select(
+        "url", "surt_key",
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        "if_none_match", "if_modified_since", "conditional",
     )
 
 
@@ -2163,11 +2215,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "paragraph_dedup": q_paragraph_dedup,
         "stratified_sample": q_stratified_sample,
+        "temperature_sample": q_temperature_sample,
         "pack_sequences": q_pack_sequences,
         "cdx_index": q_cdx_index,
         "url_filter": q_url_filter,
         "dsir_weights": q_dsir_weights,
         "sitemap_recrawl": q_sitemap_recrawl,
+        "conditional_fetch": q_conditional_fetch,
         "trap_signals": q_trap_signals,
         "wet_export_plan": q_wet_export_plan,
         "anchor_text": q_anchor_text,
@@ -3517,6 +3571,38 @@ def oracle_sql() -> dict[str, str]:
                             WHEN 'zh' THEN 'cccccccc'
                             ELSE 'zzzzzzzz' END
         """,
+        "temperature_sample": r"""
+            WITH c AS (
+              SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n_l
+              FROM documents GROUP BY lang
+            ), t AS (
+              SELECT SUM(n_l) AS N FROM c
+            ), w AS (
+              SELECT lang, n_l, N, pow(n_l / N, 0.3) AS w_l FROM c, t
+            ), s AS (
+              SELECT SUM(w_l) AS W FROM w
+            ), r AS (
+              SELECT lang,
+                     round(least(1.0, 0.5 * N * (w_l / W) / n_l), 9)
+                       AS keep_rate
+              FROM w, s
+            ), thr AS (
+              SELECT lang, keep_rate,
+                     CASE WHEN keep_rate >= 1.0 THEN 'zzzzzzzz'
+                          ELSE lpad(lower(to_hex(CAST(floor(
+                                 CAST(keep_rate AS DOUBLE) * 4294967296.0)
+                               AS BIGINT))), 8, '0')
+                     END AS thr
+              FROM r
+            )
+            SELECT d.doc_id, d.lang,
+                   substr(md5(d.lang || ':' || CAST(d.doc_id AS VARCHAR)),
+                          1, 8) AS sample_key,
+                   t.keep_rate
+            FROM documents d JOIN thr t USING (lang)
+            WHERE substr(md5(d.lang || ':' || CAST(d.doc_id AS VARCHAR)),
+                         1, 8) < t.thr
+        """,
         "pack_sequences": r"""
             WITH t AS (
               SELECT doc_id,
@@ -3989,6 +4075,44 @@ def oracle_sql() -> dict[str, str]:
                    hint_interval_sec,
                    reason, reason IN ('new', 'stale', 'due') AS refetch
             FROM j
+        """,
+        "conditional_fetch": r"""
+            WITH hist AS (
+              SELECT doc_id, source FROM documents WHERE doc_id % 4 <> 0
+            ), caps AS (
+              SELECT 'test,' || source || ')/p' || CAST(doc_id AS VARCHAR)
+                       AS surt_key,
+                     to_timestamp(1700000000 + doc_id)::TIMESTAMP AS ts,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN '"e1-' || CAST(doc_id AS VARCHAR) || '"'
+                     END AS etag,
+                     CAST(NULL AS VARCHAR) AS last_modified
+              FROM hist
+              UNION ALL
+              SELECT 'test,' || source || ')/p' || CAST(doc_id AS VARCHAR),
+                     to_timestamp(1700500000 + doc_id)::TIMESTAMP,
+                     '"e2-' || CAST(doc_id AS VARCHAR) || '"',
+                     'Mon, 01 Jan 2024 00:00:00 GMT'
+              FROM hist WHERE doc_id % 2 = 0
+            ), latest AS (
+              SELECT surt_key,
+                     max(ts) AS last_ts,
+                     arg_max(etag, ts) AS if_none_match,
+                     arg_max(last_modified, ts) AS if_modified_since
+              FROM caps GROUP BY surt_key
+            )
+            SELECT 'https://' || source || '.test/p'
+                     || CAST(doc_id AS VARCHAR) AS url,
+                   'test,' || source || ')/p' || CAST(doc_id AS VARCHAR)
+                     AS surt_key,
+                   strftime(l.last_ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+                   l.if_none_match, l.if_modified_since,
+                   (l.if_none_match IS NOT NULL
+                    OR l.if_modified_since IS NOT NULL) AS conditional
+            FROM documents d
+            LEFT JOIN latest l
+              ON l.surt_key = 'test,' || d.source || ')/p'
+                              || CAST(d.doc_id AS VARCHAR)
         """,
         "trap_signals": r"""
             WITH u AS (

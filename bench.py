@@ -81,6 +81,8 @@ HEADLINE = [
     "semantic_dedup",
     "domain_cap",
     "unigram_entropy",
+    "temperature_sample",
+    "conditional_fetch",
 ]
 
 
@@ -312,7 +314,8 @@ def main() -> None:
     # subtotal (they were silently inflating r1-r4 comparables before)
     r4d_added = {"justext", "focused_priority", "soft404", "dust_rules",
                  "ngram_lm", "semantic_dedup", "domain_cap",
-                 "unigram_entropy"}
+                 "unigram_entropy", "temperature_sample",
+                 "conditional_fetch"}
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(queries.values()), 3),

@@ -22,6 +22,9 @@ Python, shuffles only where the semantics force one):
     downsampling). Unlike ``df.sample``, the decision is a pure function
     of the row key: reproducible across retries, resumes, and cluster
     sizes, and expressible in ANSI SQL for cross-engine audits.
+  * temperature sampling — language rates DERIVED from corpus counts as
+    ``p_l^alpha`` (XLM-R/mT5 rebalancing), then the same hash-threshold
+    keep; counts partial-agg to ≤ #languages rows, corpus never shuffled.
   * sequence packing — GPT-style concat-then-chop layout of the tokenized
     corpus into fixed training windows, offsets computed by the
     distributed two-phase prefix scan (``ordering.with_running_sum``).
@@ -265,6 +268,88 @@ def stratified_sample(
     return (
         df.withColumn("sample_key", hexkey)
         .filter(F.col("sample_key") < thr)
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    alpha: float = 0.3,
+    budget_frac: float = 0.5,
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based multilingual rebalancing (Conneau et al. 2020
+    XLM-R §3.1; mT5): with per-language corpus shares ``p_l``, sample
+    languages proportionally to ``p_l^alpha`` — ``alpha < 1`` flattens the
+    distribution so head languages are downsampled and tail languages keep
+    (up to) everything. Target output size is ``budget_frac * N`` docs;
+    each language's keep rate is ``min(1, T·q_l / n_l)`` with
+    ``q_l = p_l^alpha / Σ p_m^alpha`` (a filter cannot upsample, so rates
+    clamp at 1 and the realized total can undershoot the budget when tail
+    languages saturate — the paper's regime too).
+
+    Unlike :func:`stratified_sample` (caller supplies fixed rates), the
+    rates here are DERIVED from the corpus counts inside the plan, so the
+    whole stage — counts → pow/normalize → per-row hash threshold — is
+    replayable in ANSI SQL. Keep decision is the same deterministic
+    ``substr(md5(lang:key),1,8) < threshold`` filter: a pure function of
+    the data, stable across retries/resumes/cluster sizes.
+
+    Cross-engine exactness: rates round to 9 decimals BEFORE the
+    threshold derivation (the ``change_rate`` contract — absorbs last-ulp
+    ``pow`` differences), and the threshold is built from the rounded
+    value by exact integer/hex steps (``floor(r·2^32)`` → 8-digit
+    lower-hex, ``>= 1`` → ``'zzzzzzzz'`` which outsorts every hex key).
+
+    Plan at 100 TB: the counts agg partial-aggregates map-side to
+    ≤ #languages rows; two metadata-sized cross joins derive the rates;
+    the corpus itself is NEVER shuffled — the ≤ #languages rate table
+    broadcast-joins back onto the unshuffled scan (the ``domain_prior``
+    shape).
+
+    Output: kept rows' ``(key, stratum)`` + ``sample_key`` (hex) +
+    ``keep_rate`` (the 9dp rate, for audit).
+    """
+    from pyspark.sql.functions import broadcast
+    from pyspark.sql.window import Window
+
+    s = F.col(stratum_col)
+    counts = df.groupBy(s.alias("__s")).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"))
+    # the unpartitioned windows below run over the COUNTS frame only
+    # (≤ #languages rows — metadata-sized); the corpus never sees them
+    everything = Window.partitionBy()
+    w = counts.withColumn(
+        "__tot", F.sum("__n").over(everything)
+    ).withColumn(
+        "__w", F.pow(F.col("__n") / F.col("__tot"), F.lit(float(alpha))))
+    rates = (
+        w.withColumn("__wsum", F.sum("__w").over(everything))
+        .withColumn(
+            "keep_rate",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(budget_frac)) * F.col("__tot")
+                    * (F.col("__w") / F.col("__wsum")) / F.col("__n")),
+                9))
+        .withColumn(
+            "__thr",
+            F.when(F.col("keep_rate") >= 1.0, F.lit("zzzzzzzz")).otherwise(
+                F.lpad(
+                    F.lower(F.hex(F.floor(
+                        F.col("keep_rate") * F.lit(4294967296.0))
+                        .cast("bigint"))),
+                    8, "0")))
+        .select("__s", "keep_rate", "__thr")
+    )
+    hexkey = F.substring(
+        F.md5(F.concat_ws(":", s, F.col(key_col).cast("string"))), 1, 8)
+    return (
+        df.withColumn("sample_key", hexkey)
+        .join(broadcast(rates), s == F.col("__s"))
+        .filter(F.col("sample_key") < F.col("__thr"))
+        .drop("__s", "__thr")
     )
 
 

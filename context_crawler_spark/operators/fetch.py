@@ -260,3 +260,93 @@ class HttpFetcher:
             .sortWithinPartitions("host", "seq")
             .mapInPandas(run, schema)
         )
+
+    # -- conditional refetch (HTTP revalidation) -----------------------------
+
+    def revalidate(self, batch: DataFrame, fetch_ts: datetime) -> DataFrame:
+        """Conditional-GET refetch stage over a revalidation batch — the
+        rows ``sources/cdx.conditional_fetch_plan`` emits: ``(url, host,
+        if_none_match?, if_modified_since?)`` (+ any passthrough columns).
+
+        Per row, the stored validators are echoed back VERBATIM as
+        ``If-None-Match`` / ``If-Modified-Since`` request headers
+        (RFC 9110 §13.1 — validators are opaque; when both exist both are
+        sent and the server must prefer If-None-Match). Outcomes:
+
+          * ``304 Not Modified`` → ``not_modified=true``, ``html`` NULL —
+            the caller keeps the prior capture's content and merely
+            refreshes its freshness bookkeeping (completed_at / CDX ts);
+            the unchanged body never crosses the wire.
+          * ``2xx`` → ``not_modified=false`` + the new body: content
+            changed, flows into extraction like any fetched page.
+          * anything else → ``not_modified=false`` + NULL html: a plain
+            retryable miss for the existing retry/backoff machinery.
+
+        Same distributed shape as ``__call__``: one task per host, rows
+        in deterministic (host, url) order, the same per-host delay gate
+        — a revalidation wave is still a crawl and is still polite.
+        """
+        import pandas as pd
+
+        headers = dict(self.headers)
+        timeout_s = self.timeout_s
+        max_bytes = self.max_bytes
+        default_delay = self.default_delay_s
+        allow_hosts = self.allow_hosts
+
+        has_inm = "if_none_match" in batch.columns
+        has_ims = "if_modified_since" in batch.columns
+        in_cols = list(batch.columns)
+        schema = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in batch.schema.fields
+        ) + ", status int, html binary, not_modified boolean, warc_ts timestamp"
+
+        def run(batches) -> "Iterator[pd.DataFrame]":
+            last_hit: dict[str, float] = {}
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                statuses: list[int] = []
+                htmls: list[bytes | None] = []
+                fresh: list[bool] = []
+                inm = pdf["if_none_match"] if has_inm else None
+                ims = pdf["if_modified_since"] if has_ims else None
+                for i, (url, host) in enumerate(zip(pdf["url"], pdf["host"])):
+                    from urllib.parse import urlsplit as _urlsplit
+
+                    if allow_hosts is not None and (
+                            _urlsplit(url).hostname not in allow_hosts):
+                        statuses.append(0); htmls.append(None)
+                        fresh.append(False)
+                        continue
+                    h = dict(headers)
+                    if inm is not None and pd.notna(inm.iloc[i]):
+                        h["If-None-Match"] = str(inm.iloc[i])
+                    if ims is not None and pd.notna(ims.iloc[i]):
+                        h["If-Modified-Since"] = str(ims.iloc[i])
+                    if default_delay > 0 and host in last_hit:
+                        wait = (last_hit[host] + default_delay
+                                - time.monotonic())
+                        if wait > 0:
+                            time.sleep(wait)
+                    last_hit[host] = time.monotonic()
+                    status, body = fetch_url(url, h, timeout_s, max_bytes,
+                                             allow_hosts=allow_hosts)
+                    statuses.append(status)
+                    htmls.append(body)
+                    fresh.append(status == 304)
+                out = pdf[in_cols].copy()
+                out["status"] = pd.Series(statuses, index=pdf.index,
+                                          dtype="int32")
+                out["html"] = pd.Series(htmls, index=pdf.index, dtype=object)
+                out["not_modified"] = pd.Series(fresh, index=pdf.index,
+                                                dtype=bool)
+                out["warc_ts"] = fetch_ts
+                yield out
+
+        return (
+            batch.repartition(F.col("host"))
+            .sortWithinPartitions("host", "url")
+            .mapInPandas(run, schema)
+        )

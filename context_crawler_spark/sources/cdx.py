@@ -407,3 +407,69 @@ def estimate_change_rate(
         .cast("timestamp")
         .alias("next_fetch_ts"),
     )
+
+
+def conditional_fetch_plan(
+    refetch: DataFrame,
+    captures: DataFrame,
+    url_col: str = "url",
+    cap_ts_col: str = "ts",
+    etag_col: str = "etag",
+    last_modified_col: str = "last_modified",
+) -> DataFrame:
+    """HTTP revalidation planning (RFC 9110 §13.1 / §8.8): for every URL
+    due for a refetch, attach the cache validators of its LATEST capture
+    so the fetch stage can issue a conditional GET — ``If-None-Match``
+    from the stored ``ETag``, ``If-Modified-Since`` from the stored
+    ``Last-Modified`` — and a ``304 Not Modified`` costs headers instead
+    of the full body. At recrawl scale this is the difference between
+    re-downloading the unchanged 90%+ of the web each snapshot and paying
+    one round-trip for it (the fifth recrawl primitive, next to
+    reseed_stale / sitemap-lastmod / cdx_diff / change_rate, which decide
+    WHEN — this one decides HOW to refetch).
+
+    Validators are OPAQUE: both are carried and echoed back verbatim
+    (§8.8.3 forbids parsing ETags; §13.1.3 says send If-None-Match when
+    an ETag exists — a server receiving both MUST prefer it). Both sides
+    key on ``surt_key`` so http/https + www variants share one validator
+    history, same as every other capture-history join here.
+
+    Plan at 10^10 URLs: the capture side reduces to latest-capture-per-key
+    with ONE keyed shuffle over validator metadata (never payloads) —
+    ``max_by`` over ``(ts, etag, last_modified)``, the full struct so
+    same-timestamp duplicates pick a deterministic winner; the refetch
+    batch (tiny next to history) joins LEFT on the reduced side and AQE
+    broadcasts it. Output adds ``if_none_match`` / ``if_modified_since``
+    / ``last_ts`` / ``conditional`` to each refetch row.
+    """
+    key = surt_key(url_col)
+    latest = (
+        captures.select(
+            key.alias("surt_key"),
+            F.col(cap_ts_col).alias("__ts"),
+            F.col(etag_col).cast("string").alias("__et"),
+            F.col(last_modified_col).cast("string").alias("__lm"),
+        )
+        .groupBy("surt_key")
+        .agg(
+            F.max("__ts").alias("last_ts"),
+            F.max_by(
+                F.struct(F.col("__et").alias("e"), F.col("__lm").alias("m")),
+                F.struct("__ts", "__et", "__lm"),
+            ).alias("__v"),
+        )
+        .select(
+            "surt_key", "last_ts",
+            F.col("__v.e").alias("if_none_match"),
+            F.col("__v.m").alias("if_modified_since"),
+        )
+    )
+    return (
+        refetch.withColumn("surt_key", key)
+        .join(latest, "surt_key", "left")
+        .withColumn(
+            "conditional",
+            F.col("if_none_match").isNotNull()
+            | F.col("if_modified_since").isNotNull(),
+        )
+    )

@@ -166,6 +166,54 @@ def test_stratified_sample_zero_rate_and_plan(spark):
     assert "Exchange" not in plan
 
 
+def test_temperature_sample_flattens_and_clamps(spark):
+    """alpha<1 downsamples the head language harder than the tail; a tiny
+    tail language's rate clamps at 1.0 (a filter cannot upsample); the
+    kept set is deterministic across re-runs."""
+    from context_crawler_spark.operators.curation import temperature_sample
+
+    rows = (
+        [(i, "en") for i in range(3200)]
+        + [(10000 + i, "de") for i in range(700)]
+        + [(20000 + i, "sw") for i in range(100)]
+    )
+    d = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_sample(d, alpha=0.3, budget_frac=0.5)
+    rates = {r["lang"]: r["keep_rate"] for r in
+             out.select("lang", "keep_rate").distinct().collect()}
+    # head downsampled below budget_frac, tail clamped at keep-everything
+    assert rates["en"] < 0.5
+    assert rates["sw"] == 1.0
+    assert rates["en"] < rates["de"] < rates["sw"]
+    counts = {r["lang"]: r["cnt"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert counts["sw"] == 100                       # rate 1.0 keeps all
+    assert abs(counts["en"] - 3200 * rates["en"]) < 120
+    again = temperature_sample(d, alpha=0.3, budget_frac=0.5)
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+        sorted(r["doc_id"] for r in again.collect())
+    # alpha=1 degenerates to uniform budget_frac for every language
+    flat = temperature_sample(d, alpha=1.0, budget_frac=0.5)
+    assert {r["keep_rate"] for r in
+            flat.select("keep_rate").distinct().collect()} == {0.5}
+
+
+def test_temperature_sample_corpus_never_shuffled(spark):
+    """The corpus side reaches the filter through a broadcast join; the
+    only hash exchange is the ≤#languages counts agg (plus its window)."""
+    from context_crawler_spark.operators.curation import temperature_sample
+
+    d = spark.createDataFrame(
+        [(i, ["en", "de"][i % 2]) for i in range(100)],
+        "doc_id long, lang string")
+    out = temperature_sample(d, alpha=0.3, budget_frac=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # exchanges: counts groupBy + the unpartitioned window over ≤#langs
+    # rows; the corpus scan itself must not hash-partition on anything
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
 # ---------------------------------------------------------------------------
 # sequence packing
 # ---------------------------------------------------------------------------

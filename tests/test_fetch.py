@@ -47,9 +47,28 @@ class _Site:
                         "Location", body[len(b"__REDIRECT__:"):].decode())
                     self.end_headers()
                     return
+                # HTTP revalidation (RFC 9110 §13.1): strong ETag = md5 of
+                # the body, fixed Last-Modified; a matching If-None-Match
+                # (preferred) or If-Modified-Since answers 304 with no body
+                import hashlib
+
+                etag = '"' + hashlib.md5(body).hexdigest() + '"'
+                lastmod = "Mon, 01 Jan 2024 00:00:00 GMT"
+                if self.headers.get("If-None-Match") is not None:
+                    if self.headers["If-None-Match"] == etag:
+                        self.send_response(304)
+                        self.send_header("ETag", etag)
+                        self.end_headers()
+                        return
+                elif self.headers.get("If-Modified-Since") == lastmod:
+                    self.send_response(304)
+                    self.end_headers()
+                    return
                 self.send_response(200)
                 self.send_header("Content-Type", "text/html; charset=utf-8")
                 self.send_header("Content-Length", str(len(body)))
+                self.send_header("ETag", etag)
+                self.send_header("Last-Modified", lastmod)
                 self.end_headers()
                 self.wfile.write(body)
 
@@ -368,5 +387,94 @@ def test_render_failure_is_a_retryable_miss(spark):
         )
         (row,) = fetcher(batch, round_ts(1)).collect()
         assert row["html"] is None
+    finally:
+        site.close()
+
+
+def test_revalidate_conditional_get_304_and_changed(spark):
+    """HTTP revalidation end-to-end: conditional_fetch_plan attaches the
+    stored validators per URL; HttpFetcher.revalidate echoes them as
+    If-None-Match / If-Modified-Since; a matching ETag answers 304
+    (not_modified, no body crosses the wire), a stale ETag answers 200
+    with the new body, a validator-less URL does a plain full GET."""
+    import hashlib
+
+    from context_crawler_spark.sources.cdx import conditional_fetch_plan
+
+    same = b"<html><body><article>unchanged</article></body></html>"
+    new = b"<html><body><article>rewritten</article></body></html>"
+    site = _Site({"/same": same, "/changed": new, "/nohist": same})
+    try:
+        cur_etag = '"' + hashlib.md5(same).hexdigest() + '"'
+        old_etag = '"' + hashlib.md5(b"the old body").hexdigest() + '"'
+        captures = spark.createDataFrame(
+            [
+                # two captures of /same — the LATEST one's etag must win
+                (f"{site.base}/same", 1, old_etag, None),
+                (f"{site.base}/same", 2, cur_etag,
+                 "Mon, 01 Jan 2024 00:00:00 GMT"),
+                (f"{site.base}/changed", 2, old_etag, None),
+            ],
+            "url string, ts long, etag string, last_modified string",
+        )
+        refetch = spark.createDataFrame(
+            [(f"{site.base}/same", "127.0.0.1"),
+             (f"{site.base}/changed", "127.0.0.1"),
+             (f"{site.base}/nohist", "127.0.0.1")],
+            "url string, host string",
+        )
+        plan = conditional_fetch_plan(refetch, captures)
+        rows = {r["url"]: r for r in plan.collect()}
+        assert rows[f"{site.base}/same"]["if_none_match"] == cur_etag
+        assert rows[f"{site.base}/same"]["conditional"]
+        assert rows[f"{site.base}/changed"]["if_none_match"] == old_etag
+        assert not rows[f"{site.base}/nohist"]["conditional"]
+        assert rows[f"{site.base}/nohist"]["if_none_match"] is None
+
+        fetcher = HttpFetcher(CrawlConfig(entry=f"{site.base}/same"),
+                              allow_hosts={"127.0.0.1"})
+        got = {r["url"]: r
+               for r in fetcher.revalidate(plan, round_ts(1)).collect()}
+        s = got[f"{site.base}/same"]
+        assert s["status"] == 304 and s["not_modified"] and s["html"] is None
+        c = got[f"{site.base}/changed"]
+        assert c["status"] == 200 and not c["not_modified"]
+        assert c["html"] == new
+        n = got[f"{site.base}/nohist"]
+        assert n["status"] == 200 and not n["not_modified"]
+        assert n["html"] == same
+        # the wire saw exactly one request per URL; /same's carried the
+        # current etag, /nohist's carried no validator at all
+        by_path = {p: h for _t, p, h in site.requests}
+        assert by_path["/same"]["If-None-Match"] == cur_etag
+        assert "If-None-Match" not in by_path["/nohist"]
+        assert "If-Modified-Since" not in by_path["/nohist"]
+        assert len(site.requests) == 3
+    finally:
+        site.close()
+
+
+def test_revalidate_if_modified_since_only(spark):
+    """A capture with only Last-Modified revalidates via If-Modified-Since
+    (no ETag stored — the validator the origin actually gave us)."""
+    from context_crawler_spark.sources.cdx import conditional_fetch_plan
+
+    body = b"<html><body>x</body></html>"
+    site = _Site({"/p": body})
+    try:
+        captures = spark.createDataFrame(
+            [(f"{site.base}/p", 1, None, "Mon, 01 Jan 2024 00:00:00 GMT")],
+            "url string, ts long, etag string, last_modified string",
+        )
+        refetch = spark.createDataFrame(
+            [(f"{site.base}/p", "127.0.0.1")], "url string, host string")
+        plan = conditional_fetch_plan(refetch, captures)
+        fetcher = HttpFetcher(CrawlConfig(entry=f"{site.base}/p"),
+                              allow_hosts={"127.0.0.1"})
+        (row,) = fetcher.revalidate(plan, round_ts(1)).collect()
+        assert row["status"] == 304 and row["not_modified"]
+        (_t, _p, hdrs), = site.requests
+        assert hdrs["If-Modified-Since"] == "Mon, 01 Jan 2024 00:00:00 GMT"
+        assert "If-None-Match" not in hdrs
     finally:
         site.close()
