@@ -1144,6 +1144,22 @@ def q_hybrid_search(spark, sf_dir):
     return hybrid_search(d, e, "spark hash join customer", qvec, k=10, k_leg=20)
 
 
+def q_bm25_indexed(spark, sf_dir):
+    """BM25 against the persisted postings index (build → query in one
+    plan here; on a service the build is a one-time job and the query
+    prunes to ≤len(query) term buckets of the stored index). Result-
+    identical to q_bm25_search by construction — same oracle."""
+    from context_crawler_spark.operators.ranking import (
+        bm25_topk_indexed, build_postings_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    postings, stats = build_postings_index(d)
+    return bm25_topk_indexed(
+        postings, stats, "spark hash join customer", k=10
+    ).select("doc_id", F.round("score", 6).alias("score"))
+
+
 def q_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank for crawl-frontier prioritization
     (Cho/Garcia-Molina/Page 1998 URL-ordering). The link graph is derived
@@ -1535,6 +1551,39 @@ def q_sitemap_recrawl(spark, sf_dir):
         .alias("last_capture"),
         "hint_interval_sec", "reason", "refetch",
     )
+
+
+def q_adaptive_delay(spark, sf_dir):
+    """Adaptive per-host politeness (operators/politeness.py
+    adaptive_host_delays — BUbiNG-style delay ∝ observed fetch latency,
+    AIMD backoff on 429/503/transport-error fraction ≥ 10%). Fetch log
+    synthesized from documents: host = source, latency 50..1049 ms by
+    doc_id, status 429 every 7th row / 503 every 11th / 0 every 13th,
+    else 200 — 'beta' gets an extra all-429 burst so at least one host
+    crosses the backoff threshold. Exercises mean-latency scaling, the
+    multiplicative backoff, and both clamps."""
+    from context_crawler_spark.operators.politeness import (
+        adaptive_host_delays,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    log = d.select(
+        F.col("source").alias("host"),
+        (F.lit(50) + F.col("doc_id") % 1000).cast("long")
+        .alias("latency_ms"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(429))
+         .when(F.col("doc_id") % 11 == 0, F.lit(503))
+         .when(F.col("doc_id") % 13 == 0, F.lit(0))
+         .otherwise(F.lit(200)).alias("status"),
+    ).unionByName(
+        d.filter(F.col("doc_id") % 3 == 0).select(
+            F.lit("beta").alias("host"),
+            F.lit(2000).cast("long").alias("latency_ms"),
+            F.lit(429).alias("status"),
+        )
+    )
+    return adaptive_host_delays(log, target_factor=10.0, min_delay_s=0.5,
+                                max_delay_s=30.0)
 
 
 def q_conditional_fetch(spark, sf_dir):
@@ -2204,6 +2253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_split_plan": q_chunk_split_plan,
         "pipeline_clean": q_pipeline_clean,
         "bm25_search": q_bm25_search,
+        "bm25_indexed": q_bm25_indexed,
         "pagerank": q_pagerank,
         "unigram_quality": q_unigram_quality,
         "domain_cap": q_domain_cap,
@@ -2222,6 +2272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "sitemap_recrawl": q_sitemap_recrawl,
         "conditional_fetch": q_conditional_fetch,
+        "adaptive_delay": q_adaptive_delay,
         "trap_signals": q_trap_signals,
         "wet_export_plan": q_wet_export_plan,
         "anchor_text": q_anchor_text,
@@ -2370,7 +2421,7 @@ _C4_DEC = r"""
 
 def oracle_sql() -> dict[str, str]:
     glob_rx = GlobMatcher(["src1*", "src?[23]"], dot=True).combined_regex()
-    return {
+    sql = {
         "claim_order": """
             SELECT o_orderkey,
                    6 - CAST(substr(o_orderpriority, 1, 1) AS INT) AS priority,
@@ -4076,6 +4127,37 @@ def oracle_sql() -> dict[str, str]:
                    reason, reason IN ('new', 'stale', 'due') AS refetch
             FROM j
         """,
+        "adaptive_delay": r"""
+            WITH log AS (
+              SELECT source AS host,
+                     CAST(50 + doc_id % 1000 AS BIGINT) AS latency_ms,
+                     CASE WHEN doc_id % 7 = 0 THEN 429
+                          WHEN doc_id % 11 = 0 THEN 503
+                          WHEN doc_id % 13 = 0 THEN 0
+                          ELSE 200 END AS status
+              FROM documents
+              UNION ALL
+              SELECT 'beta', CAST(2000 AS BIGINT), 429
+              FROM documents WHERE doc_id % 3 = 0
+            ), agg AS (
+              SELECT host,
+                     COUNT(*) AS n_requests,
+                     SUM(CAST(latency_ms AS DOUBLE)) / COUNT(*) AS mean_ms,
+                     CAST(SUM(CASE WHEN status IN (429, 503, 0)
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                       / COUNT(*) AS ef
+              FROM log GROUP BY host
+            )
+            SELECT host, n_requests,
+                   round(mean_ms, 3) AS mean_latency_ms,
+                   round(ef, 6) AS err_frac,
+                   round(least(30.0, greatest(0.5,
+                     CASE WHEN ef >= 0.1
+                          THEN 10.0 * mean_ms / 1000.0 * 2.0
+                          ELSE 10.0 * mean_ms / 1000.0 END)), 3)
+                     AS crawl_delay_s
+            FROM agg
+        """,
         "conditional_fetch": r"""
             WITH hist AS (
               SELECT doc_id, source FROM documents WHERE doc_id % 4 <> 0
@@ -4443,3 +4525,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, file_id FROM fold WHERE rn > 0
         """,
     }
+    # the indexed BM25 is result-identical to the per-query form by
+    # construction (same corpus, same query, same stats) — one oracle
+    sql["bm25_indexed"] = sql["bm25_search"]
+    return sql

@@ -83,6 +83,8 @@ HEADLINE = [
     "unigram_entropy",
     "temperature_sample",
     "conditional_fetch",
+    "adaptive_delay",
+    "bm25_indexed",
 ]
 
 
@@ -315,7 +317,7 @@ def main() -> None:
     r4d_added = {"justext", "focused_priority", "soft404", "dust_rules",
                  "ngram_lm", "semantic_dedup", "domain_cap",
                  "unigram_entropy", "temperature_sample",
-                 "conditional_fetch"}
+                 "conditional_fetch", "adaptive_delay", "bm25_indexed"}
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(queries.values()), 3),

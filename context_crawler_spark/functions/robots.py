@@ -178,3 +178,70 @@ def sitemap_table(spark, robots_texts: dict[str, str]):
             rows.append((host, u, i))
     return spark.createDataFrame(
         rows, "host string, sitemap_url string, pos int")
+
+
+def parse_robots_rules_df(cache: "DataFrame",  # noqa: F821 — typing only
+                          user_agent: str = DEFAULT_AGENT) -> "DataFrame":
+    """Distributed robots parse over a fetched-cache table ``(host,
+    status, robots_text, ...)`` → long-form rule rows ``(host, rule_type,
+    path_prefix, crawl_delay_s)``. The driver-side ``robots_tables``
+    collects a dict — fine for tests, wrong for 10^7 hosts; this is the
+    same parser run where the rows live (one Arrow pass, no shuffle).
+
+    Fetch-outcome semantics (RFC 9309 §2.3.1):
+      * 2xx → parse the body for this crawler's token;
+      * 4xx ("unavailable") → NO rule rows: the crawler may proceed as if
+        unrestricted;
+      * 5xx / transport failure ("unreachable", status 0) → one synthetic
+        ``disallow /`` row: must assume complete disallow.
+
+    Split with :func:`split_robots_rules` into the two tables the engine
+    already consumes.
+    """
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            out = {"host": [], "rule_type": [], "path_prefix": [],
+                   "crawl_delay_s": []}
+
+            def emit(h, t, p, d):
+                out["host"].append(h)
+                out["rule_type"].append(t)
+                out["path_prefix"].append(p)
+                out["crawl_delay_s"].append(d)
+
+            for host, status, text in zip(
+                    pdf["host"], pdf["status"], pdf["robots_text"]):
+                st = int(status)
+                if 200 <= st < 300 and text is not None:
+                    rules, delay = select_rules(text, user_agent)
+                    for rtype, pattern in rules:
+                        emit(host, rtype, pattern, None)
+                    if delay is not None:
+                        emit(host, "crawl-delay", None, float(delay))
+                elif 400 <= st < 500:
+                    pass  # unavailable → unrestricted (no rows)
+                else:  # 5xx or transport failure → complete disallow
+                    emit(host, "disallow", "/", None)
+            yield pd.DataFrame(out)
+
+    return cache.mapInPandas(
+        run,
+        "host string, rule_type string, path_prefix string, "
+        "crawl_delay_s double",
+    )
+
+
+def split_robots_rules(parsed: "DataFrame"):
+    """Long-form rule rows → ``(rules_df, delays_df)`` — the exact pair
+    ``robots_tables`` returns, so live-fetched robots drop into
+    ``apply_robots`` / the scheduler's crawl-delay gate unchanged."""
+    from pyspark.sql import functions as F
+
+    rules = parsed.filter(
+        F.col("rule_type").isin("allow", "disallow")
+    ).select("host", "rule_type", "path_prefix")
+    delays = parsed.filter(F.col("rule_type") == "crawl-delay").select(
+        "host", "crawl_delay_s")
+    return rules, delays

@@ -350,3 +350,111 @@ class HttpFetcher:
             .sortWithinPartitions("host", "url")
             .mapInPandas(run, schema)
         )
+
+
+def fetch_robots_batch(
+    fetcher: HttpFetcher,
+    hosts: DataFrame,
+    fetch_ts: datetime,
+    scheme: str = "https",
+) -> DataFrame:
+    """Distributed robots.txt fetch: one GET of ``{scheme}://{host}
+    /robots.txt`` per DISTINCT host → ``(host, status, robots_text,
+    fetched_at)``. No politeness gate needed — by construction every row
+    is a different host. Bodies decode as UTF-8-with-replacement (RFC
+    9309 §2.3 requires UTF-8); status carries the RFC's
+    unavailable-vs-unreachable distinction downstream (transport failure
+    = 0). Text is NULL on any non-2xx."""
+    import pandas as pd
+
+    headers = dict(fetcher.headers)
+    timeout_s = fetcher.timeout_s
+    max_bytes = min(fetcher.max_bytes, 512 * 1024)  # RFC 9309 §2.5: 500 KiB
+    allow_hosts = fetcher.allow_hosts
+
+    def run(batches) -> Iterator[pd.DataFrame]:
+        from urllib.parse import urlsplit as _urlsplit
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            statuses: list[int] = []
+            texts: list[str | None] = []
+            for host in pdf["host"]:
+                url = f"{scheme}://{host}/robots.txt"
+                if allow_hosts is not None and (
+                        _urlsplit(url).hostname not in allow_hosts):
+                    statuses.append(0)
+                    texts.append(None)
+                    continue
+                status, body = fetch_url(url, headers, timeout_s, max_bytes,
+                                         allow_hosts=allow_hosts)
+                statuses.append(status)
+                texts.append(body.decode("utf-8", "replace")
+                             if body is not None and 200 <= status < 300
+                             else None)
+            out = pd.DataFrame({
+                "host": pdf["host"],
+                "status": pd.Series(statuses, index=pdf.index,
+                                    dtype="int32"),
+                "robots_text": pd.Series(texts, index=pdf.index,
+                                         dtype=object),
+            })
+            out["fetched_at"] = fetch_ts
+            yield out
+
+    return hosts.select("host").distinct().mapInPandas(
+        run, "host string, status int, robots_text string, "
+             "fetched_at timestamp")
+
+
+def refresh_robots_cache(
+    spark,
+    store,
+    fetcher: HttpFetcher,
+    hosts: DataFrame,
+    now_ts: datetime,
+    ttl_s: float = 86400.0,
+    scheme: str = "https",
+    table: str = "robots_cache",
+) -> DataFrame:
+    """TTL'd robots cache over the snapshot store (RFC 9309 §2.4 allows
+    caching up to 24 h — the default). Hosts whose cached row is younger
+    than ``ttl_s`` are served from the store and never hit the wire;
+    stale/missing hosts are refetched in ONE distributed batch and the
+    cache is committed back atomically. Returns the refreshed cache rows
+    for the requested hosts — feed through
+    ``functions.robots.parse_robots_rules_df`` + ``split_robots_rules``
+    to get the (rules, delays) pair the scheduler consumes.
+
+    Scale note: the cache table is per-host metadata (≤ ~10^7 rows for
+    the web); the commit rewrites it whole, which is fine at that size —
+    a 10^8-host deployment would switch it to the same hash-bucketed
+    MERGE the frontier uses (state.py ``bucketed=``), a storage-layout
+    change invisible to callers."""
+    want = hosts.select("host").distinct()
+    cached = store.read(spark, table)
+    cutoff = F.lit(now_ts).cast("timestamp") - F.make_interval(
+        secs=F.lit(float(ttl_s)))
+    if cached is not None:
+        fresh = cached.filter(F.col("fetched_at") >= cutoff)
+        need = want.join(fresh.select("host"), "host", "left_anti")
+    else:
+        fresh = None
+        need = want
+    fetched = fetch_robots_batch(fetcher, need, now_ts, scheme=scheme)
+    if cached is not None:
+        # replace refetched hosts, carry every other cached row forward —
+        # anti-join on NEED (the same host set, but a pure plan) so the
+        # wire-touching fetch stage appears exactly ONCE in the commit
+        # plan; referencing `fetched` twice would re-issue every GET
+        carried = cached.join(need, "host", "left_anti")
+        new_cache = carried.unionByName(fetched)
+    else:
+        new_cache = fetched
+    # safe to read-old-while-writing-new: commits land in fresh
+    # versioned dirs (state.py), never overwriting the files this plan
+    # still reads
+    store.commit({table: new_cache})
+    out = store.read(spark, table)
+    return out.join(want, "host", "left_semi")

@@ -180,3 +180,68 @@ def apply_trap_budgets(
                 | (F.col("__tr") <= trap_budget))
         .drop("__trap_host", "__tr")
     )
+
+
+def adaptive_host_delays(
+    fetch_log: DataFrame,
+    target_factor: float = 10.0,
+    min_delay_s: float = 0.5,
+    max_delay_s: float = 30.0,
+    error_frac_threshold: float = 0.1,
+    error_backoff: float = 2.0,
+    host_col: str = "host",
+    latency_col: str = "latency_ms",
+    status_col: str = "status",
+) -> DataFrame:
+    """Adaptive per-host crawl delays learned from observed fetch behavior
+    — the politeness policy production crawlers run instead of one flat
+    delay: BUbiNG (Boldi et al. 2014 §4) spaces same-host requests
+    proportionally to the host's OWN fetch time (a slow server gets more
+    breathing room), and congestion signals (HTTP 429 Too Many Requests /
+    503, RFC 6585) trigger a multiplicative backoff, AIMD-style.
+
+        delay(host) = clamp(target_factor · mean_latency_s
+                            · (error_backoff if err_frac ≥ threshold else 1),
+                            min_delay_s, max_delay_s)
+
+    Errors counted as congestion: 429, 503, and 0 (our transport-failure
+    marker). Hosts are judged only on their own evidence — a host absent
+    from the log keeps the static config delay (it simply has no row
+    here).
+
+    Output: ``(host, n_requests, mean_latency_ms, err_frac,
+    crawl_delay_s)`` — the ``(host, crawl_delay_s)`` shape
+    ``CrawlScheduler(host_delays=...)`` / ``HttpFetcher`` already consume,
+    so the loop closes: round N's fetch telemetry becomes round N+1's
+    politeness table.
+
+    Cross-engine exactness: mean/err_frac are single IEEE divisions over
+    exact integer sums (no libm), so the doubles — and the threshold
+    comparison — are bit-identical in any engine; ``crawl_delay_s``
+    rounds to 3dp only at the very end, for display stability.
+
+    Plan at 10^10 fetches/round: ONE shuffle, partial-aggregated map-side
+    to ≤ #hosts rows; the output is broadcast-sized by construction.
+    """
+    lat = F.col(latency_col).cast("double")
+    err = F.col(status_col).isin(429, 503, 0).cast("long")
+    agg = fetch_log.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).alias("n_requests"),
+        (F.sum(lat) / F.count(F.lit(1))).alias("__mean_ms"),
+        (F.sum(err).cast("double") / F.count(F.lit(1))).alias("err_frac"),
+    )
+    base = (F.lit(float(target_factor)) * F.col("__mean_ms")
+            / F.lit(1000.0))
+    backed = F.when(
+        F.col("err_frac") >= F.lit(float(error_frac_threshold)),
+        base * F.lit(float(error_backoff))).otherwise(base)
+    return agg.select(
+        "host",
+        "n_requests",
+        F.round(F.col("__mean_ms"), 3).alias("mean_latency_ms"),
+        F.round(F.col("err_frac"), 6).alias("err_frac"),
+        F.round(
+            F.least(F.lit(float(max_delay_s)),
+                    F.greatest(F.lit(float(min_delay_s)), backed)),
+            3).alias("crawl_delay_s"),
+    )

@@ -115,6 +115,110 @@ def bm25_topk(
     )
 
 
+def build_postings_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    term_buckets: int = 256,
+) -> tuple[DataFrame, DataFrame]:
+    """Persistable BM25 postings index: ``(postings, stats)``.
+
+    ``bm25_topk`` re-tokenizes the whole corpus per query — right for a
+    one-off, wrong for a search SERVICE over a 100 TB corpus. This is the
+    classic inverted-index split: build once, query many (the
+    ``minhash_index`` pattern applied to lexical search).
+
+    * ``postings``: one row per (term, doc) — ``(term, term_bucket, id,
+      tf, dl)``. Write it partitioned/bucketed by ``term_bucket``
+      (``pmod(xxhash64(term), B)``; Iceberg bucket transform on a
+      cluster) so a query's scan prunes to ≤ len(query) buckets of the
+      index instead of the corpus.
+    * ``stats``: the single-row ``(n_docs, avgdl)`` BM25 needs — frozen
+      at build time so every query scores against the same collection
+      statistics.
+
+    Build cost: one tokenize pass + ONE shuffle on (term, id) with
+    map-side partial counts — the same exchange bm25_topk pays per query,
+    paid once.
+    """
+    did = F.col(id_col)
+    toks = docs.select(
+        did.alias("id"), alnum_words(text_col).alias("__w")
+    ).select("id", F.size("__w").alias("dl"), "__w")
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    postings = (
+        toks.select("id", "dl", F.explode("__w").alias("term"))
+        .groupBy("term", "id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "term_bucket",
+            F.pmod(F.xxhash64("term"), F.lit(int(term_buckets)))
+            .cast("int"))
+        .select("term", "term_bucket", "id", "tf", "dl")
+    )
+    return postings, stats
+
+
+def bm25_topk_indexed(
+    postings: DataFrame,
+    stats: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    term_buckets: int = 256,
+) -> DataFrame:
+    """BM25 top-k against a persisted ``build_postings_index`` —
+    result-identical to ``bm25_topk`` over the same corpus (pinned by
+    tests/test_ranking.py) but the query never touches document text:
+
+    1. the query's term-bucket set (≤ len(query) values, hashed by a
+       metadata-sized Spark job — the ANN driver-side-query-hashing
+       pattern) prunes the index scan to those partitions;
+    2. the exact term filter runs inside the pruned scan;
+    3. per-term document frequency aggregates over the pruned postings
+       (≤ len(query) rows, broadcast back);
+    4. score + global top-k via TakeOrderedAndProject.
+
+    Zero full-width shuffles: everything downstream of the pruned scan is
+    broadcast-sized except the per-doc score groupBy over matched
+    postings."""
+    terms = tokenize_query(query)
+    if not terms:
+        raise ValueError("empty query")
+    spark = postings.sparkSession
+    buckets = sorted({
+        r["b"] for r in spark.createDataFrame(
+            [(t,) for t in terms], "term string"
+        ).select(
+            F.pmod(F.xxhash64("term"), F.lit(int(term_buckets)))
+            .cast("int").alias("b")
+        ).collect()
+    })
+    tf = postings.filter(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
+    df_t = tf.groupBy("term").agg(F.count_distinct("id").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5)) + F.lit(1.0))
+    tfq = F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(stats))
+        .select("id", (idf * tfq).alias("__s"))
+        .groupBy("id")
+        .agg(F.sum("__s").alias("score"))
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+        .select(F.col("id").alias(id_col), "score")
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 5,

@@ -478,3 +478,66 @@ def test_revalidate_if_modified_since_only(spark):
         assert "If-None-Match" not in hdrs
     finally:
         site.close()
+
+
+def test_robots_live_fetch_parse_and_ttl_cache(spark, tmp_path):
+    """Live robots pipeline: one GET per distinct host, RFC 9309 outcome
+    semantics (2xx parse / 404 unrestricted / 500 complete-disallow), and
+    the 24h-style TTL cache — a host fetched this wave never re-hits the
+    wire until its row ages out."""
+    from datetime import datetime, timedelta
+
+    from context_crawler_spark.functions.robots import (
+        parse_robots_rules_df, split_robots_rules,
+    )
+    from context_crawler_spark.operators.fetch import refresh_robots_cache
+
+    a = _Site({"/robots.txt":
+               b"User-agent: *\nDisallow: /private/\nCrawl-delay: 2\n"})
+    b = _Site({})                       # no robots.txt -> 404 (unavailable)
+    c = _Site({"/robots.txt": b"__BOOM__"})   # 500 (unreachable)
+    try:
+        hosts = spark.createDataFrame(
+            [(f"127.0.0.1:{a.port}",), (f"127.0.0.1:{b.port}",),
+             (f"127.0.0.1:{c.port}",)], "host string")
+        store = SnapshotStore(str(tmp_path / "robots_store"))
+        fetcher = HttpFetcher(CrawlConfig(entry=f"{a.base}/"),
+                              allow_hosts={"127.0.0.1"})
+        t0 = datetime(2024, 1, 1, 12, 0, 0)
+        cache = refresh_robots_cache(spark, store, fetcher, hosts, t0,
+                                     ttl_s=3600, scheme="http")
+        got = {r["host"]: r for r in cache.collect()}
+        assert got[f"127.0.0.1:{a.port}"]["status"] == 200
+        assert got[f"127.0.0.1:{b.port}"]["status"] == 404
+        assert got[f"127.0.0.1:{c.port}"]["status"] == 500
+        parsed = parse_robots_rules_df(cache)
+        rules, delays = split_robots_rules(parsed)
+        rrows = [(r["host"], r["rule_type"], r["path_prefix"])
+                 for r in rules.collect()]
+        assert (f"127.0.0.1:{a.port}", "disallow", "/private/") in rrows
+        # 404 host: unrestricted, NO rows; 500 host: complete disallow
+        assert not any(h == f"127.0.0.1:{b.port}" for h, _t, _p in rrows)
+        assert (f"127.0.0.1:{c.port}", "disallow", "/") in rrows
+        (drow,) = delays.collect()
+        assert drow["host"] == f"127.0.0.1:{a.port}"
+        assert drow["crawl_delay_s"] == 2.0
+        assert a.paths_hit() == ["/robots.txt"]
+
+        # within TTL: served from the store, zero wire traffic
+        refresh_robots_cache(spark, store, fetcher, hosts,
+                             t0 + timedelta(minutes=30),
+                             ttl_s=3600, scheme="http").collect()
+        assert a.paths_hit() == ["/robots.txt"]
+        assert b.paths_hit() == ["/robots.txt"]
+
+        # past TTL: every host refetched, cache row replaced
+        cache3 = refresh_robots_cache(spark, store, fetcher, hosts,
+                                      t0 + timedelta(hours=2),
+                                      ttl_s=3600, scheme="http")
+        assert a.paths_hit() == ["/robots.txt", "/robots.txt"]
+        got3 = {r["host"]: r for r in cache3.collect()}
+        assert got3[f"127.0.0.1:{a.port}"]["fetched_at"] \
+            == t0 + timedelta(hours=2)
+        assert cache3.count() == 3  # one row per host, replaced not appended
+    finally:
+        a.close(); b.close(); c.close()

@@ -110,6 +110,45 @@ def test_politeness_budget_respected(spark):
     assert all(r["count"] <= 3 for r in per_host)
 
 
+def test_adaptive_host_delays_scaling_backoff_and_clamps(spark):
+    """Delay scales with the host's own mean latency; an err_frac ≥
+    threshold host gets the multiplicative backoff; both clamps bind;
+    output feeds host_delays directly (column shape)."""
+    from context_crawler_spark.operators.politeness import (
+        adaptive_host_delays,
+    )
+
+    rows = (
+        # fast, clean host: 10*0.05s = 0.5s -> exactly the floor
+        [("fast.test", 50, 200)] * 10
+        # slow, clean host: 10*1.2s = 12s
+        + [("slow.test", 1200, 200)] * 10
+        # congested host: 10*0.4s=4s, 3/10 errors >= 0.1 -> x2 = 8s
+        + [("angry.test", 400, 200)] * 7
+        + [("angry.test", 400, 429), ("angry.test", 400, 503),
+           ("angry.test", 400, 0)]
+        # pathological host: clamps at the 30s ceiling
+        + [("dead.test", 60000, 200)] * 2
+    )
+    log = spark.createDataFrame(
+        rows, "host string, latency_ms long, status int")
+    got = {r["host"]: r for r in adaptive_host_delays(log).collect()}
+    assert got["fast.test"]["crawl_delay_s"] == 0.5
+    assert got["slow.test"]["crawl_delay_s"] == 12.0
+    assert got["angry.test"]["crawl_delay_s"] == 8.0
+    assert got["angry.test"]["err_frac"] == 0.3
+    assert got["dead.test"]["crawl_delay_s"] == 30.0
+    assert got["slow.test"]["n_requests"] == 10
+    # exactly the (host, crawl_delay_s) contract the scheduler consumes
+    assert {"host", "crawl_delay_s"} <= set(
+        adaptive_host_delays(log).columns)
+    # one shuffle: the host agg, partial-aggregated map-side
+    plan = adaptive_host_delays(log)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_" in plan.lower() or "HashAggregate" in plan
+
+
 def test_robots_longest_match_allow_override(spark):
     frontier = spark.createDataFrame(
         [

@@ -411,3 +411,41 @@ def test_ngram_lm_repetitive_beats_rare(spark):
     assert set(rows) == {1, 2, 3}
     assert rows[1]["avg_logscore"] > rows[2]["avg_logscore"] \
         > rows[3]["avg_logscore"]
+
+
+def test_bm25_indexed_equals_per_query_form(spark, tmp_path):
+    """The persisted-postings query path must return EXACTLY the scores
+    the one-shot bm25_topk computes over the same corpus — through a real
+    parquet round-trip of the index, partitioned by term_bucket, with the
+    bucket prune reaching the scan."""
+    from context_crawler_spark.operators.ranking import (
+        bm25_topk_indexed, build_postings_index,
+    )
+
+    docs = [
+        (1, "spark joins tables with hash join strategies"),
+        (2, "the cat sat on the mat"),
+        (3, "hash hash hash everywhere hash"),
+        (4, "spark spark spark streaming"),
+        (5, "hash join customer orders pipeline"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    postings, stats = build_postings_index(df, term_buckets=16)
+    pdir, sdir = str(tmp_path / "postings"), str(tmp_path / "stats")
+    postings.write.partitionBy("term_bucket").parquet(pdir)
+    stats.write.parquet(sdir)
+    loaded_p = spark.read.parquet(pdir)
+    loaded_s = spark.read.parquet(sdir)
+
+    direct = bm25_topk(df, "spark hash customer", k=5).collect()
+    indexed = bm25_topk_indexed(loaded_p, loaded_s, "spark hash customer",
+                                k=5, term_buckets=16).collect()
+    assert [(r["doc_id"], r["score"]) for r in direct] == \
+        [(r["doc_id"], r["score"]) for r in indexed]
+
+    # the term_bucket prune reaches the parquet scan as a partition filter
+    plan = bm25_topk_indexed(
+        loaded_p, loaded_s, "spark hash customer", k=5, term_buckets=16
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "term_bucket" in plan.split("PartitionFilters:", 1)[1][:200]
