@@ -1177,6 +1177,27 @@ def q_pagerank(spark, sf_dir):
     )
 
 
+def q_trustrank(spark, sf_dir):
+    """TrustRank (Gyöngyi et al. VLDB 2004) — teleport mass restricted to
+    a trusted seed set (node % 17 == 0 here) so trust flows outward from
+    vetted sites and link-spam neighborhoods sink; the frontier signal a
+    crawler ranks by instead of plain PageRank when spam matters. Same
+    events-derived graph as q_pagerank; the oracle unrolls the biased
+    recurrence."""
+    from context_crawler_spark.operators.ranking import trustrank
+
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 200).alias("src"),
+        (F.col("event_id") % 200).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    seeds = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct().filter(F.col("node") % 17 == 0)
+    return trustrank(e, seeds, iters=5).select(
+        "node", F.round("rank", 6).alias("rank")
+    )
+
+
 def q_unigram_quality(spark, sf_dir):
     """Corpus-unigram LM score + CCNet-style head/middle/tail buckets
     (Wenzek et al. 2020; KenLM stand-in documented in
@@ -2255,6 +2276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "bm25_indexed": q_bm25_indexed,
         "pagerank": q_pagerank,
+        "trustrank": q_trustrank,
         "unigram_quality": q_unigram_quality,
         "domain_cap": q_domain_cap,
         "unigram_entropy": q_unigram_entropy,
@@ -2333,6 +2355,43 @@ def _gopher_gram_ctes() -> tuple[str, str, str]:
 
 (_GOPHER_GRAM_CTES, _GOPHER_GRAM_JOINS, _GOPHER_GRAM_COLS,
  _GOPHER_GRAM_PASS) = _gopher_gram_ctes()
+
+
+def _trustrank_ctes(iters: int = 5) -> str:
+    """Unrolled biased-PageRank (TrustRank) recurrence over the same
+    events-derived graph as _PAGERANK_CTES: teleport column d = 1/|S| on
+    trusted nodes (node % 17 == 0), 0 elsewhere; rank0 = d;
+    rank_{t+1} = 0.15·d + 0.85·Σ in-contribs."""
+    step = """
+            r{i} AS (
+              SELECT nd.node, nd.d,
+                     0.15::DOUBLE * nd.d
+                     + 0.85::DOUBLE * coalesce(c.s, 0.0::DOUBLE) AS rank
+              FROM nd LEFT JOIN (
+                SELECT e.dst AS node, sum(r{p}.rank / od.outdeg) AS s
+                FROM e JOIN r{p} ON e.src = r{p}.node
+                JOIN od ON e.src = od.src
+                GROUP BY e.dst) c ON nd.node = c.node
+            )"""
+    chain = ",".join(step.format(i=i, p=i - 1) for i in range(1, iters + 1))
+    return r"""
+            WITH e AS (
+              SELECT DISTINCT (user_id % 200) AS src, (event_id % 200) AS dst
+              FROM events WHERE (user_id % 200) != (event_id % 200)
+            ), nodes AS (
+              SELECT src AS node FROM e UNION SELECT dst FROM e
+            ), sn AS (
+              SELECT CAST(count(*) AS DOUBLE) AS s FROM nodes
+              WHERE node % 17 = 0
+            ), nd AS (
+              SELECT node,
+                     CASE WHEN node % 17 = 0
+                          THEN 1.0::DOUBLE / (SELECT s FROM sn)
+                          ELSE 0.0::DOUBLE END AS d
+              FROM nodes
+            ),
+            od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+            r0 AS (SELECT node, d, d AS rank FROM nd),""" + chain
 
 
 _PAGERANK_CTES = r"""
@@ -3293,6 +3352,9 @@ def oracle_sql() -> dict[str, str]:
         # PageRank: the 5-iteration power method unrolled; doubles
         # everywhere (DuckDB decimal literals cast) to match the engine
         "pagerank": _PAGERANK_CTES + """
+            SELECT node, round(rank, 6) AS rank FROM r5
+        """,
+        "trustrank": _trustrank_ctes(5) + """
             SELECT node, round(rank, 6) AS rank FROM r5
         """,
         "frontier_priority": _PAGERANK_CTES + """

@@ -85,6 +85,7 @@ HEADLINE = [
     "conditional_fetch",
     "adaptive_delay",
     "bm25_indexed",
+    "trustrank",
 ]
 
 
@@ -317,7 +318,8 @@ def main() -> None:
     r4d_added = {"justext", "focused_priority", "soft404", "dust_rules",
                  "ngram_lm", "semantic_dedup", "domain_cap",
                  "unigram_entropy", "temperature_sample",
-                 "conditional_fetch", "adaptive_delay", "bm25_indexed"}
+                 "conditional_fetch", "adaptive_delay", "bm25_indexed",
+                 "trustrank"}
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(queries.values()), 3),

@@ -449,3 +449,29 @@ def test_bm25_indexed_equals_per_query_form(spark, tmp_path):
     )._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
     assert "term_bucket" in plan.split("PartitionFilters:", 1)[1][:200]
+
+
+def test_trustrank_flows_from_seeds_and_starves_spam(spark):
+    """Trust mass reaches pages the seed links to; a link farm with no
+    path from any seed ends at exactly zero — the spam-demotion property
+    plain PageRank lacks (the farm's reciprocal links would give it plain
+    rank). An edgeless seed still holds teleport mass."""
+    from context_crawler_spark.operators.ranking import pagerank, trustrank
+
+    edges = spark.createDataFrame(
+        [
+            ("seed", "good"), ("good", "deeper"),       # trusted chain
+            ("spamA", "spamB"), ("spamB", "spamA"),     # reciprocal farm
+        ],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("seed",), ("island",)], "node string")
+    got = {r["node"]: r["rank"] for r in trustrank(edges, seeds).collect()}
+    assert got["seed"] > 0 and got["island"] > 0
+    assert got["good"] > got["deeper"] > 0          # trust decays outward
+    assert got["spamA"] == 0.0 and got["spamB"] == 0.0
+    # plain PageRank would have paid the farm — that's the point
+    pr = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
+    assert pr["spamA"] > 0
+    # teleport mass splits over the seed set: rank0(seed) = 1/|S|
+    assert got["island"] == pytest.approx(0.15 * 0.5, abs=1e-9)
