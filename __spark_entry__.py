@@ -1160,6 +1160,29 @@ def q_bm25_indexed(spark, sf_dir):
     ).select("doc_id", F.round("score", 6).alias("score"))
 
 
+def q_exact_incremental(spark, sf_dir):
+    """Cross-snapshot exact dedup against a persisted digest index
+    (text_dedup.digest_index / exact_match_index — the CC monthly-batch
+    pattern; historical text never read, the 8-byte digest is the whole
+    state). History = doc_id < 250; the incoming batch = doc_id >= 250
+    plus the first 50 historical texts re-presented under ids +1000 —
+    those 50 MUST match their original first-seen id. Output is
+    hash-invariant (ids + dup flags only), so the oracle replays the
+    semantics on raw normalized text."""
+    from context_crawler_spark.operators.text_dedup import (
+        digest_index, exact_match_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    hist = d.filter(F.col("doc_id") < 250)
+    new = d.filter(F.col("doc_id") >= 250).select("doc_id", "text") \
+        .unionByName(
+            d.filter(F.col("doc_id") < 50).select(
+                (F.col("doc_id") + 1000).alias("doc_id"), "text"))
+    out = exact_match_index(new, digest_index(hist))
+    return out.select("doc_id", "first_seen_id", "is_dup")
+
+
 def q_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank for crawl-frontier prioritization
     (Cho/Garcia-Molina/Page 1998 URL-ordering). The link graph is derived
@@ -2265,6 +2288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "minhash_dedup": q_minhash_dedup,
         "minhash_incremental": q_minhash_incremental,
+        "exact_incremental": q_exact_incremental,
         "simhash_dedup": q_simhash_dedup,
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
@@ -2646,6 +2670,23 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": r"""
             SELECT MIN(doc_id) AS doc_id FROM documents
             GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+        """,
+        "exact_incremental": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+              FROM documents
+            ), hist AS (
+              SELECT nt, MIN(doc_id) AS first_seen_id
+              FROM norm WHERE doc_id < 250 GROUP BY nt
+            ), newb AS (
+              SELECT doc_id, nt FROM norm WHERE doc_id >= 250
+              UNION ALL
+              SELECT doc_id + 1000, nt FROM norm WHERE doc_id < 50
+            )
+            SELECT n.doc_id, h.first_seen_id,
+                   h.first_seen_id IS NOT NULL AS is_dup
+            FROM newb n LEFT JOIN hist h USING (nt)
         """,
         "exact_dup_groups": r"""
             SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups FROM documents

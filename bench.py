@@ -86,6 +86,7 @@ HEADLINE = [
     "adaptive_delay",
     "bm25_indexed",
     "trustrank",
+    "exact_incremental",
 ]
 
 
@@ -319,7 +320,7 @@ def main() -> None:
                  "ngram_lm", "semantic_dedup", "domain_cap",
                  "unigram_entropy", "temperature_sample",
                  "conditional_fetch", "adaptive_delay", "bm25_indexed",
-                 "trustrank"}
+                 "trustrank", "exact_incremental"}
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(queries.values()), 3),

@@ -69,6 +69,71 @@ def exact_dup_groups(
     )
 
 
+def digest_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 256,
+) -> DataFrame:
+    """Persistable exact-content fingerprint index — the cross-SNAPSHOT
+    form of :func:`exact_dedup` (Common-Crawl-style pipelines dedup each
+    monthly batch against every prior snapshot by content digest, long
+    after the prior text has gone to cold storage).
+
+    One row per historical doc: ``(digest, digest_bucket, id)`` where
+    ``digest = xxhash64(normalized text)``. Write bucketed/partitioned by
+    ``digest_bucket`` (``pmod(digest, B)``; Iceberg bucket transform on a
+    cluster) so matching a new batch is a storage-partitioned join —
+    only the new side shuffles. Zero shuffle here; the exchange belongs
+    to the sink's clustering."""
+    return df.select(
+        F.xxhash64(normalized_text_col(text_col)).alias("digest"),
+        F.col(id_col).alias("id"),
+    ).withColumn(
+        "digest_bucket",
+        F.pmod(F.col("digest"), F.lit(int(buckets))).cast("int"))
+
+
+def exact_match_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 256,
+) -> DataFrame:
+    """Dedup an incoming batch against a historical :func:`digest_index`:
+    per new doc, ``first_seen_id`` (the smallest historical id sharing
+    its normalized-content digest, NULL if unseen) and ``is_dup``.
+
+    Plan at scale: the new batch hashes in a projection (no Python) and
+    joins the index on ``(digest_bucket, digest)`` — with the index
+    stored bucketed on ``digest_bucket`` only the new side shuffles; the
+    min-id election aggregates the matched rows only (duplicates against
+    history are the minority by construction). Historical text is never
+    read — the 8-byte digest is the entire state, the same
+    keep-the-index-not-the-data contract as ``minhash_match_index``."""
+    nb = new_docs.select(
+        F.col(id_col).alias("new_id"),
+        F.xxhash64(normalized_text_col(text_col)).alias("digest"),
+    ).withColumn(
+        "digest_bucket",
+        F.pmod(F.col("digest"), F.lit(int(buckets))).cast("int"))
+    hits = (
+        nb.join(index, ["digest_bucket", "digest"])
+        .groupBy("new_id")
+        .agg(F.min("id").alias("first_seen_id"))
+    )
+    return (
+        nb.join(hits, "new_id", "left")
+        .select(
+            F.col("new_id").alias(id_col),
+            "digest",
+            "first_seen_id",
+            F.col("first_seen_id").isNotNull().alias("is_dup"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # connected components (small-label propagation)
 # ---------------------------------------------------------------------------

@@ -368,3 +368,35 @@ def test_semantic_dedup_id_tiebreak_and_group_of_three(spark):
     out = {r["vec_id"]: r["keep"] for r in
            semantic_dedup(df, cents, tau=0.999).collect()}
     assert out == {3: True, 7: False, 9: False}
+
+
+def test_exact_incremental_digest_index_roundtrip(spark, tmp_path):
+    """Cross-snapshot exact dedup: the digest index survives a bucketed
+    parquet round-trip; a re-presented historical text matches its
+    first-seen id, a novel text doesn't; normalization (case/whitespace)
+    is applied on BOTH sides; the bucket join prunes partitions."""
+    from context_crawler_spark.operators.text_dedup import (
+        digest_index, exact_match_index,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, "The Quick  Brown Fox"), (2, "second doc"), (3, "third doc"),
+         (7, "the quick brown fox")],       # 7 dups 1 → keeper is min id 1
+        "doc_id long, text string")
+    idx = digest_index(hist, buckets=8)
+    p = str(tmp_path / "digest_idx")
+    idx.write.partitionBy("digest_bucket").parquet(p)
+    loaded = spark.read.parquet(p)
+
+    new = spark.createDataFrame(
+        [(100, "  the   quick brown FOX "),   # dup of 1 (and 7): min id 1
+         (101, "wholly new content")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           exact_match_index(new, loaded, buckets=8).collect()}
+    assert got[100]["is_dup"] and got[100]["first_seen_id"] == 1
+    assert not got[101]["is_dup"] and got[101]["first_seen_id"] is None
+    # partition pruning: the join key includes the index's bucket column
+    plan = exact_match_index(new, loaded, buckets=8)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "digest_bucket" in plan
