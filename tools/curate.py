@@ -10,6 +10,7 @@ table (doc_id, text, lang, ...):
     -> eval-set decontamination (optional) broadcast probe
     -> PII redaction                       zero shuffle
     -> stratified sampling (optional)      zero shuffle
+    -> temperature sampling (optional)     counts agg + broadcast (p^alpha)
     -> sequence packing stats (optional)   distributed prefix scan
 
 Cluster usage:
@@ -57,6 +58,10 @@ def main() -> None:
                     help="word n-gram size for the overlap probe")
     ap.add_argument("--block-words", type=int, default=50,
                     help="paragraph-dedup block size (words)")
+    ap.add_argument("--temperature", default=None,
+                    help="alpha[,budget_frac] — XLM-R p^alpha language "
+                         "rebalancing with rates DERIVED from corpus "
+                         "counts (e.g. 0.3,0.5); alternative to --sample")
     ap.add_argument("--sample", default=None,
                     help="per-language keep rates, e.g. en=0.35,zh=0.8")
     ap.add_argument("--pack", type=int, default=0,
@@ -249,6 +254,20 @@ def main() -> None:
             "sample_key"
         )
         stats["after_sample"] = deduped.count()
+
+    # 6a. temperature sampling (rates derived from the corpus itself)
+    if args.temperature:
+        from context_crawler_spark.operators.curation import (
+            temperature_sample,
+        )
+
+        parts = [float(x) for x in args.temperature.split(",")]
+        alpha = parts[0]
+        frac = parts[1] if len(parts) > 1 else 0.5
+        deduped = temperature_sample(
+            deduped, alpha=alpha, budget_frac=frac
+        ).drop("sample_key", "keep_rate")
+        stats["after_temperature"] = deduped.count()
 
     # 6b. final trainer layout: deterministic shuffle + contiguous shards
     # (reproducible across reruns; one range exchange, shard = position
