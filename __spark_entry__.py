@@ -1597,6 +1597,29 @@ def q_sitemap_recrawl(spark, sf_dir):
     )
 
 
+def q_aged_priority(spark, sf_dir):
+    """Starvation-free claim priority (politeness.with_aged_priority —
+    opt-in divergence from the reference's strict priority order):
+    eff_priority = priority + min(5, waited_rounds // 10), integer-only.
+    Frontier synthesized from orders (priority from o_orderpriority,
+    enqueued_round = o_orderkey % 73, 'now' = round 60)."""
+    from context_crawler_spark.operators.politeness import (
+        with_aged_priority,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    fr = o.select(
+        F.col("o_orderkey").alias("url_id"),
+        (F.lit(6) - F.substring("o_orderpriority", 1, 1).cast("int"))
+        .alias("priority"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None))
+         .otherwise(F.col("o_orderkey") % 73).cast("int")
+         .alias("enqueued_round"),
+    )
+    return with_aged_priority(fr, current_round=60, boost_every=10,
+                              max_boost=5)
+
+
 def q_adaptive_delay(spark, sf_dir):
     """Adaptive per-host politeness (operators/politeness.py
     adaptive_host_delays — BUbiNG-style delay ∝ observed fetch latency,
@@ -2319,6 +2342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_recrawl": q_sitemap_recrawl,
         "conditional_fetch": q_conditional_fetch,
         "adaptive_delay": q_adaptive_delay,
+        "aged_priority": q_aged_priority,
         "trap_signals": q_trap_signals,
         "wet_export_plan": q_wet_export_plan,
         "anchor_text": q_anchor_text,
@@ -4229,6 +4253,23 @@ def oracle_sql() -> dict[str, str]:
                    hint_interval_sec,
                    reason, reason IN ('new', 'stale', 'due') AS refetch
             FROM j
+        """,
+        "aged_priority": r"""
+            WITH fr AS (
+              SELECT o_orderkey AS url_id,
+                     6 - CAST(substr(o_orderpriority, 1, 1) AS INT)
+                       AS priority,
+                     CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                          ELSE CAST(o_orderkey % 73 AS INT) END
+                       AS enqueued_round
+              FROM orders
+            )
+            SELECT url_id, priority, enqueued_round,
+                   CAST(priority + greatest(
+                     least(5, CAST(floor(
+                       CAST(60 - coalesce(enqueued_round, 0) AS DOUBLE)
+                       / 10) AS INT)), 0) AS INT) AS eff_priority
+            FROM fr
         """,
         "adaptive_delay": r"""
             WITH log AS (

@@ -87,6 +87,7 @@ HEADLINE = [
     "bm25_indexed",
     "trustrank",
     "exact_incremental",
+    "aged_priority",
 ]
 
 
@@ -320,7 +321,7 @@ def main() -> None:
                  "ngram_lm", "semantic_dedup", "domain_cap",
                  "unigram_entropy", "temperature_sample",
                  "conditional_fetch", "adaptive_delay", "bm25_indexed",
-                 "trustrank", "exact_incremental"}
+                 "trustrank", "exact_incremental", "aged_priority"}
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(queries.values()), 3),

@@ -245,3 +245,33 @@ def adaptive_host_delays(
                     F.greatest(F.lit(float(min_delay_s)), backed)),
             3).alias("crawl_delay_s"),
     )
+
+
+def with_aged_priority(
+    frontier: DataFrame,
+    current_round: int,
+    boost_every: int = 10,
+    max_boost: int = 5,
+    priority_col: str = "priority",
+    enqueued_round_col: str = "enqueued_round",
+) -> DataFrame:
+    """Starvation-free claim priority (opt-in — it deliberately DIVERGES
+    from the reference's strict ``priority DESC`` SQLite order, which can
+    starve a low-priority URL forever behind an unbounded high-priority
+    stream; Mercator-class frontiers age-boost instead).
+
+        eff_priority = priority + min(max_boost, waited_rounds // boost_every)
+
+    Integer arithmetic only — deterministic, SQL-replayable, and a pure
+    projection (zero shuffle): the claim window downstream orders by
+    ``eff_priority`` exactly as it ordered by ``priority``. Rows missing
+    an enqueue round age from round 0 (conservative: oldest).
+    """
+    waited = F.lit(int(current_round)) - F.coalesce(
+        F.col(enqueued_round_col), F.lit(0))
+    boost = F.least(
+        F.lit(int(max_boost)),
+        F.floor(waited / F.lit(int(boost_every))).cast("int"))
+    return frontier.withColumn(
+        "eff_priority",
+        (F.col(priority_col) + F.greatest(boost, F.lit(0))).cast("int"))

@@ -318,3 +318,24 @@ def test_robots_query_and_fragment_semantics(spark):
     assert "https://h.test/a?sort=asc" not in engine_allowed
     assert "https://h.test/b#?&fake" in engine_allowed
     assert "https://h.test?tracking=1" not in engine_allowed
+
+
+def test_aged_priority_boost_clamp_and_plan(spark):
+    """Aging lifts long-waiting rows by waited//boost_every, capped at
+    max_boost; future/NULL enqueue rounds never boost negatively; zero
+    shuffle (pure projection)."""
+    from context_crawler_spark.operators.politeness import with_aged_priority
+
+    fr = spark.createDataFrame(
+        [(1, 5, 60), (2, 1, 25), (3, 1, 0), (4, 1, None), (5, 1, 70)],
+        "url_id long, priority int, enqueued_round int")
+    out = with_aged_priority(fr, current_round=60, boost_every=10,
+                             max_boost=5)
+    got = {r["url_id"]: r["eff_priority"] for r in out.collect()}
+    assert got[1] == 5       # waited 0 -> no boost
+    assert got[2] == 1 + 3   # waited 35 -> +3
+    assert got[3] == 1 + 5   # waited 60 -> capped at +5
+    assert got[4] == 1 + 5   # NULL ages from round 0 -> capped
+    assert got[5] == 1       # enqueued "in the future" -> clamped to 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
