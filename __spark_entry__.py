@@ -906,7 +906,10 @@ def q_simhash(spark, sf_dir):
 def q_minhash_dedup(spark, sf_dir):
     from context_crawler_spark.operators.text_dedup import minhash_dedup
 
-    d = _t(spark, sf_dir, "documents")
+    # repartition: toy-scale only (the q_gopher_repetition note) — one
+    # parquet file = ONE task computing every Arrow minhash signature
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
     # bands=8 (rows=8) puts the LSH s-curve threshold at (1/8)^(1/8)≈0.77 —
     # matched to the 0.7 verify threshold, ~10x fewer candidates than
     # bands=16 (threshold 0.5) with ≥99% recall at jaccard ≥0.9
@@ -935,7 +938,9 @@ def q_minhash_incremental(spark, sf_dir):
 def q_simhash_dedup(spark, sf_dir):
     from context_crawler_spark.operators.text_dedup import simhash_dedup
 
-    d = _t(spark, sf_dir, "documents")
+    # repartition: toy-scale only (single-file scan — see q_minhash_dedup)
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
     return simhash_dedup(d, max_hamming=3).select("doc_id")
 
 
@@ -1262,7 +1267,13 @@ def q_ngram_lm(spark, sf_dir):
     order-independent and exactly SQL-replayable."""
     from context_crawler_spark.operators.quality_filter import ngram_lm_score
 
-    return ngram_lm_score(_t(spark, sf_dir, "documents"))
+    # toy-scale only (same note as q_gopher_repetition / q_dsir_weights):
+    # one parquet file = one scan task, serializing BOTH expression-heavy
+    # explodes (gram build + melted backoff keys); a 100 TB corpus
+    # arrives in thousands of splits and never needs this
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    return ngram_lm_score(d)
 
 
 def q_repeated_spans(spark, sf_dir):
