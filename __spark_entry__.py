@@ -1165,6 +1165,32 @@ def q_bm25_indexed(spark, sf_dir):
     ).select("doc_id", F.round("score", 6).alias("score"))
 
 
+def q_resolve_redirects(spark, sf_dir):
+    """Redirect-chain resolution by pointer halving (operators/links.py
+    resolve_redirects — O(log max_hops) self-joins, the connected-
+    components trick). Chains synthesized per 25-doc block (u_k -> u_{k-1}
+    down to the block base; lengths 1..24, so some exceed max_hops=16 and
+    come back looped) plus one explicit 2-cycle. Oracle walks the chains
+    with a bounded recursive CTE. hops is contract-checked for RESOLVED
+    rows only (on looped rows the halving's hop counter is an
+    implementation detail)."""
+    from context_crawler_spark.operators.links import resolve_redirects
+
+    d = _t(spark, sf_dir, "documents")
+    chain = d.filter(F.col("doc_id") % 25 != 0).select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("src"),
+        F.concat(F.lit("u"), (F.col("doc_id") - 1).cast("string"))
+        .alias("dst"),
+    )
+    cyc = spark.createDataFrame(
+        [("cycA", "cycB"), ("cycB", "cycA")], "src string, dst string")
+    out = resolve_redirects(chain.unionByName(cyc), max_hops=16)
+    return out.select(
+        "src", "looped", "final_url",
+        F.when(~F.col("looped"), F.col("hops")).alias("resolved_hops"),
+    )
+
+
 def q_exact_incremental(spark, sf_dir):
     """Cross-snapshot exact dedup against a persisted digest index
     (text_dedup.digest_index / exact_match_index — the CC monthly-batch
@@ -2323,6 +2349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "minhash_incremental": q_minhash_incremental,
         "exact_incremental": q_exact_incremental,
+        "resolve_redirects": q_resolve_redirects,
         "simhash_dedup": q_simhash_dedup,
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
@@ -2705,6 +2732,34 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": r"""
             SELECT MIN(doc_id) AS doc_id FROM documents
             GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+        """,
+        "resolve_redirects": r"""
+            WITH RECURSIVE edges AS (
+              SELECT 'u' || CAST(doc_id AS VARCHAR) AS src,
+                     'u' || CAST(doc_id - 1 AS VARCHAR) AS dst
+              FROM documents WHERE doc_id % 25 <> 0
+              UNION ALL SELECT 'cycA', 'cycB'
+              UNION ALL SELECT 'cycB', 'cycA'
+            ), walk AS (
+              SELECT src AS u, dst AS t, 1 AS hops FROM edges
+              UNION ALL
+              SELECT w.u, e.dst, w.hops + 1
+              FROM walk w JOIN edges e ON w.t = e.src
+              WHERE w.hops < 32
+            ), fin AS (
+              SELECT u, arg_max(t, hops) AS t, max(hops) AS hops
+              FROM walk GROUP BY u
+            )
+            SELECT f.u AS src,
+                   (f.t IN (SELECT src FROM edges) OR f.hops > 16)
+                     AS looped,
+                   CASE WHEN f.t NOT IN (SELECT src FROM edges)
+                             AND f.hops <= 16
+                        THEN f.t END AS final_url,
+                   CASE WHEN f.t NOT IN (SELECT src FROM edges)
+                             AND f.hops <= 16
+                        THEN CAST(f.hops AS BIGINT) END AS resolved_hops
+            FROM fin f
         """,
         "exact_incremental": r"""
             WITH norm AS (

@@ -88,6 +88,7 @@ HEADLINE = [
     "trustrank",
     "exact_incremental",
     "aged_priority",
+    "resolve_redirects",
 ]
 
 
@@ -321,7 +322,8 @@ def main() -> None:
                  "ngram_lm", "semantic_dedup", "domain_cap",
                  "unigram_entropy", "temperature_sample",
                  "conditional_fetch", "adaptive_delay", "bm25_indexed",
-                 "trustrank", "exact_incremental", "aged_priority"}
+                 "trustrank", "exact_incremental", "aged_priority",
+                 "resolve_redirects"}
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(queries.values()), 3),

@@ -84,3 +84,68 @@ def expand_links(
         .dropDuplicates(["url_hash"])
         .withColumn("priority", F.lit(config.priority))
     )
+
+
+def resolve_redirects(
+    redirects: DataFrame,
+    max_hops: int = 16,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Resolve redirect CHAINS to their final landing URL — the crawl-
+    hygiene step URL identity needs before dedup: a→b→c must count as c
+    (Common Crawl stores per-hop redirect records and dedups on the final
+    target; the fetch stage's same-host follower handles hops WITHIN one
+    request — this resolves chains assembled ACROSS fetch log records,
+    including cross-host hops that were recorded as misses).
+
+    Per distinct redirect source: ``final_url`` (the first node in its
+    chain that is not itself a redirect source) and ``looped`` (chain
+    cycles, or exceeds ``max_hops`` — crawlers treat both as errors;
+    ``final_url`` is NULL there). Multiple recorded targets per source
+    (re-crawled redirects that changed) resolve deterministically to the
+    MIN target.
+
+    Plan at 10^10 edges: POINTER HALVING, the connected-components trick
+    — each round self-joins the mapping on its current target, so the
+    followed distance DOUBLES per round and ceil(log2(max_hops)) rounds
+    replace max_hops sequential joins. One keyed shuffle per round,
+    lineage cut via localCheckpoint; no driver-side iteration over data.
+    """
+    import math
+
+    m = (
+        redirects.select(
+            F.col(src_col).alias("u"), F.col(dst_col).alias("t"))
+        .groupBy("u").agg(F.min("t").alias("t"))
+        .withColumn("hops", F.lit(1).cast("long"))
+    )
+    rounds = max(1, math.ceil(math.log2(max(2, int(max_hops)))))
+    for _ in range(rounds):
+        nxt = m.select(F.col("u").alias("u2"), F.col("t").alias("t2"),
+                       F.col("hops").alias("h2"))
+        m = (
+            m.join(nxt, m["t"] == F.col("u2"), "left")
+            .select(
+                "u",
+                F.coalesce(F.col("t2"), F.col("t")).alias("t"),
+                F.when(F.col("t2").isNotNull(),
+                       F.col("hops") + F.col("h2"))
+                .otherwise(F.col("hops")).alias("hops"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    # still pointing AT a redirect source after the halving budget, or
+    # chain length beyond max_hops -> cycle / too-long: unresolved
+    srcs = m.select(F.col("u").alias("__s")).distinct()
+    return (
+        m.join(srcs, m["t"] == F.col("__s"), "left")
+        .select(
+            F.col("u").alias(src_col),
+            (F.col("__s").isNotNull() | (F.col("hops") > max_hops))
+            .alias("looped"),
+            F.when(F.col("__s").isNull() & (F.col("hops") <= max_hops),
+                   F.col("t")).alias("final_url"),
+            "hops",
+        )
+    )

@@ -339,3 +339,28 @@ def test_aged_priority_boost_clamp_and_plan(spark):
     assert got[5] == 1       # enqueued "in the future" -> clamped to 0
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_resolve_redirects_chains_cycles_and_budget(spark):
+    """Pointer halving resolves a->b->c to c with exact hop counts; a
+    2-cycle and an over-budget chain come back looped with NULL final;
+    duplicate targets per source resolve to the min."""
+    from context_crawler_spark.operators.links import resolve_redirects
+
+    chain17 = [(f"c{i}", f"c{i+1}") for i in range(17)]  # 17 hops > 16
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"),
+         ("x", "y"), ("y", "x"),
+         ("dup", "t2"), ("dup", "t1")] + chain17,
+        "src string, dst string")
+    got = {r["src"]: r for r in resolve_redirects(edges, max_hops=16)
+           .collect()}
+    assert got["a"]["final_url"] == "c" and got["a"]["hops"] == 2
+    assert not got["a"]["looped"]
+    assert got["b"]["final_url"] == "c" and got["b"]["hops"] == 1
+    assert got["x"]["looped"] and got["x"]["final_url"] is None
+    assert got["y"]["looped"]
+    assert got["dup"]["final_url"] == "t1"          # min target wins
+    assert got["c0"]["looped"]                      # 17 hops > budget
+    assert got["c1"]["final_url"] == "c17"          # 16 hops: exactly fits
+    assert got["c1"]["hops"] == 16
