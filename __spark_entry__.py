@@ -1165,6 +1165,34 @@ def q_bm25_indexed(spark, sf_dir):
     ).select("doc_id", F.round("score", 6).alias("score"))
 
 
+def q_canonical_key(spark, sf_dir):
+    """rel=canonical dedup-key election (operators/links.py
+    canonical_dedup_key — RFC 6596; the DOM extraction half,
+    extract.extract_canonical, is golden-tested like all DOM code).
+    Hints synthesized: every 3rd doc declares an on-host canonical,
+    every 9th a CROSS-host one, every 5th a malformed relative hint
+    (ignored), the rest none."""
+    from context_crawler_spark.operators.links import canonical_dedup_key
+
+    d = _t(spark, sf_dir, "documents")
+    rows = d.select(
+        "doc_id",
+        F.concat(F.lit("https://www."), "source", F.lit(".test/p"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.when(F.col("doc_id") % 9 == 0,
+               F.concat(F.lit("https://cdn.mirror.test/c"),
+                        F.col("doc_id").cast("string")))
+         .when(F.col("doc_id") % 5 == 0, F.lit("/relative/oops"))
+         .when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("https://www."), "source",
+                        F.lit(".test/canonical/p"),
+                        (F.col("doc_id") - F.col("doc_id") % 3)
+                        .cast("string")))
+         .alias("canonical_hint"),
+    )
+    return canonical_dedup_key(rows)
+
+
 def q_resolve_redirects(spark, sf_dir):
     """Redirect-chain resolution by pointer halving (operators/links.py
     resolve_redirects — O(log max_hops) self-joins, the connected-
@@ -2350,6 +2378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental": q_minhash_incremental,
         "exact_incremental": q_exact_incremental,
         "resolve_redirects": q_resolve_redirects,
+        "canonical_key": q_canonical_key,
         "simhash_dedup": q_simhash_dedup,
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
@@ -2732,6 +2761,40 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": r"""
             SELECT MIN(doc_id) AS doc_id FROM documents
             GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+        """,
+        "canonical_key": r"""
+            WITH rows AS (
+              SELECT doc_id,
+                     'https://www.' || source || '.test/p'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                     CASE WHEN doc_id % 9 = 0
+                          THEN 'https://cdn.mirror.test/c'
+                               || CAST(doc_id AS VARCHAR)
+                          WHEN doc_id % 5 = 0 THEN '/relative/oops'
+                          WHEN doc_id % 3 = 0
+                          THEN 'https://www.' || source
+                               || '.test/canonical/p'
+                               || CAST(doc_id - doc_id % 3 AS VARCHAR)
+                     END AS canonical_hint
+              FROM documents
+            ), j AS (
+              SELECT *,
+                     canonical_hint IS NOT NULL
+                     AND regexp_matches(canonical_hint, '^https?://')
+                       AS valid,
+                     lower(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS h,
+                     lower(coalesce(regexp_extract(canonical_hint,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1), ''))
+                       AS hh
+              FROM rows
+            )
+            SELECT doc_id, url, canonical_hint,
+                   CASE WHEN valid THEN canonical_hint ELSE url END
+                     AS dedup_url,
+                   valid AS used_hint,
+                   valid AND h <> hh AS cross_host
+            FROM j
         """,
         "resolve_redirects": r"""
             WITH RECURSIVE edges AS (

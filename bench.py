@@ -89,6 +89,7 @@ HEADLINE = [
     "exact_incremental",
     "aged_priority",
     "resolve_redirects",
+    "canonical_key",
 ]
 
 
@@ -323,7 +324,7 @@ def main() -> None:
                  "unigram_entropy", "temperature_sample",
                  "conditional_fetch", "adaptive_delay", "bm25_indexed",
                  "trustrank", "exact_incremental", "aged_priority",
-                 "resolve_redirects"}
+                 "resolve_redirects", "canonical_key"}
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(queries.values()), 3),

@@ -392,6 +392,30 @@ def extract_title(html: str) -> str:
     return _title_from_root(parse_html(html))
 
 
+def extract_canonical(html: str, base_url: str = "") -> str | None:
+    """``<link rel="canonical" href=...>`` from the document, resolved
+    against ``base_url`` (RFC 6596; the hint Google/Common Crawl honor
+    when electing the representative URL of a duplicate cluster). First
+    matching link wins (browser behavior); a relative href resolves like
+    any other link; missing/empty href → None. Feed the result to
+    ``operators/links.canonical_dedup_key``."""
+    if not html:
+        return None
+    from urllib.parse import urljoin
+
+    for node in parse_html(html).elements():
+        if node.tag != "link":
+            continue
+        rel = (node.attrs.get("rel") or "").lower().split()
+        if "canonical" not in rel:
+            continue
+        href = (node.attrs.get("href") or "").strip()
+        if not href:
+            return None
+        return urljoin(base_url, href) if base_url else href
+    return None
+
+
 def extract_page(
     html: str, base_url: str, selector: str = "body"
 ) -> tuple[str, str, list[tuple[str, int, bool]]]:

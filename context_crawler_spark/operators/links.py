@@ -149,3 +149,41 @@ def resolve_redirects(
             "hops",
         )
     )
+
+
+def canonical_dedup_key(
+    df: DataFrame,
+    url_col: str = "url",
+    hint_col: str = "canonical_hint",
+) -> DataFrame:
+    """Elect the dedup identity of a fetched page from its
+    ``<link rel=canonical>`` hint (RFC 6596 — extracted by
+    ``functions/extract.extract_canonical``): a page declaring a
+    canonical is a self-confessed duplicate of that target, so the
+    URL-seen/dedup layer should key on the TARGET (Google and Common
+    Crawl both honor the hint when electing a duplicate cluster's
+    representative).
+
+    Per row: ``dedup_url`` (the valid absolute http(s) hint, else the
+    page's own URL — relative hints must be resolved at extract time,
+    malformed ones are ignored), ``used_hint``, and ``cross_host`` (hint
+    points off-host — honored, but flagged: cross-domain canonicals are
+    the abuse vector, and a downstream policy may demote them).
+
+    Zero shuffle — pure JVM projection; feed ``dedup_url`` through
+    ``ids.with_url_identity`` for normalization + hashing exactly like
+    any other URL.
+    """
+    url = F.col(url_col)
+    hint = F.col(hint_col)
+    valid = hint.isNotNull() & hint.rlike(r"^https?://")
+    host = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    hhost = F.regexp_extract(hint, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    return (
+        df.withColumn("dedup_url", F.when(valid, hint).otherwise(url))
+        .withColumn("used_hint", valid)
+        .withColumn(
+            "cross_host",
+            valid & (F.lower(host) != F.lower(hhost)),
+        )
+    )

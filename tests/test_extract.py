@@ -144,3 +144,27 @@ def test_parse_sitemap_entries_lastmod():
     assert parse_sitemap_entries("https://c.test/1\nhttps://c.test/2") == [
         ("https://c.test/1", None), ("https://c.test/2", None)]
     assert parse_sitemap_entries("") == []
+
+
+def test_extract_canonical_link():
+    """rel=canonical extraction: first matching <link> wins, relative
+    hrefs resolve against the base, rel token-list matching, absent or
+    empty href -> None."""
+    from context_crawler_spark.functions.extract import extract_canonical
+
+    html = ('<html><head><title>t</title>'
+            '<link rel="stylesheet" href="/x.css">'
+            '<link rel="canonical" href="/clean/page">'
+            '<link rel="canonical" href="https://late.test/ignored">'
+            '</head><body>hi</body></html>')
+    assert extract_canonical(html, "https://a.test/dirty?u=1") == \
+        "https://a.test/clean/page"
+    assert extract_canonical(html) == "/clean/page"   # no base: raw href
+    assert extract_canonical(
+        '<link rel="alternate canonical" href="https://b.test/c">',
+        "https://a.test/") == "https://b.test/c"      # rel token list
+    assert extract_canonical("<p>no links</p>", "https://a.test/") is None
+    assert extract_canonical(
+        '<link rel="canonical" href="">', "https://a.test/") is None
+    assert extract_canonical(None, "https://a.test/") is None
+    assert extract_canonical("", "https://a.test/") is None
