@@ -1165,6 +1165,67 @@ def q_bm25_indexed(spark, sf_dir):
     ).select("doc_id", F.round("score", 6).alias("score"))
 
 
+def q_cache_control(spark, sf_dir):
+    """Header-driven revisit scheduling (sources/cdx.cache_control_revisit
+    — RFC 9111 max-age/s-maxage/no-store → next_fetch_ts, clamped).
+    Headers synthesized: %7 no-store, %5 s-maxage (preferred over a
+    co-present max-age), %3 max-age (tiny values exercise the min clamp,
+    doc_id-scaled ones the max clamp), %11 Expires only, else no header
+    (NULL schedule). 'now' sits mid-range so due splits both ways."""
+    from context_crawler_spark.sources.cdx import cache_control_revisit
+
+    d = _t(spark, sf_dir, "documents")
+    rows = d.select(
+        F.concat(F.lit("https://"), "source", F.lit(".test/p"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id"))
+        .alias("fetched_at"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("no-store"))
+         .when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("public, max-age=60, s-maxage="),
+                        (F.col("doc_id") * 100).cast("string")))
+         .when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("max-age="),
+                        (F.col("doc_id") * 40000).cast("string")))
+         .alias("cache_control"),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")
+                                   + F.lit(7200))).alias("expires"),
+    )
+    return cache_control_revisit(
+        rows, now_ts=F.timestamp_seconds(F.lit(1700020000)),
+        expires_ts_col="expires",
+    ).select(
+        "url",
+        F.date_format("fetched_at", "yyyy-MM-dd HH:mm:ss")
+        .alias("fetched_at"),
+        "ttl_sec",
+        F.date_format("next_fetch_ts", "yyyy-MM-dd HH:mm:ss")
+        .alias("next_fetch_ts"),
+        "due",
+    )
+
+
+def q_meta_robots(spark, sf_dir):
+    """Page-level robots directives (operators/links.apply_meta_robots —
+    noindex/nofollow/none token split; the DOM half,
+    extract.extract_meta_robots, is golden-tested). Directives
+    synthesized: %4 noindex, %6 'noindex, nofollow', %9 none (implies
+    both), %10 'index, follow' (no-ops), else absent."""
+    from context_crawler_spark.operators.links import apply_meta_robots
+
+    d = _t(spark, sf_dir, "documents")
+    rows = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 9 == 0, F.lit("none"))
+         .when(F.col("doc_id") % 6 == 0, F.lit("noindex,nofollow"))
+         .when(F.col("doc_id") % 4 == 0, F.lit("noindex"))
+         .when(F.col("doc_id") % 10 == 0, F.lit("index,follow"))
+         .alias("meta_robots"),
+    )
+    return apply_meta_robots(rows)
+
+
 def q_canonical_key(spark, sf_dir):
     """rel=canonical dedup-key election (operators/links.py
     canonical_dedup_key — RFC 6596; the DOM extraction half,
@@ -2379,6 +2440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_incremental": q_exact_incremental,
         "resolve_redirects": q_resolve_redirects,
         "canonical_key": q_canonical_key,
+        "cache_control": q_cache_control,
+        "meta_robots": q_meta_robots,
         "simhash_dedup": q_simhash_dedup,
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
@@ -2761,6 +2824,82 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": r"""
             SELECT MIN(doc_id) AS doc_id FROM documents
             GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+        """,
+        "cache_control": r"""
+            WITH rows AS (
+              SELECT 'https://' || source || '.test/p'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                     to_timestamp(1700000000 + doc_id)::TIMESTAMP
+                       AS fetched_at,
+                     CASE WHEN doc_id % 7 = 0 THEN 'no-store'
+                          WHEN doc_id % 5 = 0
+                          THEN 'public, max-age=60, s-maxage='
+                               || CAST(doc_id * 100 AS VARCHAR)
+                          WHEN doc_id % 3 = 0
+                          THEN 'max-age='
+                               || CAST(doc_id * 40000 AS VARCHAR)
+                     END AS cc,
+                     CASE WHEN doc_id % 11 = 0
+                          THEN to_timestamp(1700000000 + doc_id
+                               + 7200)::TIMESTAMP END AS expires
+              FROM documents
+            ), p AS (
+              SELECT *,
+                     lower(coalesce(cc, '')) AS lcc,
+                     regexp_extract(lower(coalesce(cc, '')),
+                       '(?:^|[,\s])s-maxage=(\d+)', 1) AS sm,
+                     regexp_extract(lower(coalesce(cc, '')),
+                       '(?:^|[,\s])max-age=(\d+)', 1) AS ma
+              FROM rows
+            ), t AS (
+              SELECT *,
+                     CASE WHEN regexp_matches(lcc,
+                       '(?:^|[,\s])(?:no-store|no-cache)(?:$|[,\s])')
+                          THEN 3600
+                          ELSE coalesce(
+                            CASE WHEN sm <> '' THEN CAST(sm AS BIGINT)
+                                 WHEN ma <> '' THEN CAST(ma AS BIGINT)
+                            END,
+                            CAST(epoch(expires) - epoch(fetched_at)
+                                 AS BIGINT))
+                     END AS ttl_raw
+              FROM p
+            )
+            SELECT url,
+                   strftime(fetched_at, '%Y-%m-%d %H:%M:%S')
+                     AS fetched_at,
+                   CASE WHEN ttl_raw IS NOT NULL THEN
+                     greatest(3600, least(7776000, ttl_raw)) END AS ttl_sec,
+                   CASE WHEN ttl_raw IS NOT NULL THEN
+                     strftime(to_timestamp(epoch(fetched_at)
+                       + greatest(3600, least(7776000, ttl_raw))),
+                       '%Y-%m-%d %H:%M:%S') END AS next_fetch_ts,
+                   CASE WHEN ttl_raw IS NOT NULL THEN
+                     epoch(fetched_at)
+                     + greatest(3600, least(7776000, ttl_raw))
+                     <= 1700020000 END AS due
+            FROM t
+        """,
+        "meta_robots": r"""
+            WITH rows AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 9 = 0 THEN 'none'
+                          WHEN doc_id % 6 = 0 THEN 'noindex,nofollow'
+                          WHEN doc_id % 4 = 0 THEN 'noindex'
+                          WHEN doc_id % 10 = 0 THEN 'index,follow'
+                     END AS meta_robots
+              FROM documents
+            ), s AS (
+              SELECT *,
+                     string_split(coalesce(meta_robots, ''), ',') AS toks
+              FROM rows
+            )
+            SELECT doc_id, meta_robots,
+                   list_contains(toks, 'noindex')
+                     OR list_contains(toks, 'none') AS noindex,
+                   list_contains(toks, 'nofollow')
+                     OR list_contains(toks, 'none') AS nofollow
+            FROM s
         """,
         "canonical_key": r"""
             WITH rows AS (

@@ -90,6 +90,8 @@ HEADLINE = [
     "aged_priority",
     "resolve_redirects",
     "canonical_key",
+    "cache_control",
+    "meta_robots",
 ]
 
 
@@ -324,7 +326,8 @@ def main() -> None:
                  "unigram_entropy", "temperature_sample",
                  "conditional_fetch", "adaptive_delay", "bm25_indexed",
                  "trustrank", "exact_incremental", "aged_priority",
-                 "resolve_redirects", "canonical_key"}
+                 "resolve_redirects", "canonical_key", "cache_control",
+                 "meta_robots"}
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(queries.values()), 3),

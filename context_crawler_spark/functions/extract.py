@@ -416,6 +416,28 @@ def extract_canonical(html: str, base_url: str = "") -> str | None:
     return None
 
 
+def extract_meta_robots(html: str) -> str | None:
+    """``<meta name="robots" content="noindex, nofollow">`` directives —
+    the page-level crawler controls (Robots Exclusion Protocol's meta
+    form; robots.txt gates the FETCH, this gates what happens after).
+    Returns the comma-joined lowercase token list of the FIRST
+    name=robots meta (browser/Googlebot behavior), None when absent.
+    Feed to ``operators/links.apply_meta_robots`` for the
+    noindex/nofollow split."""
+    if not html:
+        return None
+    for node in parse_html(html).elements():
+        if node.tag != "meta":
+            continue
+        if (node.attrs.get("name") or "").strip().lower() != "robots":
+            continue
+        content = (node.attrs.get("content") or "").lower()
+        toks = [t.strip() for t in content.replace(";", ",").split(",")
+                if t.strip()]
+        return ",".join(toks) if toks else None
+    return None
+
+
 def extract_page(
     html: str, base_url: str, selector: str = "body"
 ) -> tuple[str, str, list[tuple[str, int, bool]]]:

@@ -187,3 +187,32 @@ def canonical_dedup_key(
             valid & (F.lower(host) != F.lower(hhost)),
         )
     )
+
+
+def apply_meta_robots(
+    df: DataFrame,
+    directives_col: str = "meta_robots",
+) -> DataFrame:
+    """Split the page-level robots directive token list (from
+    ``functions/extract.extract_meta_robots`` or an ``X-Robots-Tag``
+    response header — same token grammar) into the two flags the
+    pipeline acts on:
+
+      * ``noindex`` — fetch stands, but the page must NOT be emitted to
+        the dataset sink (``none`` implies it);
+      * ``nofollow`` — the page's links must NOT be expanded into the
+        frontier (``none`` implies it too).
+
+    Token matching is exact on the comma-separated lowercase list
+    (``index``/``follow``/``all`` are the defaults and need no action).
+    Zero shuffle — a pure projection; compose as
+    ``pages.where(~noindex)`` before the sink and ``~nofollow`` before
+    link expansion. The reference crawler has no analog (it crawls
+    configured doc sites); at web scale honoring these is table stakes.
+    """
+    toks = F.split(F.coalesce(F.col(directives_col), F.lit("")), ",")
+    has = lambda t: F.array_contains(toks, t)  # noqa: E731
+    return (
+        df.withColumn("noindex", has("noindex") | has("none"))
+        .withColumn("nofollow", has("nofollow") | has("none"))
+    )

@@ -473,3 +473,58 @@ def conditional_fetch_plan(
             | F.col("if_modified_since").isNotNull(),
         )
     )
+
+
+def cache_control_revisit(
+    df: DataFrame,
+    now_ts,
+    min_interval_sec: int = 3600,
+    max_interval_sec: int = 90 * 86400,
+    url_col: str = "url",
+    cc_col: str = "cache_control",
+    expires_ts_col: str | None = None,
+    fetched_ts_col: str = "fetched_at",
+) -> DataFrame:
+    """Header-driven revisit scheduling (RFC 9111): the origin's OWN
+    freshness declaration as a recrawl trigger, next to the learned
+    (``estimate_change_rate``), declared-by-sitemap, and age-based ones.
+
+        ttl = max-age (Cache-Control; s-maxage preferred per §5.2.2.10)
+              else (Expires - fetched_at) (§5.3)
+        next_fetch_ts = fetched_at + clamp(ttl, min, max)
+
+    ``no-store``/``no-cache`` → revisit at the MIN interval (the origin
+    says "don't reuse", not "never return"). No usable header → NULL ttl
+    and NULL next_fetch_ts (the other triggers govern). ``due`` compares
+    against ``now_ts``. Pure zero-shuffle projection: header parsing is
+    JVM ``regexp_extract`` in the RE2/Java common subset, so the oracle
+    runs the same patterns."""
+    cc = F.lower(F.coalesce(F.col(cc_col), F.lit("")))
+    s_maxage = F.regexp_extract(cc, r"(?:^|[,\s])s-maxage=(\d+)", 1)
+    maxage = F.regexp_extract(cc, r"(?:^|[,\s])max-age=(\d+)", 1)
+    nostore = cc.rlike(r"(?:^|[,\s])(?:no-store|no-cache)(?:$|[,\s])")
+    fetched = F.col(fetched_ts_col)
+    ttl_hdr = F.when(s_maxage != "", s_maxage.cast("long")) \
+        .when(maxage != "", maxage.cast("long"))
+    if expires_ts_col is not None:
+        ttl_hdr = F.coalesce(
+            ttl_hdr,
+            (F.unix_timestamp(F.col(expires_ts_col))
+             - F.unix_timestamp(fetched)).cast("long"))
+    ttl = F.when(nostore, F.lit(int(min_interval_sec))).otherwise(ttl_hdr)
+    clamped = F.when(
+        ttl.isNotNull(),
+        F.greatest(F.lit(int(min_interval_sec)),
+                   F.least(F.lit(int(max_interval_sec)), ttl)))
+    now_col = now_ts if isinstance(now_ts, Column) else \
+        F.lit(now_ts).cast("timestamp")
+    nxt = F.when(
+        clamped.isNotNull(),
+        (F.unix_timestamp(fetched) + clamped).cast("timestamp"))
+    return df.select(
+        F.col(url_col).alias("url"),
+        fetched.alias("fetched_at"),
+        clamped.alias("ttl_sec"),
+        nxt.alias("next_fetch_ts"),
+        F.when(nxt.isNotNull(), nxt <= now_col).alias("due"),
+    )

@@ -168,3 +168,20 @@ def test_extract_canonical_link():
         '<link rel="canonical" href="">', "https://a.test/") is None
     assert extract_canonical(None, "https://a.test/") is None
     assert extract_canonical("", "https://a.test/") is None
+
+
+def test_extract_meta_robots():
+    from context_crawler_spark.functions.extract import extract_meta_robots
+
+    html = ('<html><head>'
+            '<meta name="viewport" content="width=device-width">'
+            '<meta name="ROBOTS" content="NOINDEX, nofollow">'
+            '<meta name="robots" content="all">'
+            '</head><body>x</body></html>')
+    assert extract_meta_robots(html) == "noindex,nofollow"  # first wins
+    assert extract_meta_robots("<p>none</p>") is None
+    assert extract_meta_robots('<meta name="robots" content="">') is None
+    assert extract_meta_robots(
+        '<meta name="robots" content="noindex; nofollow">'
+    ) == "noindex,nofollow"                # ; tolerated like ,
+    assert extract_meta_robots(None) is None
