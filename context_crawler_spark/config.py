@@ -67,6 +67,12 @@ class CrawlConfig:
     host_crawl_delay_s: int | None = None  # min seconds between fetches per host
     respect_robots: bool = False
     max_depth: int | None = None
+    # honor page-level <meta name=robots> directives (north-rule addition;
+    # the reference has no analog): noindex pages fetch + expand links but
+    # are NOT emitted to the dataset; nofollow pages emit but their links
+    # are NOT expanded; 'none' implies both. Opt-in — default off keeps
+    # byte-for-byte reference parity.
+    honor_meta_robots: bool = False
     # fetch-layer-only fields (reference src/schema.ts:80-96): accepted with
     # the reference's validation and carried through to_dict/from_dict, but
     # IGNORED by the dataflow — they configure the live browser fetch stage
@@ -150,6 +156,7 @@ class CrawlConfig:
             "host_crawl_delay_s": self.host_crawl_delay_s,
             "respect_robots": self.respect_robots,
             "max_depth": self.max_depth,
+            "honor_meta_robots": self.honor_meta_robots,
             "cookie": self.cookie,
             "wait_for_selector_timeout": self.wait_for_selector_timeout,
             "resource_exclusions": self.resource_exclusions,

@@ -103,24 +103,35 @@ PAGE_TYPE = StructType(
         StructField("text", StringType(), False),
         StructField("links", LINK_TYPE, False),
         StructField("n_tokens", IntegerType(), False),
+        # meta-robots directive list ("noindex,nofollow"); populated only
+        # when the maker is built with robots=True — a null column
+        # otherwise, so the struct schema (and every cached plan) is
+        # identical either way
+        StructField("robots", StringType(), True),
     ]
 )
 
 
-def make_extract_page_udf(selector: str):
-    """Fused fetch-stage extraction: (title, text, links, n_tokens) from ONE
-    DOM parse and ONE Python round-trip per page. Separate UDFs would
-    re-parse the DOM and, worse, pipe the full text column JVM→Python→JVM
-    once per UDF — Arrow serialization of page text is a first-order cost
-    at fetch-stage scale."""
+def make_extract_page_udf(selector: str, robots: bool = False):
+    """Fused fetch-stage extraction: (title, text, links, n_tokens[,
+    robots]) from ONE DOM parse and ONE Python round-trip per page.
+    Separate UDFs would re-parse the DOM and, worse, pipe the full text
+    column JVM→Python→JVM once per UDF — Arrow serialization of page text
+    is a first-order cost at fetch-stage scale. ``robots=True``
+    additionally extracts the <meta name=robots> directive list (one
+    extra head scan, only when the scheduler's honor_meta_robots is on —
+    off, the column is null and the plan is unchanged)."""
 
     @F.pandas_udf(PAGE_TYPE)
     def extract_page_udf(html: pd.Series, base_url: pd.Series) -> pd.DataFrame:
         rows = []
         for h, u in zip(html, base_url):
-            title, text, links = extract.extract_page(_as_str(h), u or "", selector)
-            rows.append((title, text, links, tokens.count_tokens(text)))
-        return pd.DataFrame(rows, columns=["title", "text", "links", "n_tokens"])
+            s = _as_str(h)
+            title, text, links = extract.extract_page(s, u or "", selector)
+            meta = extract.extract_meta_robots(s) if robots else None
+            rows.append((title, text, links, tokens.count_tokens(text), meta))
+        return pd.DataFrame(
+            rows, columns=["title", "text", "links", "n_tokens", "robots"])
 
     return extract_page_udf
 

@@ -174,7 +174,9 @@ class CrawlScheduler:
         # pmod space the store was written with.
         self.frontier_buckets = frontier_buckets
         self.frontier_rows_per_bucket = max(1, frontier_rows_per_bucket)
-        self._extract_page = make_extract_page_udf(config.selector)
+        self._extract_page = make_extract_page_udf(
+            config.selector,
+            robots=bool(getattr(config, "honor_meta_robots", False)))
 
     def _nb(self) -> int:
         """Bucket count of the live store: persisted at seed (and bumped
@@ -765,7 +767,22 @@ class CrawlScheduler:
             .persist()
         )
 
-        pages_out = fetched.select(
+        # page-level robots directives (opt-in, config.honor_meta_robots):
+        # noindex -> fetched + links expanded, but NOT emitted to the
+        # dataset; nofollow -> emitted, but links NOT expanded; 'none'
+        # implies both. With the flag off both sources stay `fetched`
+        # and the plan is byte-identical to the parity-tested one.
+        emit_src = follow_src = fetched
+        if getattr(cfg, "honor_meta_robots", False):
+            toks = F.split(F.coalesce(F.col("__page.robots"), F.lit("")), ",")
+            noindex = F.array_contains(toks, "noindex") | \
+                F.array_contains(toks, "none")
+            nofollow = F.array_contains(toks, "nofollow") | \
+                F.array_contains(toks, "none")
+            emit_src = fetched.filter(~noindex)
+            follow_src = fetched.filter(~nofollow)
+
+        pages_out = emit_src.select(
             F.lit(cfg.name).alias("job"),
             "url", "canonical_url", "url_hash", "host", "depth", "seq",
             F.col("__page.title").alias("title"),
@@ -775,14 +792,19 @@ class CrawlScheduler:
             "warc_ts",
             F.col("__page.n_tokens").alias("n_tokens"),
         ).persist()
-        # ONE job yields both the per-partition lineage and n_fetched
+        # ONE job yields both the per-partition lineage and n_emitted
         lineage = [
             {"partition": int(row["pid"]), "rows": int(row["cnt"])}
             for row in pages_out.groupBy(
                 F.spark_partition_id().alias("pid")
             ).agg(F.count("*").alias("cnt")).collect()
         ]
-        n_fetched = sum(e["rows"] for e in lineage)
+        n_emitted = sum(e["rows"] for e in lineage)
+        # with meta-robots off (the default), emitted == fetched and no
+        # extra job runs; on, fetched must count the noindex pages too
+        # (they WERE fetched — counting them as misses would poison the
+        # retry metrics and the host_state fetch tallies)
+        n_fetched = n_emitted if emit_src is fetched else fetched.count()
 
         hook_out = None
         if self.visit_hook is not None and n_fetched > 0:
@@ -799,7 +821,7 @@ class CrawlScheduler:
             )
 
         # link expansion → new frontier rows
-        candidates = expand_links(fetched, cfg, links_col="__page.links")
+        candidates = expand_links(follow_src, cfg, links_col="__page.links")
         if cfg.max_depth is not None:
             candidates = candidates.filter(F.col("depth") <= cfg.max_depth)
         seen = self.url_seen()
@@ -930,6 +952,7 @@ class CrawlScheduler:
             "round": r,
             "claimed": int(n_batch),
             "fetched": int(n_fetched),
+            "emitted": int(n_emitted),
             "fetch_misses": int(n_batch - n_fetched),
             "candidates": int(n_candidates),
             "new_urls": int(n_new),

@@ -199,3 +199,65 @@ def test_sitemap_table_shape(spark):
     })
     rows = [(r["host"], r["sitemap_url"], r["pos"]) for r in t.collect()]
     assert rows == [("a.test", "https://a.test/sm.xml", 0)]
+
+
+def test_honor_meta_robots_noindex_nofollow(spark, tmp_path):
+    """Page-level robots directives wired through the crawl loop
+    (config.honor_meta_robots): a noindex page is fetched and its links
+    expand, but it is NOT in pages_out; a nofollow page is emitted but
+    its links do NOT expand; with the flag off (default) both behaviors
+    revert to reference parity (everything emitted + expanded)."""
+    from datetime import datetime
+
+    from context_crawler_spark.config import CrawlConfig
+    from context_crawler_spark.plans.scheduler import CrawlScheduler
+    from context_crawler_spark.state import SnapshotStore
+
+    def page(path, body, meta=""):
+        html = (f"<html><head><title>{path}</title>{meta}</head>"
+                f"<body><article>{body}</article></body></html>")
+        return (f"https://m.test{path}", datetime(2024, 1, 1), html.encode())
+
+    rows = [
+        page("/", 'root <a href="/a">a</a> <a href="/b">b</a>'),
+        page("/a", 'secret <a href="/c">c</a>',
+             '<meta name="robots" content="noindex">'),
+        page("/b", 'listed <a href="/d">d</a>',
+             '<meta name="robots" content="nofollow">'),
+        page("/c", "reached via a"),
+        page("/d", "never reached when honoring"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary")
+
+    def crawl(tag, honor):
+        cfg = CrawlConfig(entry="https://m.test/",
+                          match=["https://m.test/**"], selector="article",
+                          honor_meta_robots=honor)
+        eng = CrawlScheduler(spark, SnapshotStore(str(tmp_path / tag)),
+                             cfg, pages, n_buckets=4)
+        eng.run(max_rounds=10)
+        return eng
+
+    eng = crawl("honor", True)
+    # dataset view (pages_out / visit_order): /a suppressed by noindex,
+    # /d never discovered (nofollow on /b) — but /c present proves the
+    # noindex page's links DID expand
+    assert set(eng.visit_order()) == {
+        "https://m.test/", "https://m.test/b", "https://m.test/c"}
+    # the frontier records /a as genuinely fetched (completed, no /d row)
+    fr = {r["url"]: r["status"] for r in
+          eng.frontier().select("url", "status").collect()}
+    assert fr["https://m.test/a"] == "completed"
+    assert "https://m.test/d" not in fr
+    m = [x for x in eng.metrics() if x.get("fetched")]
+    assert sum(x["fetched"] for x in m) == 4     # /a counts as fetched
+    assert sum(x.get("emitted", 0) for x in m) == 3
+    assert all(x["fetch_misses"] == 0 for x in m)
+
+    off = crawl("off", False)
+    assert set(off.visit_order()) == {
+        "https://m.test/", "https://m.test/a", "https://m.test/b",
+        "https://m.test/c", "https://m.test/d"}
+    assert {r["url"] for r in off.pages_out().select("url").collect()} == \
+        set(off.visit_order())
