@@ -541,3 +541,49 @@ def test_robots_live_fetch_parse_and_ttl_cache(spark, tmp_path):
         assert cache3.count() == 3  # one row per host, replaced not appended
     finally:
         a.close(); b.close(); c.close()
+
+
+def test_live_crawl_with_wire_robots(spark, site0_rows, tmp_path):
+    """End-to-end: robots rules come FROM THE WIRE (refresh_robots_cache
+    -> parse -> split) and drive a live crawl — the disallowed subtree is
+    never requested, the robots Crawl-delay feeds the scheduler's delay
+    table, and robots.txt itself is fetched exactly once (TTL cache)."""
+    from context_crawler_spark.functions.robots import (
+        parse_robots_rules_df, split_robots_rules,
+    )
+    from context_crawler_spark.operators.fetch import refresh_robots_cache
+
+    site = _Site({})
+    try:
+        rows = _rewrite(site0_rows, site.base)
+        site.pages.update(_serve(rows, site.base))
+        site.pages["/robots.txt"] = \
+            b"User-agent: *\nDisallow: /guide\nCrawl-delay: 1\n"
+        cfg = CrawlConfig(entry=f"{site.base}/", match=[f"{site.base}/**"],
+                          selector="article", respect_robots=True)
+        fetcher = HttpFetcher(cfg, allow_hosts={"127.0.0.1"})
+        # wire fetch keys on host:port (the local server's address); the
+        # scheduler's politeness host is the registered host — remap.
+        wire_hosts = spark.createDataFrame(
+            [(f"127.0.0.1:{site.port}",)], "host string")
+        store = SnapshotStore(str(tmp_path / "rstore"))
+        from datetime import datetime
+
+        cache = refresh_robots_cache(
+            spark, store, fetcher, wire_hosts,
+            datetime(2024, 1, 1), ttl_s=86400, scheme="http")
+        rules, delays = split_robots_rules(parse_robots_rules_df(cache))
+        rules = rules.withColumn("host", F.lit("127.0.0.1"))
+        delays = delays.withColumn("host", F.lit("127.0.0.1"))
+
+        store2 = SnapshotStore(str(tmp_path / "crawl"))
+        eng = CrawlScheduler(spark, store2, cfg, None, n_buckets=8,
+                             fetcher=fetcher, host_delays=delays)
+        eng.run(max_rounds=30, robots=rules)
+        hit = site.paths_hit()
+        assert hit.count("/robots.txt") == 1          # fetched once, cached
+        assert not any(p.startswith("/guide") for p in hit)
+        assert any(p.startswith("/docs") for p in hit)
+        assert len(eng.visit_order()) > 5             # crawl actually ran
+    finally:
+        site.close()
