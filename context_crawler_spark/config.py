@@ -73,6 +73,9 @@ class CrawlConfig:
     # are NOT expanded; 'none' implies both. Opt-in — default off keeps
     # byte-for-byte reference parity.
     honor_meta_robots: bool = False
+    # link-farm defense: keep only the first k outlinks per page (DOM
+    # order) during expansion; None = unlimited (reference parity)
+    max_links_per_page: int | None = None
     # fetch-layer-only fields (reference src/schema.ts:80-96): accepted with
     # the reference's validation and carried through to_dict/from_dict, but
     # IGNORED by the dataflow — they configure the live browser fetch stage
@@ -157,6 +160,7 @@ class CrawlConfig:
             "respect_robots": self.respect_robots,
             "max_depth": self.max_depth,
             "honor_meta_robots": self.honor_meta_robots,
+            "max_links_per_page": self.max_links_per_page,
             "cookie": self.cookie,
             "wait_for_selector_timeout": self.wait_for_selector_timeout,
             "resource_exclusions": self.resource_exclusions,

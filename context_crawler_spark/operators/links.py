@@ -67,6 +67,16 @@ def expand_links(
         "depth",
     ).filter(F.col("url").isNotNull())
 
+    # link-farm defense (Mercator-style outlink cap, opt-in via
+    # config.max_links_per_page): a spam page carrying 10^4 anchors must
+    # not inject 10^4 frontier candidates. DOM order is the link_index,
+    # so the cap keeps the FIRST k links — a pure within-row-ordered
+    # filter, zero shuffle, and deterministic (the oracle replays it as
+    # link_index < k).
+    cap = getattr(config, "max_links_per_page", None)
+    if cap is not None:
+        links = links.filter(F.col("link_index") < int(cap))
+
     if nav_only:
         links = links.filter(F.col("is_nav"))
     links = scope_filter(links, config)

@@ -364,3 +364,29 @@ def test_resolve_redirects_chains_cycles_and_budget(spark):
     assert got["c0"]["looped"]                      # 17 hops > budget
     assert got["c1"]["final_url"] == "c17"          # 16 hops: exactly fits
     assert got["c1"]["hops"] == 16
+
+
+def test_max_links_per_page_caps_expansion(spark):
+    """Link-farm defense: with max_links_per_page=k only the FIRST k
+    outlinks (DOM order = link_index) of each page enter the frontier;
+    unlimited (default None) keeps everything — reference parity."""
+    from context_crawler_spark.config import CrawlConfig
+    from context_crawler_spark.operators.links import expand_links
+
+    links = [(f"https://farm.test/p{i}", i, False) for i in range(50)]
+    fetched = spark.createDataFrame(
+        [(1, 0, links)],
+        "seq long, depth int, links array<struct<href:string,"
+        "link_index:int,is_nav:boolean>>")
+    capped_cfg = CrawlConfig(entry="https://farm.test/",
+                             match=["https://farm.test/**"],
+                             max_links_per_page=5)
+    got = expand_links(fetched, capped_cfg, links_col="links")
+    urls = sorted(r["url"] for r in got.collect())
+    assert urls == [f"https://farm.test/p{i}" for i in range(5)]
+    uncapped = expand_links(
+        fetched,
+        CrawlConfig(entry="https://farm.test/",
+                    match=["https://farm.test/**"]),
+        links_col="links")
+    assert uncapped.count() == 50
