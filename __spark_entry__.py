@@ -1471,10 +1471,16 @@ def q_temperature_sample(spark, sf_dir):
     language keep rates derived IN the plan from corpus counts as
     p_l^alpha (clamped at 1, 9dp-rounded before the exact integer/hex
     threshold build), then the deterministic md5-threshold keep. Corpus
-    never shuffled — rates broadcast back (counts agg is ≤#langs rows)."""
+    never shuffled — rates broadcast back (counts agg is ≤#langs rows).
+    doc_id%37==0 rows get a NULL lang to pin the undetected-language
+    behavior: NULL strata coalesce to the '__null__' sentinel and sample
+    at their own derived rate instead of silently vanishing."""
     from context_crawler_spark.operators.curation import temperature_sample
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 37 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("lang")))
     return temperature_sample(d, alpha=0.3, budget_frac=0.5).select(
         "doc_id", "lang", "sample_key", "keep_rate"
     )
@@ -1753,17 +1759,25 @@ def q_adaptive_delay(spark, sf_dir):
     synthesized from documents: host = source, latency 50..1049 ms by
     doc_id, status 429 every 7th row / 503 every 11th / 0 every 13th,
     else 200 — 'beta' gets an extra all-429 burst so at least one host
-    crosses the backoff threshold. Exercises mean-latency scaling, the
-    multiplicative backoff, and both clamps."""
+    crosses the backoff threshold. Transport failures (status 0) log a
+    NULL latency — the mean must divide by the NON-NULL count, not
+    count(*) (ADVICE r4) — and 'gamma' is an all-failure host with zero
+    latency samples that must back off to max_delay_s, not NULL.
+    Exercises mean-latency scaling, the multiplicative backoff, both
+    clamps, and the null-latency paths."""
     from context_crawler_spark.operators.politeness import (
         adaptive_host_delays,
     )
 
     d = _t(spark, sf_dir, "documents")
+    is_status0 = ((F.col("doc_id") % 13 == 0)
+                  & (F.col("doc_id") % 7 != 0)
+                  & (F.col("doc_id") % 11 != 0))
     log = d.select(
         F.col("source").alias("host"),
-        (F.lit(50) + F.col("doc_id") % 1000).cast("long")
-        .alias("latency_ms"),
+        F.when(is_status0, F.lit(None).cast("long"))
+         .otherwise((F.lit(50) + F.col("doc_id") % 1000).cast("long"))
+         .alias("latency_ms"),
         F.when(F.col("doc_id") % 7 == 0, F.lit(429))
          .when(F.col("doc_id") % 11 == 0, F.lit(503))
          .when(F.col("doc_id") % 13 == 0, F.lit(0))
@@ -1773,6 +1787,12 @@ def q_adaptive_delay(spark, sf_dir):
             F.lit("beta").alias("host"),
             F.lit(2000).cast("long").alias("latency_ms"),
             F.lit(429).alias("status"),
+        )
+    ).unionByName(
+        d.filter(F.col("doc_id") % 5 == 0).select(
+            F.lit("gamma").alias("host"),
+            F.lit(None).cast("long").alias("latency_ms"),
+            F.lit(0).alias("status"),
         )
     )
     return adaptive_host_delays(log, target_factor=10.0, min_delay_s=0.5,
@@ -4018,22 +4038,29 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 'zzzzzzzz' END
         """,
         "temperature_sample": r"""
-            WITH c AS (
-              SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n_l
-              FROM documents GROUP BY lang
+            WITH docs AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 37 = 0 THEN NULL ELSE lang END
+                       AS lang,
+                     COALESCE(CASE WHEN doc_id % 37 = 0 THEN NULL
+                                   ELSE lang END, '__null__') AS lkey
+              FROM documents
+            ), c AS (
+              SELECT lkey, CAST(COUNT(*) AS DOUBLE) AS n_l
+              FROM docs GROUP BY lkey
             ), t AS (
               SELECT SUM(n_l) AS N FROM c
             ), w AS (
-              SELECT lang, n_l, N, pow(n_l / N, 0.3) AS w_l FROM c, t
+              SELECT lkey, n_l, N, pow(n_l / N, 0.3) AS w_l FROM c, t
             ), s AS (
               SELECT SUM(w_l) AS W FROM w
             ), r AS (
-              SELECT lang,
+              SELECT lkey,
                      round(least(1.0, 0.5 * N * (w_l / W) / n_l), 9)
                        AS keep_rate
               FROM w, s
             ), thr AS (
-              SELECT lang, keep_rate,
+              SELECT lkey, keep_rate,
                      CASE WHEN keep_rate >= 1.0 THEN 'zzzzzzzz'
                           ELSE lpad(lower(to_hex(CAST(floor(
                                  CAST(keep_rate AS DOUBLE) * 4294967296.0)
@@ -4042,11 +4069,11 @@ def oracle_sql() -> dict[str, str]:
               FROM r
             )
             SELECT d.doc_id, d.lang,
-                   substr(md5(d.lang || ':' || CAST(d.doc_id AS VARCHAR)),
+                   substr(md5(d.lkey || ':' || CAST(d.doc_id AS VARCHAR)),
                           1, 8) AS sample_key,
                    t.keep_rate
-            FROM documents d JOIN thr t USING (lang)
-            WHERE substr(md5(d.lang || ':' || CAST(d.doc_id AS VARCHAR)),
+            FROM docs d JOIN thr t USING (lkey)
+            WHERE substr(md5(d.lkey || ':' || CAST(d.doc_id AS VARCHAR)),
                          1, 8) < t.thr
         """,
         "pack_sequences": r"""
@@ -4542,7 +4569,11 @@ def oracle_sql() -> dict[str, str]:
         "adaptive_delay": r"""
             WITH log AS (
               SELECT source AS host,
-                     CAST(50 + doc_id % 1000 AS BIGINT) AS latency_ms,
+                     CASE WHEN doc_id % 13 = 0 AND doc_id % 7 <> 0
+                               AND doc_id % 11 <> 0
+                          THEN NULL
+                          ELSE CAST(50 + doc_id % 1000 AS BIGINT)
+                     END AS latency_ms,
                      CASE WHEN doc_id % 7 = 0 THEN 429
                           WHEN doc_id % 11 = 0 THEN 503
                           WHEN doc_id % 13 = 0 THEN 0
@@ -4551,10 +4582,14 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT 'beta', CAST(2000 AS BIGINT), 429
               FROM documents WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT 'gamma', NULL, 0
+              FROM documents WHERE doc_id % 5 = 0
             ), agg AS (
               SELECT host,
                      COUNT(*) AS n_requests,
-                     SUM(CAST(latency_ms AS DOUBLE)) / COUNT(*) AS mean_ms,
+                     SUM(CAST(latency_ms AS DOUBLE))
+                       / COUNT(latency_ms) AS mean_ms,
                      CAST(SUM(CASE WHEN status IN (429, 503, 0)
                                    THEN 1 ELSE 0 END) AS DOUBLE)
                        / COUNT(*) AS ef
@@ -4563,11 +4598,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT host, n_requests,
                    round(mean_ms, 3) AS mean_latency_ms,
                    round(ef, 6) AS err_frac,
-                   round(least(30.0, greatest(0.5,
-                     CASE WHEN ef >= 0.1
-                          THEN 10.0 * mean_ms / 1000.0 * 2.0
-                          ELSE 10.0 * mean_ms / 1000.0 END)), 3)
-                     AS crawl_delay_s
+                   CASE WHEN mean_ms IS NULL THEN 30.0
+                        ELSE round(least(30.0, greatest(0.5,
+                          CASE WHEN ef >= 0.1
+                               THEN 10.0 * mean_ms / 1000.0 * 2.0
+                               ELSE 10.0 * mean_ms / 1000.0 END)), 3)
+                   END AS crawl_delay_s
             FROM agg
         """,
         "conditional_fetch": r"""

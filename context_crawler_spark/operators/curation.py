@@ -313,7 +313,13 @@ def temperature_sample(
     from pyspark.sql.functions import broadcast
     from pyspark.sql.window import Window
 
-    s = F.col(stratum_col)
+    # NULL strata (undetected language) are a real stratum, not rows to
+    # drop: coalesce to a sentinel BEFORE both the counts agg and the
+    # rates join (an equi-join never matches NULL==NULL, which would
+    # silently vanish those docs — inconsistent with stratified_sample's
+    # default_rate handling). The sentinel also feeds the hash key, so
+    # the keep decision stays a pure function of (stratum, key).
+    s = F.coalesce(F.col(stratum_col).cast("string"), F.lit("__null__"))
     counts = df.groupBy(s.alias("__s")).agg(
         F.count(F.lit(1)).cast("double").alias("__n"))
     # the unpartitioned windows below run over the COUNTS frame only

@@ -70,10 +70,17 @@ def fetch_url(
     timeout_s: float = DEFAULT_TIMEOUT_S,
     max_bytes: int = DEFAULT_MAX_BYTES,
     allow_hosts: set[str] | None = None,
+    truncate_oversized: bool = False,
 ) -> tuple[int, bytes | None]:
     """One guarded GET: (status, body) on 2xx, (status-or-0, None) on any
     failure. http/https only. Shared by the executor loop and the driver's
     seed-time lookup.
+
+    ``truncate_oversized=True`` returns the first ``max_bytes`` of an
+    oversized 2xx body instead of a miss — the RFC 9309 §2.5 robots.txt
+    contract ("crawlers SHOULD parse at least the first 500 KiB"); page
+    fetches keep the default miss-on-oversize (a truncated page would
+    extract wrong text silently).
 
     Redirects are followed MANUALLY (urllib's transparent follower is
     disabled): scope, robots, the allowlist, and the per-host politeness
@@ -105,6 +112,8 @@ def fetch_url(
                 status = getattr(resp, "status", 200)
                 body = resp.read(max_bytes + 1)
                 if len(body) > max_bytes:
+                    if truncate_oversized:
+                        return status, body[:max_bytes]
                     return status, None  # oversized: miss (retryable)
                 return status, body
         except urllib.error.HTTPError as e:
@@ -364,7 +373,9 @@ def fetch_robots_batch(
     is a different host. Bodies decode as UTF-8-with-replacement (RFC
     9309 §2.3 requires UTF-8); status carries the RFC's
     unavailable-vs-unreachable distinction downstream (transport failure
-    = 0). Text is NULL on any non-2xx."""
+    = 0). Text is NULL on any non-2xx. Oversized 2xx bodies are truncated
+    to the 500 KiB cap and the prefix parsed (RFC 9309 §2.5) — NOT
+    treated as unreachable, which would wrongly disallow-all the host."""
     import pandas as pd
 
     headers = dict(fetcher.headers)
@@ -388,7 +399,8 @@ def fetch_robots_batch(
                     texts.append(None)
                     continue
                 status, body = fetch_url(url, headers, timeout_s, max_bytes,
-                                         allow_hosts=allow_hosts)
+                                         allow_hosts=allow_hosts,
+                                         truncate_oversized=True)
                 statuses.append(status)
                 texts.append(body.decode("utf-8", "replace")
                              if body is not None and 200 <= status < 300

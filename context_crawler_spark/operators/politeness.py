@@ -225,9 +225,13 @@ def adaptive_host_delays(
     """
     lat = F.col(latency_col).cast("double")
     err = F.col(status_col).isin(429, 503, 0).cast("long")
+    # mean over NON-NULL latencies only (count(lat), not count(*)):
+    # transport failures (status 0) typically log a NULL latency, and a
+    # count(*) denominator would bias mean_latency — and the learned
+    # delay — LOW for exactly the hosts that are failing (ADVICE r4).
     agg = fetch_log.groupBy(F.col(host_col).alias("host")).agg(
         F.count(F.lit(1)).alias("n_requests"),
-        (F.sum(lat) / F.count(F.lit(1))).alias("__mean_ms"),
+        (F.sum(lat) / F.count(lat)).alias("__mean_ms"),
         (F.sum(err).cast("double") / F.count(F.lit(1))).alias("err_frac"),
     )
     base = (F.lit(float(target_factor)) * F.col("__mean_ms")
@@ -240,10 +244,19 @@ def adaptive_host_delays(
         "n_requests",
         F.round(F.col("__mean_ms"), 3).alias("mean_latency_ms"),
         F.round(F.col("err_frac"), 6).alias("err_frac"),
-        F.round(
-            F.least(F.lit(float(max_delay_s)),
-                    F.greatest(F.lit(float(min_delay_s)), backed)),
-            3).alias("crawl_delay_s"),
+        # zero latency samples (every fetch failed in transport) → no
+        # speed evidence but maximal failure evidence: back off fully to
+        # max_delay_s instead of emitting NULL. mean_latency_ms stays
+        # NULL for such hosts — honest "no measurement". The NULL branch
+        # is explicit (not coalesce-after-clamp) because least/greatest
+        # skip NULL args in Spark, which would clamp a NULL mean to the
+        # FLOOR — the opposite of backing off.
+        F.when(F.col("__mean_ms").isNull(), F.lit(float(max_delay_s)))
+        .otherwise(
+            F.round(
+                F.least(F.lit(float(max_delay_s)),
+                        F.greatest(F.lit(float(min_delay_s)), backed)),
+                3)).alias("crawl_delay_s"),
     )
 
 

@@ -940,8 +940,13 @@ class CrawlScheduler:
         # hosts fetched this round — O(hosts touched), never O(all hosts).
         # last_fetch_ts is the ROUND clock (fetch time), not the page's
         # warc_ts — it gates the crawl-delay eligibility join above.
+        # Built from `fetched` (ALL successfully fetched rows), NOT the
+        # noindex-filtered `pages_out` emit set: a request to a host is a
+        # politeness event whether or not the page is emitted, so with
+        # honor_meta_robots on, a host whose round was all-noindex must
+        # still advance last_fetch_ts and count in the fetch tallies.
         host_delta = (
-            pages_out.groupBy("host")
+            fetched.groupBy("host")
             .agg(F.count("*").alias("fetched"))
             .withColumn("last_fetch_ts", ts_lit)
             .withColumn("round", F.lit(r))

@@ -198,6 +198,26 @@ def test_temperature_sample_flattens_and_clamps(spark):
             flat.select("keep_rate").distinct().collect()} == {0.5}
 
 
+def test_temperature_sample_null_stratum(spark):
+    """ADVICE r4: NULL strata (undetected language) are a real stratum —
+    they coalesce to the '__null__' sentinel, get their own derived rate,
+    and survive into the output instead of vanishing through the
+    never-matches-NULL equi-join."""
+    from context_crawler_spark.operators.curation import temperature_sample
+
+    rows = ([(i, "en") for i in range(3000)]
+            + [(10000 + i, None) for i in range(60)])
+    d = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_sample(d, alpha=0.3, budget_frac=0.5)
+    null_kept = out.filter(F.col("lang").isNull())
+    # the tiny NULL stratum clamps at keep-everything under alpha=0.3
+    assert null_kept.count() == 60
+    assert {r["keep_rate"] for r in
+            null_kept.select("keep_rate").distinct().collect()} == {1.0}
+    # the original lang column is preserved (NULL, not the sentinel)
+    assert {r["lang"] for r in null_kept.select("lang").collect()} == {None}
+
+
 def test_temperature_sample_corpus_never_shuffled(spark):
     """The corpus side reaches the filter through a broadcast join; the
     only hash exchange is the ≤#languages counts agg (plus its window)."""

@@ -543,6 +543,41 @@ def test_robots_live_fetch_parse_and_ttl_cache(spark, tmp_path):
         a.close(); b.close(); c.close()
 
 
+def test_robots_oversized_body_truncated_and_parsed(spark, tmp_path):
+    """RFC 9309 §2.5 (ADVICE r4): a 2xx robots.txt larger than the byte
+    cap is truncated to the cap and the PREFIX parsed — not classified
+    unreachable (which would synthetic-disallow-all the host)."""
+    from datetime import datetime
+
+    from context_crawler_spark.functions.robots import (
+        parse_robots_rules_df, split_robots_rules,
+    )
+    from context_crawler_spark.operators.fetch import refresh_robots_cache
+
+    body = (b"User-agent: *\nDisallow: /private/\n"
+            + b"# padding comment line\n" * 2048)  # ~46 KiB >> 1 KiB cap
+    site = _Site({"/robots.txt": body})
+    try:
+        hosts = spark.createDataFrame(
+            [(f"127.0.0.1:{site.port}",)], "host string")
+        store = SnapshotStore(str(tmp_path / "robots_big"))
+        fetcher = HttpFetcher(CrawlConfig(entry=f"{site.base}/"),
+                              allow_hosts={"127.0.0.1"}, max_bytes=1024)
+        cache = refresh_robots_cache(
+            spark, store, fetcher, hosts, datetime(2024, 1, 1),
+            ttl_s=3600, scheme="http")
+        (row,) = cache.collect()
+        assert row["status"] == 200
+        assert row["robots_text"].startswith("User-agent: *")
+        assert len(row["robots_text"].encode()) <= 1024
+        rules, _delays = split_robots_rules(parse_robots_rules_df(cache))
+        rrows = [(r["rule_type"], r["path_prefix"]) for r in rules.collect()]
+        assert ("disallow", "/private/") in rrows
+        assert ("disallow", "/") not in rrows  # no synthetic disallow-all
+    finally:
+        site.close()
+
+
 def test_live_crawl_with_wire_robots(spark, site0_rows, tmp_path):
     """End-to-end: robots rules come FROM THE WIRE (refresh_robots_cache
     -> parse -> split) and drive a live crawl — the disallowed subtree is

@@ -149,6 +149,32 @@ def test_adaptive_host_delays_scaling_backoff_and_clamps(spark):
     assert "partial_" in plan.lower() or "HashAggregate" in plan
 
 
+def test_adaptive_host_delays_null_latency(spark):
+    """ADVICE r4: NULL latencies (transport failures) must not deflate
+    the mean — the denominator is the NON-NULL count — and a host with
+    zero latency samples backs off to max_delay_s, never NULL."""
+    from context_crawler_spark.operators.politeness import (
+        adaptive_host_delays,
+    )
+
+    rows = (
+        # 5 good samples at 1000ms + 5 failed fetches with NULL latency:
+        # mean must be 1000 (not 500), and err_frac 0.5 → backoff ×2
+        [("flaky.test", 1000, 200)] * 5
+        + [("flaky.test", None, 0)] * 5
+        # every fetch failed in transport — no latency evidence at all
+        + [("dark.test", None, 0)] * 4
+    )
+    log = spark.createDataFrame(
+        rows, "host string, latency_ms long, status int")
+    got = {r["host"]: r for r in adaptive_host_delays(log).collect()}
+    assert got["flaky.test"]["mean_latency_ms"] == 1000.0
+    assert got["flaky.test"]["crawl_delay_s"] == 20.0  # 10*1.0s ×2 backoff
+    assert got["dark.test"]["mean_latency_ms"] is None
+    assert got["dark.test"]["crawl_delay_s"] == 30.0   # full backoff
+    assert got["dark.test"]["n_requests"] == 4
+
+
 def test_robots_longest_match_allow_override(spark):
     frontier = spark.createDataFrame(
         [

@@ -254,6 +254,10 @@ def test_honor_meta_robots_noindex_nofollow(spark, tmp_path):
     assert sum(x["fetched"] for x in m) == 4     # /a counts as fetched
     assert sum(x.get("emitted", 0) for x in m) == 3
     assert all(x["fetch_misses"] == 0 for x in m)
+    # host_state tallies ALL fetches (politeness events), not just the
+    # emitted set: the noindex /a fetch must advance the host's counters
+    hs = {r["host"]: r["fetched"] for r in eng.host_state().collect()}
+    assert hs == {"m.test": 4}
 
     off = crawl("off", False)
     assert set(off.visit_order()) == {
