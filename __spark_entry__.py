@@ -1044,15 +1044,16 @@ def q_ann_ivf_topk(spark, sf_dir):
     index (coarse quantizer + cell-partitioned corpus), probe the nprobe
     nearest cells — a partition-pruning IN-filter on the parquet layout —
     and exact-score inside them. Probing every cell degrades to the exact
-    search (pytest-pinned). Runs the shipped default ``nprobe=8`` of 16 —
-    recall@10 ≥0.9 clustered (pytest-pinned) / 0.85 bench-corpus
-    (50-query sweep, BENCH.md), still pruning half the corpus."""
+    search (pytest-pinned). Runs the shipped default ``nprobe=12`` (r5
+    operating point, VERDICT r4 #3) — recall@10 ≥0.9 clustered
+    (pytest-pinned) / 0.946 bench-corpus (50-query sweep, BENCH.md),
+    recall parity with the LSH path."""
     from context_crawler_spark.operators.search import ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
     qvec = list(e.filter(F.col("vec_id") == 2).select("embedding").head()[0])
     cents, indexed = _ivf_index(spark, sf_dir)
-    out = ivf_topk(indexed, cents, qvec, k=10, nprobe=8)
+    out = ivf_topk(indexed, cents, qvec, k=10)
     return out.select("vec_id", F.round("score", 6).alias("score"))
 
 
