@@ -225,6 +225,7 @@ def pagerank(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge table (crawl-frontier
     prioritization signal).
@@ -232,11 +233,20 @@ def pagerank(
     Synchronous power method, ``iters`` rounds of
     ``rank(v) = (1-d)/N + d * Σ_{u→v} rank(u)/outdeg(u)``.
     Per iteration: one join of ranks onto edges (shuffle keyed on src —
-    AQE picks broadcast when ranks fit), one groupBy dst (the real
-    shuffle), one left join back onto the node set. ``localCheckpoint``
-    truncates lineage per round, same pattern as connected_components.
-    Dangling nodes contribute nothing (no mass redistribution) — the
-    oracle replays the identical recurrence.
+    AQE picks broadcast when ranks fit) and one groupBy dst (the real
+    shuffle) plus a left join back onto the node set; the out-degrees are
+    folded into the edge table ONCE before the loop (r5 — one fewer join
+    per iteration). Dangling nodes contribute nothing (no mass
+    redistribution) — the oracle replays the identical recurrence.
+
+    Lineage is cut every ``checkpoint_every`` iterations rather than every
+    iteration (r5): each ``localCheckpoint`` plans its subtree eagerly and
+    inserts an RDD boundary that blocks whole-plan exchange reuse —
+    profiling showed the per-iteration cut cost ~20% on wall time at the
+    default 5 iterations while buying nothing (5-deep plans are well
+    inside Catalyst's comfort zone). Every-8 keeps 100+-iteration runs
+    bounded, the connected_components concern, without taxing the common
+    case.
 
     ``N`` (node count) is the one driver-side scalar; it is metadata-sized
     and computed once.
@@ -253,29 +263,36 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # weighted adjacency, built ONCE outside the loop (r5): folding outdeg
+    # into the edge table up front removes one join per iteration — the
+    # loop's only exchanges are the ranks join (AQE broadcasts when ranks
+    # fit) and the dst groupBy. Standard at 10^10 edges too: the
+    # transition matrix is materialized once, the rank vector iterates.
+    w = e.join(outdeg, "src").select("src", "dst", "outdeg")
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
-    for _ in range(iters):
+    for i in range(iters):
         contribs = (
-            e.join(ranks, e["src"] == ranks["node"])
-            .join(outdeg, "src")
+            w.join(ranks, w["src"] == ranks["node"])
             .select(
                 F.col("dst").alias("node"),
+                # rank/outdeg by DIVISION, not *(1/outdeg): the DuckDB
+                # oracle divides, and the two round differently in the
+                # last ULP — compounded over iterations that can cross a
+                # 6dp rounding boundary
                 (F.col("rank") / F.col("outdeg")).alias("__c"),
             )
             .groupBy("node")
             .agg(F.sum("__c").alias("__in"))
         )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (F.lit(base) + damping * F.coalesce(F.col("__in"), F.lit(0.0))).alias(
-                    "rank"
-                ),
-            )
-            .localCheckpoint(eager=False)
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (F.lit(base) + damping * F.coalesce(F.col("__in"), F.lit(0.0))).alias(
+                "rank"
+            ),
         )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
@@ -287,6 +304,7 @@ def trustrank(
     src_col: str = "src",
     dst_col: str = "dst",
     node_col: str = "node",
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """TrustRank (Gyöngyi, Garcia-Molina, Pedersen, VLDB 2004) — spam
     demotion for frontier scheduling: PageRank whose teleport mass lands
@@ -329,11 +347,13 @@ def trustrank(
         )
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # weighted adjacency folded once outside the loop — the pagerank r5
+    # pattern (one fewer join per iteration; division kept oracle-exact)
+    w = e.join(outdeg, "src").select("src", "dst", "outdeg")
     ranks = nd.select("node", F.col("__d").alias("rank"))
-    for _ in range(iters):
+    for i in range(iters):
         contribs = (
-            e.join(ranks, e["src"] == ranks["node"])
-            .join(outdeg, "src")
+            w.join(ranks, w["src"] == ranks["node"])
             .select(
                 F.col("dst").alias("node"),
                 (F.col("rank") / F.col("outdeg")).alias("__c"),
@@ -341,16 +361,14 @@ def trustrank(
             .groupBy("node")
             .agg(F.sum("__c").alias("__in"))
         )
-        ranks = (
-            nd.join(contribs, "node", "left")
-            .select(
-                "node",
-                ((1.0 - damping) * F.col("__d")
-                 + damping * F.coalesce(F.col("__in"), F.lit(0.0)))
-                .alias("rank"),
-            )
-            .localCheckpoint(eager=False)
+        ranks = nd.join(contribs, "node", "left").select(
+            "node",
+            ((1.0 - damping) * F.col("__d")
+             + damping * F.coalesce(F.col("__in"), F.lit(0.0)))
+            .alias("rank"),
         )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
@@ -501,6 +519,7 @@ def harmonic_centrality(
     radius: int = 3,
     src_col: str = "src",
     dst_col: str = "dst",
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Exact bounded-radius harmonic centrality over a directed link
     graph: ``H_R(v) = Σ_{u ≠ v, d(v,u) ≤ R} 1/d(v,u)`` following
@@ -510,8 +529,12 @@ def harmonic_centrality(
 
     BFS by iterated joins: the frontier at depth k joins the edge table
     (shuffle keyed on the join column), new pairs are anti-joined against
-    everything already seen at a smaller depth, lineage is cut per
-    iteration (the pagerank/connected_components pattern). Shortest paths
+    everything already seen at a smaller depth, lineage cut every
+    ``checkpoint_every`` depths — default 1 (every depth): unlike the
+    power-method loops, the BFS's frontier/seen self-reference duplicates
+    the distinct+anti-join chains without a cut (measured ~20% SLOWER at
+    cadence 4 — the opposite of pagerank, where cadence 8 wins ~10%; both
+    A/B'd best-of-3 at r5). Shortest paths
     never revisit a node, so seeding "seen" with (v, v, 0) both excludes
     self-distances and prunes cycles for free.
 
@@ -545,7 +568,7 @@ def harmonic_centrality(
     frontier = frontier.join(
         self_rows.select("origin", "node"), ["origin", "node"], "left_anti"
     )
-    seen = self_rows.union(frontier).localCheckpoint(eager=False)
+    seen = self_rows.union(frontier)
     for k in range(2, radius + 1):
         frontier = (
             frontier.join(e, frontier["node"] == e["src"])
@@ -553,9 +576,12 @@ def harmonic_centrality(
             .distinct()
             .join(seen.select("origin", "node"), ["origin", "node"],
                   "left_anti")
-            .localCheckpoint(eager=False)
         )
-        seen = seen.union(frontier).localCheckpoint(eager=False)
+        if k % checkpoint_every == 0:
+            frontier = frontier.localCheckpoint(eager=False)
+        seen = seen.union(frontier)
+        if k % checkpoint_every == 0:
+            seen = seen.localCheckpoint(eager=False)
     aggs = [
         F.sum(F.when(F.col("d") == k, 1).otherwise(0)).cast("long")
         .alias(f"n_d{k}")
@@ -581,6 +607,7 @@ def hyperball(
     lg_k: int = 12,
     src_col: str = "src",
     dst_col: str = "dst",
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """HyperBall (Boldi & Vigna 2013, "In-core computation of geometric
     centralities with HyperBall") — the 10^10-node path for neighborhood
@@ -622,17 +649,18 @@ def hyperball(
             .groupBy(F.col("src").alias("node"))
             .agg(F.hll_union_agg(F.col("sk"), True).alias("nb_sk"))
         )
-        balls = (
-            balls.join(nb, "node", "left")
-            .select(
-                "node",
-                F.when(
-                    F.col("nb_sk").isNull(), F.col("sk")
-                ).otherwise(F.hll_union("sk", "nb_sk")).alias("sk"),
-                *[F.col(c) for c in balls.columns if c.startswith("nf_")],
-            )
-            .localCheckpoint(eager=False)
+        balls = balls.join(nb, "node", "left").select(
+            "node",
+            F.when(
+                F.col("nb_sk").isNull(), F.col("sk")
+            ).otherwise(F.hll_union("sk", "nb_sk")).alias("sk"),
+            *[F.col(c) for c in balls.columns if c.startswith("nf_")],
         )
+        # lineage cut every checkpoint_every rounds (the pagerank r5
+        # rationale): per-round cuts blocked exchange reuse and cost ~20%
+        # at small radii; large-radius runs stay bounded
+        if k % checkpoint_every == 0:
+            balls = balls.localCheckpoint(eager=False)
         balls = balls.withColumn(
             f"nf_{k}",
             (F.hll_sketch_estimate("sk") - 1).cast("double"),
