@@ -75,6 +75,13 @@ def build_bloom_shards(
     os.makedirs(shards_dir, exist_ok=True)
     m_bits = max(1024, int(expected_per_bucket * bits_per_key))
     m_bytes = (m_bits + 7) // 8
+    if not merge_existing:
+        # full rebuild (seed, or a capacity doubling): clear stale shards
+        # first — a leftover bitmap from a previous sizing would be probed
+        # at the wrong m_bits. O(n_buckets) unlink calls, metadata-sized.
+        for name in os.listdir(shards_dir):
+            if name.startswith("bloom-") and name.endswith(".npy"):
+                os.unlink(os.path.join(shards_dir, name))
 
     df = seen.select(
         F.col(hash_col).alias("h"), bucket_col(F.col(hash_col), n_buckets).alias("bucket")
@@ -88,8 +95,19 @@ def build_bloom_shards(
                 p = shard_path(shards_dir, b)
                 if os.path.exists(p):
                     bm = np.load(p)
-                    if len(bm) == m_bytes:
-                        return bm
+                    if len(bm) != m_bytes:
+                        # NEVER silently reset: dropping a shard's existing
+                        # keys creates bloom FALSE NEGATIVES, and
+                        # anti_join_seen admits "definitely new" rows
+                        # without the exact join — silent duplicates. A
+                        # size mismatch means the caller merged at the
+                        # wrong expected_per_bucket; resizes must go
+                        # through a full rebuild (merge_existing=False).
+                        raise ValueError(
+                            f"bloom shard {p} is {len(bm)} bytes, merge "
+                            f"expects {m_bytes}; rebuild shards instead "
+                            "of merging at a new size")
+                    return bm
             return np.zeros(m_bytes, dtype=np.uint8)
 
         for pdf in iterator:
@@ -106,7 +124,11 @@ def build_bloom_shards(
 
     built = df.mapInPandas(build, "bucket int, n_bytes long").count()
     meta = {"n_buckets": n_buckets, "m_bits": m_bits, "k": num_hashes,
-            "shards_built": int(built)}
+            "shards_built": int(built),
+            # capacity + footprint, persisted so the scheduler's resize
+            # policy reads the SHARDS' actual sizing, not its constructor
+            "expected_per_bucket": int(expected_per_bucket),
+            "shard_bytes_total": int(n_buckets) * int(m_bytes)}
     return meta
 
 

@@ -63,6 +63,46 @@ def test_bloom_incremental_merge(spark, tmp_path):
     ).count() == 0
 
 
+def test_bloom_fpp_bounded_after_doubling(spark, tmp_path):
+    """VERDICT r4 #8 property: after the seen set doubles past capacity
+    and the shards are REBUILT at the doubled expected_per_bucket, the
+    measured false-positive rate stays ≤ 2x the configured design target
+    (~0.4% at bits_per_key=12/k=8) — growth must not erode the prefilter."""
+    target_fpp = 0.004
+    exp = 1024
+    n_buckets = 8
+    # fill to capacity, then DOUBLE the key count (the overflow moment)
+    keys = spark.range(0, 2 * n_buckets * exp).select(
+        F.xxhash64("id").alias("url_hash"))
+    # the scheduler's resize policy: rebuild at doubled expected_per_bucket
+    meta = bloom.build_bloom_shards(keys, str(tmp_path), n_buckets, 2 * exp)
+    assert meta["expected_per_bucket"] == 2 * exp
+    assert meta["shard_bytes_total"] == n_buckets * ((2 * exp * 12 + 7) // 8)
+    # no false negatives across the rebuild
+    assert bloom.with_maybe_seen(keys, str(tmp_path), meta).filter(
+        ~F.col("maybe_seen")).count() == 0
+    # fpp on fresh keys stays within 2x the design target
+    n_fresh = 20_000
+    fresh = spark.range(10_000_000, 10_000_000 + n_fresh).select(
+        F.xxhash64("id").alias("url_hash"))
+    fp = bloom.with_maybe_seen(fresh, str(tmp_path), meta).filter(
+        F.col("maybe_seen")).count()
+    assert fp / n_fresh <= 2 * target_fpp, fp
+
+
+def test_bloom_merge_at_wrong_size_raises(spark, tmp_path):
+    """Merging into shards built at a different expected_per_bucket must
+    fail loudly: silently resetting a shard would drop its keys — bloom
+    false negatives — and anti_join_seen admits 'definitely new' rows
+    WITHOUT the exact join, i.e. silent duplicate URLs."""
+    a = spark.range(0, 500).select(F.xxhash64("id").alias("url_hash"))
+    b = spark.range(500, 600).select(F.xxhash64("id").alias("url_hash"))
+    bloom.build_bloom_shards(a, str(tmp_path), 4, 1024)
+    with pytest.raises(Exception, match="rebuild shards"):
+        bloom.build_bloom_shards(b, str(tmp_path), 4, 2048,
+                                 merge_existing=True)
+
+
 def test_anti_join_seen_with_bloom_equals_exact(spark, tmp_path):
     seen = spark.range(0, 2000).select(F.xxhash64("id").alias("url_hash"))
     cands = spark.range(1000, 4000).select(F.xxhash64("id").alias("url_hash"))

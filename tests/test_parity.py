@@ -588,6 +588,66 @@ def test_frontier_bucket_count_scales_with_backlog(spark, tmp_path):
     assert eng2.live_frontier().count() == 0
 
 
+def test_bloom_capacity_scales_with_seen_set(spark, tmp_path):
+    """VERDICT r4 #8: bloom shard sizing derives from the same backlog
+    estimator that drives NB — when |url_seen| (== next_seq) outgrows
+    n_buckets x expected_per_bucket, the round rebuilds every shard at the
+    doubled capacity (persisted in snapshot metadata, winning over the
+    constructor on resume), keeping bits-per-key — and so fpp — bounded
+    through growth. Dedup stays exact across the rebuild and the shard
+    footprint is recorded in metrics."""
+    from datetime import datetime, timezone
+
+    from context_crawler_spark.sources.synthetic_web import PAGES_SCHEMA
+
+    ts = datetime(2025, 1, 1, tzinfo=timezone.utc)
+    n_children = 40
+    hub_links = "".join(
+        f'<a href="/c{i}">c</a>' for i in range(n_children))
+    rows = [("https://bl.test/", ts,
+             f"<html><body><article>hub{hub_links}</article></body></html>"
+             .encode(), "hub", "en")]
+    # children link BACK to the hub and to each other — every later round
+    # re-offers already-seen URLs through the (possibly rebuilt) prefilter
+    rows += [
+        (f"https://bl.test/c{i}", ts,
+         (f'<html><body><article>c{i}<a href="/">up</a>'
+          f'<a href="/c{(i + 1) % n_children}">n</a></article></body></html>'
+          ).encode(), f"c{i}", "en")
+        for i in range(n_children)
+    ]
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    config = CrawlConfig(
+        entry="https://bl.test/", match=["https://bl.test/**"],
+        selector="article", politeness_budget=50, auto_discover_nav=False,
+    )
+    store = SnapshotStore(str(tmp_path / "s"))
+    eng = CrawlScheduler(spark, store, config, pages, n_buckets=4,
+                         expected_urls_per_bucket=2)  # capacity 8 << 41
+    eng.seed()
+    seeded = store.snapshot().metadata["bloom"]
+    assert seeded["expected_per_bucket"] == 2
+    eng.run(max_rounds=10)
+    grown = store.snapshot().metadata["bloom"]
+    # 41 seen URLs / 4 buckets → doubled 2→4→8→16
+    assert grown["expected_per_bucket"] == 16
+    assert grown["m_bits"] >= seeded["m_bits"]
+    # both sizings sit on the 1024-bit/shard floor at toy capacity; the
+    # sizing RULE is what must hold (m_bits grows once exp*12 > 1024)
+    assert grown["m_bits"] == max(1024, 16 * 12)
+    assert grown["shard_bytes_total"] == 4 * ((grown["m_bits"] + 7) // 8)
+    # dedup stayed exact through the rebuild: every page visited once
+    order = eng.visit_order()
+    assert len(order) == len(set(order)) == 1 + n_children
+    # footprint recorded per round once shards exist
+    assert any(m.get("bloom_shard_bytes") == grown["shard_bytes_total"]
+               for m in eng.metrics())
+    # a resuming scheduler picks up the GROWN sizing, not its constructor
+    eng2 = CrawlScheduler(spark, store, config, pages, n_buckets=4,
+                          expected_urls_per_bucket=2)
+    assert eng2.meta["bloom"]["expected_per_bucket"] == 16
+
+
 def test_metrics_live_in_tables_not_manifest(spark, tiny_pages, tiny_web,
                                              tmp_path):
     """VERDICT r3 #4: per-round metrics/lineage append to a bounded set of

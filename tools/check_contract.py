@@ -51,8 +51,20 @@ def value_hash(rows, colnames):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # --json PATH: also write a driver-artifact-shaped report (the
+    # per-query {rows_match, schema_match, hash_match, spark_rows,
+    # oracle_rows, err} dict) — committed per round as CONTRACT_rN.json so
+    # the 50 queries outside the driver's correctness window still have a
+    # witness in the round artifacts (VERDICT r4 #1).
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    report: dict[str, dict] = {}
     import __spark_entry__ as entrymod
     from context_crawler_spark.session import get_spark
 
@@ -76,11 +88,18 @@ def main():
             rows = [tuple(r) for r in df.collect()]
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {exc}")
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": None,
+                            "oracle_rows": None,
+                            "err": f"spark: {exc}"[:300]}
             n_fail += 1
             continue
         dt = time.time() - t0
         if name not in oracles:
             print(f"rows  {name}: {len(rows)} rows ({dt:.1f}s) [rows-only]")
+            report[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": len(rows),
+                            "oracle_rows": None, "err": "no_oracle"}
             n_rowsonly += 1
             continue
         try:
@@ -90,6 +109,10 @@ def main():
             orows = rel.fetchall()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {exc}")
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": len(rows),
+                            "oracle_rows": None,
+                            "err": f"duckdb: {exc}"[:300]}
             n_fail += 1
             continue
         problems = []
@@ -118,6 +141,15 @@ def main():
                     print(f"        spark-only: {d[:200]}")
                 for d in list(s2 - s1)[:3]:
                     print(f"        duck-only:  {d[:200]}")
+        schema_ok = sorted(cols) == sorted(ocols)
+        rows_ok = len(rows) == len(orows)
+        hash_ok = bool(not problems)
+        report[name] = {
+            "rows_match": rows_ok, "schema_match": schema_ok,
+            "hash_match": hash_ok, "spark_rows": len(rows),
+            "oracle_rows": len(orows),
+            "err": "; ".join(problems)[:300] if problems else None,
+        }
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)} ({dt:.1f}s)")
             n_fail += 1
@@ -125,6 +157,12 @@ def main():
             print(f"PASS  {name}: {len(rows)} rows ({dt:.1f}s)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"wrote {json_out} ({len(report)} queries)")
     return 1 if n_fail else 0
 
 
