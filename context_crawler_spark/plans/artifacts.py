@@ -96,6 +96,12 @@ class ArtifactService:
             return False
         chunks = build_chunks(pages_out, self.chunk_size, self.chunk_overlap)
         embeddings = build_embeddings(chunks)
+        # carry the crawl metadata (round/next_seq/finished/bloom/...)
+        # forward: this commit becomes HEAD, and a later resume reads its
+        # metadata — replacing instead of extending would strand the store
+        # (run_round KeyError on 'round')
+        prior = self.store.snapshot()
+        base = dict(prior.metadata) if prior is not None else {}
         self.store.commit(
             {
                 "llms_txt": llms_txt(pages_out),
@@ -103,6 +109,7 @@ class ArtifactService:
                 "embeddings": embeddings,
             },
             metadata={
+                **base,
                 "artifacts": {
                     "params": self._params(),
                     "source_snapshot_id": source_snapshot_id,

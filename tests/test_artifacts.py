@@ -61,6 +61,29 @@ def test_artifacts_and_search(spark, tiny_pages, tiny_web, tmp_path):
     assert svc2.is_stale(src_id) is True
 
 
+def test_artifacts_commit_preserves_crawl_metadata(spark, tiny_pages,
+                                                   tmp_path):
+    """The artifacts commit becomes HEAD; it must EXTEND the crawl metadata,
+    not replace it — a resume (run()/run_round on the same store) reads
+    HEAD's metadata and crashed with KeyError 'round' when the artifacts
+    snapshot carried only {'artifacts': ...} (r5 verify regression)."""
+    eng, store = _crawled(spark, tiny_pages, tmp_path)
+    meta_before = dict(store.snapshot().metadata)
+    svc = ArtifactService(spark, store, chunk_size=400, chunk_overlap=40)
+    assert svc.generate(eng.pages_out(), store.head_id()) is True
+
+    head_meta = store.snapshot().metadata
+    for key in ("round", "next_seq", "fetched_total", "finished", "bloom"):
+        assert head_meta.get(key) == meta_before.get(key), key
+    assert "artifacts" in head_meta
+
+    # and the actual resume path: run() on the same store is a no-op on a
+    # finished crawl, not a crash
+    eng2 = CrawlScheduler(spark, store, eng.config, tiny_pages, n_buckets=8)
+    meta = eng2.run(max_rounds=5)
+    assert meta.get("finished") is True
+
+
 def test_chunker_respects_reference_defaults(spark):
     """Chunk framing parity: 'Title: {t}\\nURL: {u}\\n\\n{text}'
     (src/llm-service.ts:135-144)."""
