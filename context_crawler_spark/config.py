@@ -73,6 +73,13 @@ class CrawlConfig:
     # are NOT expanded; 'none' implies both. Opt-in — default off keeps
     # byte-for-byte reference parity.
     honor_meta_robots: bool = False
+    # honor <link rel=canonical> (RFC 6596) as the dedup identity
+    # (north-rule addition; no reference analog): a fetched page declaring
+    # a valid absolute canonical to a DIFFERENT canonical identity is a
+    # self-confessed duplicate — it is NOT emitted to the dataset and the
+    # preferred target is enqueued in its place (unless the page is also
+    # nofollow). Opt-in — default off keeps reference parity.
+    honor_canonical: bool = False
     # link-farm defense: keep only the first k outlinks per page (DOM
     # order) during expansion; None = unlimited (reference parity)
     max_links_per_page: int | None = None

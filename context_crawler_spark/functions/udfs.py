@@ -108,18 +108,24 @@ PAGE_TYPE = StructType(
         # otherwise, so the struct schema (and every cached plan) is
         # identical either way
         StructField("robots", StringType(), True),
+        # <link rel=canonical> target (RFC 6596, resolved absolute) —
+        # populated only when built with canonical=True (the scheduler's
+        # honor_canonical); null column otherwise, same schema either way
+        StructField("canonical", StringType(), True),
     ]
 )
 
 
-def make_extract_page_udf(selector: str, robots: bool = False):
+def make_extract_page_udf(selector: str, robots: bool = False,
+                          canonical: bool = False):
     """Fused fetch-stage extraction: (title, text, links, n_tokens[,
-    robots]) from ONE DOM parse and ONE Python round-trip per page.
-    Separate UDFs would re-parse the DOM and, worse, pipe the full text
-    column JVM→Python→JVM once per UDF — Arrow serialization of page text
-    is a first-order cost at fetch-stage scale. ``robots=True``
-    additionally extracts the <meta name=robots> directive list (one
-    extra head scan, only when the scheduler's honor_meta_robots is on —
+    robots][, canonical]) from ONE DOM parse and ONE Python round-trip per
+    page. Separate UDFs would re-parse the DOM and, worse, pipe the full
+    text column JVM→Python→JVM once per UDF — Arrow serialization of page
+    text is a first-order cost at fetch-stage scale. ``robots=True``
+    additionally extracts the <meta name=robots> directive list,
+    ``canonical=True`` the resolved <link rel=canonical> hint (each one
+    extra head scan, only when the corresponding scheduler flag is on —
     off, the column is null and the plan is unchanged)."""
 
     @F.pandas_udf(PAGE_TYPE)
@@ -129,9 +135,13 @@ def make_extract_page_udf(selector: str, robots: bool = False):
             s = _as_str(h)
             title, text, links = extract.extract_page(s, u or "", selector)
             meta = extract.extract_meta_robots(s) if robots else None
-            rows.append((title, text, links, tokens.count_tokens(text), meta))
+            canon = extract.extract_canonical(s, u or "") if canonical else None
+            rows.append((title, text, links, tokens.count_tokens(text),
+                         meta, canon))
         return pd.DataFrame(
-            rows, columns=["title", "text", "links", "n_tokens", "robots"])
+            rows,
+            columns=["title", "text", "links", "n_tokens", "robots",
+                     "canonical"])
 
     return extract_page_udf
 

@@ -127,6 +127,8 @@ class CrawlScheduler:
         fetcher=None,
         frontier_buckets: int = 32,
         frontier_rows_per_bucket: int = 1 << 16,
+        trap_hosts: DataFrame | None = None,
+        trap_budget: int = 0,
     ):
         # live-fetch alternative to the pages-table join (opt-in;
         # operators/fetch.HttpFetcher): fetcher(batch_df, round_ts) must
@@ -157,6 +159,12 @@ class CrawlScheduler:
         # functions/robots.robots_tables() output; rows override the global
         # config.host_crawl_delay_s for their host
         self.host_delays = host_delays
+        # crawler-trap demotion (operators/politeness.apply_trap_budgets):
+        # hosts flagged in trap_hosts (host, trap bool — url_trap_signals
+        # output) get trap_budget claims per round instead of the config's
+        # politeness_budget; None keeps the plain politeness path
+        self.trap_hosts = trap_hosts
+        self.trap_budget = trap_budget
         # live-frontier hash buckets (pmod(url_hash, NB)): the per-round
         # MERGE rewrites ONLY buckets containing a touched row; untouched
         # buckets carry forward by manifest reference — write cost is
@@ -176,7 +184,8 @@ class CrawlScheduler:
         self.frontier_rows_per_bucket = max(1, frontier_rows_per_bucket)
         self._extract_page = make_extract_page_udf(
             config.selector,
-            robots=bool(getattr(config, "honor_meta_robots", False)))
+            robots=bool(getattr(config, "honor_meta_robots", False)),
+            canonical=bool(getattr(config, "honor_canonical", False)))
 
     def _nb(self) -> int:
         """Bucket count of the live store: persisted at seed (and bumped
@@ -699,7 +708,14 @@ class CrawlScheduler:
         else:
             robots_blocked = None
 
-        polite = apply_politeness(eligible, cfg.politeness_budget)
+        if self.trap_hosts is not None:
+            from ..operators.politeness import apply_trap_budgets
+
+            polite = apply_trap_budgets(
+                eligible, self.trap_hosts, self.trap_budget,
+                budget_per_host=cfg.politeness_budget)
+        else:
+            polite = apply_politeness(eligible, cfg.politeness_budget)
         remaining = None
         if cfg.max_pages is not None:
             remaining = cfg.max_pages - int(meta["fetched_total"])
@@ -781,6 +797,41 @@ class CrawlScheduler:
                 F.array_contains(toks, "none")
             emit_src = fetched.filter(~noindex)
             follow_src = fetched.filter(~nofollow)
+        # rel=canonical identity (opt-in, config.honor_canonical; RFC 6596,
+        # operators/links.canonical_dedup_key semantics in the loop): a page
+        # declaring a valid absolute canonical to a DIFFERENT canonical
+        # identity is a self-confessed duplicate — suppress its dataset
+        # emit and enqueue the preferred TARGET in its place (prepended to
+        # the page's link array at link_index -1, so it rides the whole
+        # candidate pipeline: scope filter, outlink cap, first-wins dedup,
+        # url-seen anti-join — and sorts before the page's own links in
+        # discovery order). The duplicate's own links still expand; a
+        # nofollow duplicate suppresses the target too (nofollow = "follow
+        # nothing from this page"). Off (default), the plan is unchanged.
+        links_col = "__page.links"
+        if getattr(cfg, "honor_canonical", False):
+            from ..functions.udfs import LINK_TYPE, canonicalize_url_udf
+
+            hint = F.col("__page.canonical")
+            hint_canon = canonicalize_url_udf(hint)
+            is_dup = (
+                hint.isNotNull() & hint.rlike(r"^https?://")
+                & hint_canon.isNotNull()
+                & (hint_canon != F.col("canonical_url"))
+            )
+            emit_src = emit_src.filter(~is_dup)
+            # coalesce keeps href NOT NULL so the array element type casts
+            # exactly to LINK_TYPE (the branch only fires on non-null hints)
+            target = F.array(F.struct(
+                F.coalesce(hint, F.lit("")).alias("href"),
+                F.lit(-1).cast("int").alias("link_index"),
+                F.lit(False).alias("is_nav"),
+            )).cast(LINK_TYPE)
+            follow_src = follow_src.withColumn(
+                "__links_aug",
+                F.when(is_dup, F.concat(target, F.col("__page.links")))
+                .otherwise(F.col("__page.links")))
+            links_col = "__links_aug"
 
         pages_out = emit_src.select(
             F.lit(cfg.name).alias("job"),
@@ -821,7 +872,7 @@ class CrawlScheduler:
             )
 
         # link expansion → new frontier rows
-        candidates = expand_links(follow_src, cfg, links_col="__page.links")
+        candidates = expand_links(follow_src, cfg, links_col=links_col)
         if cfg.max_depth is not None:
             candidates = candidates.filter(F.col("depth") <= cfg.max_depth)
         seen = self.url_seen()

@@ -47,6 +47,10 @@ class OracleResult:
     # (round, host, url, priority, seq) per CLAIMED row, in claim order —
     # for invariant checks (politeness budgets, ordering)
     claims: list[tuple[int, str, str, int, int]] = field(default_factory=list)
+    # urls emitted to the dataset sink, in fetch order: == visit_order
+    # unless honor_meta_robots (noindex suppressed) or honor_canonical
+    # (self-confessed duplicates suppressed) is on
+    emitted: list[str] = field(default_factory=list)
 
 
 def _pattern_matches(pattern: str, path: str) -> bool:
@@ -88,6 +92,10 @@ def run_oracle(
     pages: dict[str, str],          # url -> html (the synthetic web)
     robots: list[tuple[str, str, str]] | None = None,
     max_rounds: int = 1000,
+    # hygiene toggles mirroring the engine seams (VERDICT r4 #4):
+    host_delays: dict[str, float] | None = None,   # host -> crawl_delay_s
+    trap_hosts: set[str] | None = None,            # flagged crawler traps
+    trap_budget: int = 0,                          # claims/round for traps
 ) -> OracleResult:
     res = OracleResult()
     frontier: list[_Rec] = []
@@ -135,12 +143,19 @@ def run_oracle(
             if rec.status == "pending" and (rec.retry_round is None or rec.retry_round <= r)
             and (config.max_depth is None or rec.depth <= config.max_depth)
         ]
-        if config.host_crawl_delay_s:
+        if config.host_crawl_delay_s or host_delays:
+            # per-host rows override the global config value, exactly like
+            # the engine's host_delays broadcast gate (scheduler.run_round)
+            def _delay(h: str) -> float:
+                if host_delays and h in host_delays:
+                    return host_delays[h]
+                return float(config.host_crawl_delay_s or 0)
+
             eligible = [
                 rec for rec in eligible
                 if rec.host not in last_fetch_round
                 or (r - last_fetch_round[rec.host]) * ROUND_INTERVAL_S
-                >= config.host_crawl_delay_s
+                >= _delay(rec.host)
             ]
         if config.respect_robots and robots:
             blocked = [rec for rec in eligible
@@ -151,11 +166,15 @@ def run_oracle(
             eligible = [rec for rec in eligible if rec.status == "pending"]
         # claim order: priority DESC, seq ASC (createdAt monotone with seq)
         eligible.sort(key=lambda rec: (-rec.priority, rec.seq))
-        # per-host politeness budget
+        # per-host politeness budget; flagged trap hosts get the (smaller)
+        # trap_budget — operators/politeness.apply_trap_budgets semantics
         taken: dict[str, int] = {}
         batch: list[_Rec] = []
         for rec in eligible:
-            if taken.get(rec.host, 0) < config.politeness_budget:
+            cap = (min(trap_budget, config.politeness_budget)
+                   if trap_hosts and rec.host in trap_hosts
+                   else config.politeness_budget)
+            if taken.get(rec.host, 0) < cap:
                 taken[rec.host] = taken.get(rec.host, 0) + 1
                 batch.append(rec)
         if config.max_pages is not None:
@@ -187,7 +206,32 @@ def run_oracle(
             res.visit_order.append(rec.url)
             res.extracted[rec.url] = extract.extract_text(html, config.selector)
             fetched_total += 1
+            # page-level hygiene toggles (all default-off = parity mode)
+            noindex = nofollow = False
+            if config.honor_meta_robots:
+                toks = set((extract.extract_meta_robots(html) or "")
+                           .split(","))
+                noindex = bool(toks & {"noindex", "none"})
+                nofollow = bool(toks & {"nofollow", "none"})
+            is_dup = False
+            if config.honor_canonical:
+                hint = extract.extract_canonical(html, rec.url)
+                if hint and hint.startswith(("http://", "https://")):
+                    hc = canonicalize_url(hint)
+                    if hc is not None and hc != rec.canonical:
+                        is_dup = True  # duplicate: suppress emit, enqueue
+                        if not nofollow and config.in_scope(hint):
+                            # target rides the link pipeline at index -1 —
+                            # sorts before the page's own links
+                            candidates.append((rec.seq, -1, hint))
+            if not noindex and not is_dup:
+                res.emitted.append(rec.url)
+            if nofollow:
+                continue
+            cap_links = config.max_links_per_page
             for href, link_ix, _is_nav in extract.extract_links(html, rec.url):
+                if cap_links is not None and link_ix >= cap_links:
+                    continue  # Mercator outlink cap (DOM order)
                 if config.in_scope(href):
                     candidates.append((rec.seq, link_ix, href))
         candidates.sort(key=lambda t: (t[0], t[1]))

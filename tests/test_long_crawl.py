@@ -99,3 +99,215 @@ def test_long_crawl_flat_per_round_cost(spark, tmp_path):
     head = statistics.median(round_secs[5:25])
     tail = statistics.median(round_secs[-20:])
     assert tail <= 3 * head, (head, tail)
+
+
+def test_long_crawl_all_hygiene_oracle_parity(spark, tmp_path):
+    """VERDICT r4 #4: every crawl-hygiene feature ON in ONE 100+-round soak
+    — robots enforcement with the rules coming FROM THE WIRE through the
+    TTL'd cache (refresh_robots_cache), meta-robots (noindex/nofollow),
+    rel=canonical duplicate election, the Mercator outlink cap, trap-host
+    budgets, adaptive per-host delays learned from fetch telemetry, bloom
+    prefilter WITH mid-soak capacity doublings, retries, and delta-table
+    compaction — with the sequential oracle (tests/oracle.py) replaying the
+    same toggles. Asserts exact fetch-order AND emitted-dataset parity,
+    the per-feature invariants, flat per-round cost, and a flat manifest.
+    """
+    import json
+
+    from context_crawler_spark.functions.robots import (
+        parse_robots_rules_df,
+        split_robots_rules,
+    )
+    from context_crawler_spark.operators.fetch import (
+        HttpFetcher,
+        refresh_robots_cache,
+    )
+    from context_crawler_spark.operators.politeness import adaptive_host_delays
+    from context_crawler_spark.plans.scheduler import round_ts
+    from context_crawler_spark.sources.synthetic_web import PAGES_SCHEMA
+    from pyspark.sql import functions as F
+
+    from .oracle import run_oracle
+    from .test_fetch import _Site
+
+    # -- deterministic synthetic web: one chain host + trap + slow hosts --
+    N = 100  # chain length drives the round count (one new head per round)
+
+    def page(body: str, head: str = "") -> str:
+        return (f"<html><head>{head}</head><body><article>{body}"
+                f"</article></body></html>")
+
+    def links(*urls: str) -> str:
+        return "".join(f'<a href="{u}">x</a>' for u in urls)
+
+    M = "https://main.test"
+    web: dict[str, str] = {}
+    for i in range(N):
+        spam = links(*[f"{M}/spam{i}_{k}" for k in range(8)])
+        if i == 0:
+            real = links(f"{M}/p1", "https://trap.test/t0",
+                         "https://slow.test/s0")
+        elif i == N - 1:
+            real, spam = links(f"{M}/side{i}a", f"{M}/side{i}b"), ""
+        elif i % 5 == 0:
+            real = links(f"{M}/p{i+1}", f"{M}/side{i}a", f"{M}/d{i//5}")
+        else:
+            real = links(f"{M}/p{i+1}", f"{M}/side{i}a", f"{M}/side{i}b")
+        web[f"{M}/p{i}"] = page(f"chain {i} {real}{spam}")
+    for i in range(1, N):
+        extra = links(f"{M}/missing") if i == 7 else ""
+        web[f"{M}/side{i}a"] = page(
+            f"side-a {i} {links(f'{M}/blocked/b{i}')}{extra}",
+            head='<meta name="robots" content="noindex">')
+        if i % 5 != 0 or i == N - 1:
+            web[f"{M}/side{i}b"] = page(
+                f"side-b {i} {links(f'{M}/never{i}')}",
+                head='<meta name="robots" content="nofollow">')
+    for j in range(1, N // 5):
+        web[f"{M}/d{j}"] = page(
+            f"duplicate {j} {links(f'{M}/dl{j}')}",
+            head=f'<link rel="canonical" href="{M}/c{j}">')
+        web[f"{M}/c{j}"] = page(f"preferred {j}")
+        web[f"{M}/dl{j}"] = page(f"dup-link target {j}")
+    for k in range(6):
+        nxt = links(f"https://trap.test/t{k+1}") if k < 5 else ""
+        web[f"https://trap.test/t{k}"] = page(f"trap {k} {nxt}")
+    for k in range(4):
+        nxt = links(f"https://slow.test/s{k+1}") if k < 3 else ""
+        web[f"https://slow.test/s{k}"] = page(f"slow {k} {nxt}")
+    # NOT in web (must never be fetched): /blocked/* (robots), /never*
+    # (nofollow), /spam* (outlink cap); /missing IS enqueued -> retries out.
+
+    config = CrawlConfig(
+        entry=f"{M}/p0",
+        match=[f"{M}/**", "https://trap.test/**", "https://slow.test/**"],
+        selector="article", politeness_budget=4, auto_discover_nav=False,
+        respect_robots=True, honor_meta_robots=True, honor_canonical=True,
+        max_links_per_page=3,
+    )
+
+    # -- adaptive delays learned from round-0 fetch telemetry -------------
+    log = spark.createDataFrame(
+        [("slow.test", 12000.0, 200)] * 3 + [("main.test", 10.0, 200)] * 3,
+        "host string, latency_ms double, status int")
+    delays = adaptive_host_delays(log, target_factor=10.0, min_delay_s=0.5,
+                                  max_delay_s=180.0)
+    drows = {r["host"]: r["crawl_delay_s"] for r in delays.collect()}
+    assert drows == {"slow.test": 120.0, "main.test": 0.5}, drows
+
+    # -- the oracle replays every toggle ----------------------------------
+    oracle = run_oracle(
+        config, web,
+        robots=[("main.test", "disallow", "/blocked")],
+        host_delays={"slow.test": 120.0, "main.test": 0.5},
+        trap_hosts={"trap.test"}, trap_budget=1,
+    )
+    assert oracle.rounds >= 100, oracle.rounds
+
+    # -- engine: all hygiene on, robots rules from the wire (TTL cache) ---
+    ts = datetime(2025, 1, 1, tzinfo=timezone.utc)
+    pages = spark.createDataFrame(
+        [(u, ts, h.encode(), "t", "en") for u, h in sorted(web.items())],
+        PAGES_SCHEMA)
+    traps = spark.createDataFrame([("trap.test", True)],
+                                  "host string, trap boolean")
+    store = SnapshotStore(str(tmp_path / "s"))
+    eng = CrawlScheduler(
+        spark, store, config, pages, n_buckets=8, seen_compact_every=8,
+        frontier_buckets=16, expected_urls_per_bucket=8,  # forces doublings
+        host_delays=delays, trap_hosts=traps, trap_budget=1,
+    )
+    eng.seed()
+
+    site = _Site({"/robots.txt": b"User-agent: *\nDisallow: /blocked\n"})
+    try:
+        fetcher = HttpFetcher(config, allow_hosts={"127.0.0.1"})
+        wire_hosts = spark.createDataFrame(
+            [(f"127.0.0.1:{site.port}",)], "host string")
+        rstore = SnapshotStore(str(tmp_path / "robots"))
+        ttl_s = 21 * 60.0  # 21 rounds at the 60 s round clock
+        round_secs: list[float] = []
+        manifest_sizes: list[int] = []
+        wire_hits_at: list[int] = []
+        deadline = time.time() + 3300
+        while not eng.meta.get("finished"):
+            r_next = int(eng.meta.get("round", 0)) + 1
+            before = site.paths_hit().count("/robots.txt")
+            cache = refresh_robots_cache(
+                spark, rstore, fetcher, wire_hosts, round_ts(r_next),
+                ttl_s=ttl_s, scheme="http")
+            if site.paths_hit().count("/robots.txt") > before:
+                wire_hits_at.append(r_next)
+            rules, _wire_delays = split_robots_rules(
+                parse_robots_rules_df(cache))
+            rules = rules.withColumn("host", F.lit("main.test"))
+            t0 = time.time()
+            eng.run_round(robots=rules)
+            round_secs.append(time.time() - t0)
+            manifest_sizes.append(len(json.dumps(store.snapshot().metadata)))
+            assert time.time() < deadline, "hygiene soak did not drain"
+        robots_fetches = site.paths_hit().count("/robots.txt")
+    finally:
+        site.close()
+
+    # TTL cache: robots.txt fetched once per 22-round expiry window, never
+    # in between (fetch at r, fresh through r+21, refetch at r+22)
+    n_rounds = int(eng.meta["round"])
+    assert wire_hits_at == list(range(1, n_rounds + 1, 22)), wire_hits_at
+    assert robots_fetches == len(wire_hits_at)
+    assert n_rounds >= 100
+
+    # exact parity with the sequential oracle, every toggle on:
+    # fetch order (done log) and emitted dataset (pages_out)
+    done = eng.done_frontier().filter(F.col("status") == "completed")
+    fetched_order = [
+        r["url"] for r in done.orderBy(
+            "completed_at", F.desc("priority"), "seq").collect()
+    ]
+    assert fetched_order == oracle.visit_order
+    assert eng.visit_order() == oracle.emitted
+    failed = {r["url"]: r["error"]
+              for r in eng.done_frontier()
+              .filter(F.col("status") == "failed").collect()}
+    assert set(failed) == set(oracle.failed)
+    assert failed[f"{M}/missing"] == "fetch_miss"       # retries exhausted
+    assert all(v == "robots_disallowed" for u, v in failed.items()
+               if "/blocked/" in u)
+    assert sum("/blocked/" in u for u in failed) == N - 1
+
+    # per-feature invariants on the engine side
+    seen_urls = {r["canonical_url"] for r in eng.url_seen().collect()}
+    assert not any("/never" in u for u in seen_urls)     # nofollow held
+    assert not any("/spam" in u for u in seen_urls)      # outlink cap held
+    emitted = set(eng.visit_order())
+    assert not any("/side" in u and u.endswith("a") for u in emitted)
+    assert not any(f"{M}/d" == u[:len(M) + 2] and u[len(M) + 2:].isdigit()
+                   for u in emitted)                     # dups suppressed
+    assert {f"{M}/c{j}" for j in range(1, N // 5)} <= emitted  # targets in
+    # trap budget: at most one trap.test fetch per round, in chain order
+    trap_rounds = sorted(
+        r["completed_at"] for r in done.filter(
+            F.col("host") == "trap.test").collect())
+    assert len(trap_rounds) == 6
+    assert len(set(trap_rounds)) == 6                    # 1 per round max
+    # adaptive delay: consecutive slow.test fetches >= 120 s apart
+    slow_ts = sorted(
+        r["completed_at"] for r in done.filter(
+            F.col("host") == "slow.test").collect())
+    assert len(slow_ts) == 4
+    assert all((b - a).total_seconds() >= 120.0
+               for a, b in zip(slow_ts, slow_ts[1:]))
+    # bloom capacity doubled mid-soak (started at 8/bucket, ~400 seen)
+    assert store.snapshot().metadata["bloom"]["expected_per_bucket"] >= 32
+
+    # flat manifest + flat per-round cost across 100+ hygiene-on rounds
+    assert max(manifest_sizes) < 4500, max(manifest_sizes)
+    assert max(manifest_sizes[-10:]) <= max(manifest_sizes[:10]) + 200
+    head = statistics.median(round_secs[5:25])
+    tail = statistics.median(round_secs[-20:])
+    assert tail <= 3 * head, (head, tail)
+    mdeltas = [t for t in store.snapshot().tables if t.startswith("metrics_s")]
+    assert len(mdeltas) < 8
+    seen_deltas = [t for t in store.snapshot().tables
+                   if t.startswith("url_seen_r")]
+    assert len(seen_deltas) < 8, seen_deltas
