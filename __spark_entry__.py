@@ -1354,6 +1354,57 @@ def q_trustrank(spark, sf_dir):
     )
 
 
+def q_opic_priority(spark, sf_dir):
+    """OPIC on-line page importance (Abiteboul/Preda/Cobéna WWW 2003) —
+    the crawl-native frontier-priority signal that converges while the
+    crawl runs. Graph derived so dangling nodes EXIST (src=user_id%150,
+    dst=event_id%200: residues 150-199 never appear as src), exercising
+    the virtual-node cash redistribution; the oracle unrolls the
+    cash/history recurrence with the dangling sum as a scalar subquery
+    per round."""
+    from context_crawler_spark.operators.ranking import opic_importance
+
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 150).alias("src"),
+        (F.col("event_id") % 200).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return opic_importance(e, iters=5).select(
+        "node", F.round("importance", 6).alias("importance")
+    )
+
+
+def q_host_graph(spark, sf_dir):
+    """Page-level link edges → registered-domain-level weighted webgraph
+    (the Common Crawl host/domain-graph reduction that makes TrustRank /
+    centrality tractable at 10^10 pages). URLs are synthesized with
+    multi-label hosts so the PSL-shortcut election (co.uk / com.au vs
+    com / org / net) actually fires; the oracle re-parses the same URLs
+    with the identical last-2/last-3 label rule."""
+    from context_crawler_spark.operators.ranking import host_graph
+
+    e = _t(spark, sf_dir, "events")
+    subs_src = F.array(F.lit("www"), F.lit("docs"), F.lit("blog"))
+    subs_dst = F.array(F.lit("cdn"), F.lit("img"), F.lit("api"))
+    sufs = F.array(F.lit("com"), F.lit("org"), F.lit("co.uk"),
+                   F.lit("com.au"), F.lit("net"))
+    src_url = F.concat(
+        F.lit("https://"),
+        F.element_at(subs_src, (F.col("user_id") % 3 + 1).cast("int")),
+        F.lit(".site"), (F.col("user_id") % 37).cast("string"), F.lit("."),
+        F.element_at(sufs, (F.col("user_id") % 5 + 1).cast("int")),
+        F.lit("/p"), (F.col("event_id") % 1000).cast("string"),
+    )
+    dst_url = F.concat(
+        F.lit("https://"),
+        F.element_at(subs_dst, (F.col("event_id") % 3 + 1).cast("int")),
+        F.lit(".site"), (F.col("event_id") % 37).cast("string"), F.lit("."),
+        F.element_at(sufs, (F.col("event_id") % 5 + 1).cast("int")),
+        F.lit("/q"), (F.col("user_id") % 1000).cast("string"),
+    )
+    edges = e.select(src_url.alias("src_url"), dst_url.alias("dst_url"))
+    return host_graph(edges)
+
+
 def q_unigram_quality(spark, sf_dir):
     """Corpus-unigram LM score + CCNet-style head/middle/tail buckets
     (Wenzek et al. 2020; KenLM stand-in documented in
@@ -2505,8 +2556,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "hyperball": q_hyperball,
         "token_counts_bpe": q_token_counts_bpe,
-        "crawl_round_sim": q_crawl_round_sim,
+        # opic_priority is the newest float-recurrence operator (r5) —
+        # highest-risk, so it takes the 50th driver slot; crawl_round_sim
+        # (green in CORRECTNESS_r04 and pinned by the whole parity suite)
+        # moves to the back half, where CONTRACT_r05.json witnesses it.
+        "opic_priority": q_opic_priority,
         # --- back half: witnessed by the committed CONTRACT_rN.json ---
+        "crawl_round_sim": q_crawl_round_sim,
+        "host_graph": q_host_graph,
         "claim_order": q_claim_order,
         "queue_stats": q_queue_stats,
         "url_seen_antijoin": q_url_seen_antijoin,
@@ -2642,6 +2699,50 @@ def _trustrank_ctes(iters: int = 5) -> str:
             ),
             od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
             r0 AS (SELECT node, d, d AS rank FROM nd),""" + chain
+
+
+def _opic_ctes(iters: int = 5) -> str:
+    """Unrolled OPIC cash/history recurrence (Abiteboul et al. WWW 2003,
+    BSP variant — operators/ranking.opic_importance) over the dangling-
+    bearing events graph (src=user_id%150, dst=event_id%200): per round,
+    cash flows along edges as cash/outdeg, dangling cash routes through
+    the virtual node as a scalar subquery redistributed /N, and history
+    banks the pre-round cash. Arithmetic order matches the Spark
+    expressions token-for-token (coalesce(in,0) + dang/n; hist + cash)."""
+    step = """
+            s{i} AS (
+              SELECT nodes.node,
+                     coalesce(c.s, 0.0::DOUBLE)
+                       + (SELECT coalesce(sum(p.cash), 0.0::DOUBLE)
+                          FROM s{p} p JOIN dang ON p.node = dang.node)
+                         / (SELECT n FROM nn) AS cash,
+                     pv.hist + pv.cash AS hist
+              FROM nodes
+              JOIN s{p} pv ON nodes.node = pv.node
+              LEFT JOIN (
+                SELECT e.dst AS node, sum(p.cash / od.outdeg) AS s
+                FROM e JOIN s{p} p ON e.src = p.node
+                JOIN od ON e.src = od.src
+                GROUP BY e.dst) c ON nodes.node = c.node
+            )"""
+    chain = ",".join(step.format(i=i, p=i - 1) for i in range(1, iters + 1))
+    return r"""
+            WITH e AS (
+              SELECT DISTINCT (user_id % 150) AS src, (event_id % 200) AS dst
+              FROM events WHERE (user_id % 150) != (event_id % 200)
+            ), nodes AS (
+              SELECT src AS node FROM e UNION SELECT dst FROM e
+            ), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+            dang AS (
+              SELECT node FROM nodes LEFT JOIN od ON nodes.node = od.src
+              WHERE od.src IS NULL
+            ),
+            s0 AS (
+              SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS cash,
+                     0.0::DOUBLE AS hist
+              FROM nodes
+            ),""" + chain
 
 
 _PAGERANK_CTES = r"""
@@ -3848,6 +3949,65 @@ def oracle_sql() -> dict[str, str]:
         """,
         "trustrank": _trustrank_ctes(5) + """
             SELECT node, round(rank, 6) AS rank FROM r5
+        """,
+        # OPIC: the cash/history recurrence unrolled; importance =
+        # total cash ever held / rounds, virtual-node dangling flow
+        "opic_priority": _opic_ctes(5) + """
+            SELECT node, round((hist + cash) / 6.0::DOUBLE, 6) AS importance
+            FROM s5
+        """,
+        # host graph: re-parse the synthesized URLs and replay the
+        # PSL-shortcut registered-domain election (urlnorm.py:86)
+        "host_graph": r"""
+            WITH raw AS (
+              SELECT
+                'https://'
+                  || (CASE user_id % 3 WHEN 0 THEN 'www'
+                      WHEN 1 THEN 'docs' ELSE 'blog' END)
+                  || '.site' || CAST(user_id % 37 AS VARCHAR) || '.'
+                  || (CASE user_id % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                      WHEN 2 THEN 'co.uk' WHEN 3 THEN 'com.au'
+                      ELSE 'net' END)
+                  || '/p' || CAST(event_id % 1000 AS VARCHAR) AS src_url,
+                'https://'
+                  || (CASE event_id % 3 WHEN 0 THEN 'cdn'
+                      WHEN 1 THEN 'img' ELSE 'api' END)
+                  || '.site' || CAST(event_id % 37 AS VARCHAR) || '.'
+                  || (CASE event_id % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                      WHEN 2 THEN 'co.uk' WHEN 3 THEN 'com.au'
+                      ELSE 'net' END)
+                  || '/q' || CAST(user_id % 1000 AS VARCHAR) AS dst_url
+              FROM events
+            ), parts AS (
+              SELECT src_url,
+                     string_split(regexp_extract(src_url, '://([^/]+)/', 1),
+                                  '.') AS sp,
+                     string_split(regexp_extract(dst_url, '://([^/]+)/', 1),
+                                  '.') AS dp
+              FROM raw
+            ), doms AS (
+              SELECT src_url,
+                CASE WHEN len(sp) >= 3 AND (sp[-2] || '.' || sp[-1]) IN
+                       ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+                        'org.au','co.jp','or.jp','ne.jp','com.br','com.cn',
+                        'com.mx','co.in','co.nz','co.za','com.ar','com.tr',
+                        'com.sg','com.hk')
+                     THEN sp[-3] || '.' || sp[-2] || '.' || sp[-1]
+                     ELSE sp[-2] || '.' || sp[-1] END AS src_dom,
+                CASE WHEN len(dp) >= 3 AND (dp[-2] || '.' || dp[-1]) IN
+                       ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+                        'org.au','co.jp','or.jp','ne.jp','com.br','com.cn',
+                        'com.mx','co.in','co.nz','co.za','com.ar','com.tr',
+                        'com.sg','com.hk')
+                     THEN dp[-3] || '.' || dp[-2] || '.' || dp[-1]
+                     ELSE dp[-2] || '.' || dp[-1] END AS dst_dom
+              FROM parts
+            )
+            SELECT src_dom, dst_dom,
+                   count(*) AS n_links,
+                   count(DISTINCT src_url) AS n_src_pages
+            FROM doms WHERE src_dom != dst_dom
+            GROUP BY src_dom, dst_dom
         """,
         "frontier_priority": _PAGERANK_CTES + """
             , indeg AS (

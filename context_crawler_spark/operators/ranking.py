@@ -372,6 +372,155 @@ def trustrank(
     return ranks
 
 
+def opic_importance(
+    edges: DataFrame,
+    iters: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """OPIC — Adaptive On-line Page Importance Computation (Abiteboul,
+    Preda, Cobéna, WWW 2003): the crawl-native importance estimator. Where
+    PageRank needs the whole link graph up front, OPIC converges WHILE the
+    crawl runs: every page holds *cash*; visiting a page banks its cash
+    into *history* and hands it in equal shares to its outlinks; a page's
+    importance estimate is the fraction of all distributed cash that ever
+    flowed through it. The reference's queue-driven loop (src/core.ts
+    enqueueLinks cycle) is exactly the visit procedure OPIC piggybacks on.
+
+    This is the bulk-synchronous variant — each round visits EVERY page
+    (their §5 "crawling the whole graph per cycle" regime, the shape a
+    per-round Spark scheduler has anyway):
+
+        cash₀(v) = 1/N,  hist₀(v) = 0
+        D_t      = Σ_{dangling u} cash_t(u)          (virtual-node intake)
+        cash_{t+1}(v) = Σ_{u→v} cash_t(u)/outdeg(u) + D_t/N
+        hist_{t+1}(v) = hist_t(v) + cash_t(v)
+        importance(v) = (hist_T(v) + cash_T(v)) / (T + 1)
+
+    Dangling pages route their cash through the paper's *virtual node*,
+    which redistributes uniformly — total cash stays exactly 1 per round,
+    so Σ importance = 1 (test-pinned). Plan shape per iteration is the
+    :func:`pagerank` twin plus one broadcast scalar: outdeg folded into
+    the edge table ONCE before the loop, then one src-keyed ranks join,
+    one dst-keyed groupBy shuffle, and the dangling-cash sum as a 1-row
+    aggregate crossJoin-broadcast back onto the state (never a driver
+    collect, never an action inside the loop). Unlike pagerank — whose
+    loop body references its state ONCE, so lineage can run uncut for 8
+    rounds — each OPIC round reads the state THREE times (contributions,
+    dangling sum, history carry): left uncut the logical plan grows
+    3^iters, so ``checkpoint_every`` defaults to 1 here and the three
+    references collapse onto one checkpointed node per round (linear
+    plan, state materialized once per iteration). N is the single driver
+    scalar, as in pagerank. The DuckDB oracle replays the identical
+    recurrence unrolled, division-by-outdeg kept textually identical for
+    ULP parity.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("importance", F.lit(0.0))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    w = e.join(outdeg, "src").select("src", "dst", "outdeg")
+    # the dangling set is static (nodes with no outedges) — resolve once
+    dangling = nodes.join(
+        outdeg.select(F.col("src").alias("node")), "node", "left_anti")
+    state = nodes.select(
+        "node", F.lit(1.0 / n).alias("cash"), F.lit(0.0).alias("hist"))
+    for i in range(iters):
+        contribs = (
+            w.join(state, w["src"] == state["node"])
+            .select(
+                F.col("dst").alias("node"),
+                # division, not *(1/outdeg) — ULP parity with the oracle
+                (F.col("cash") / F.col("outdeg")).alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        dang = (
+            state.join(F.broadcast(dangling), "node", "semi")
+            .agg(F.coalesce(F.sum("cash"), F.lit(0.0)).alias("__d"))
+        )
+        state = (
+            state.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (F.coalesce(F.col("__in"), F.lit(0.0))
+                 + F.col("__d") / F.lit(float(n))).alias("cash"),
+                (F.col("hist") + F.col("cash")).alias("hist"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            state = state.localCheckpoint(eager=False)
+    return state.select(
+        "node",
+        ((F.col("hist") + F.col("cash")) / F.lit(float(iters + 1)))
+        .alias("importance"),
+    )
+
+
+def host_graph(
+    edges: DataFrame,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+) -> DataFrame:
+    """Page-level link edges → registered-domain-level weighted graph —
+    the standard web-scale reduction (Common Crawl publishes exactly this
+    as its host-/domain-level webgraph) that makes graph algorithms
+    tractable at 10^10 pages: TrustRank seed propagation, harmonic
+    centrality, and spam-neighborhood detection all run on the ~10^7-node
+    domain graph instead of the page graph, then join back.
+
+    Each (src_url, dst_url) edge maps to (registered_domain(src),
+    registered_domain(dst)) via the same PSL-shortcut election the
+    politeness scheduler partitions by (functions/urlnorm.py:86 — one
+    grouping rule for budgets AND the graph, so a domain's politeness unit
+    and its graph node coincide). Intra-domain edges are dropped (they are
+    navigation, not endorsement — the Common Crawl convention), NULL hosts
+    (unparseable URLs) are dropped, and the result carries both edge
+    weights that downstream consumers want: ``n_links`` (raw link count)
+    and ``n_src_pages`` (distinct linking pages — the dampened weight
+    TrustRank-style propagation prefers, one page spamming 10k links
+    counts once).
+
+    Plan: host election is the Arrow-vectorized
+    ``registered_domain_udf`` projection (zero shuffle), then the
+    standard two-phase distinct aggregation (verified ``.explain``):
+    exchange 1 on (src_dom, dst_dom, src_url) carrying map-side partial
+    counts — so the shuffle is bounded by DISTINCT (dom-pair, page)
+    triples, not raw edges — and exchange 2 on (src_dom, dst_dom)
+    merging the pair totals. No window, no driver collect.
+    """
+    from ..functions.udfs import registered_domain_udf
+
+    doms = edges.select(
+        registered_domain_udf(F.col(src_col)).alias("src_dom"),
+        registered_domain_udf(F.col(dst_col)).alias("dst_dom"),
+        F.col(src_col).alias("__src_url"),
+    )
+    return (
+        doms.filter(
+            F.col("src_dom").isNotNull()
+            & F.col("dst_dom").isNotNull()
+            & (F.col("src_dom") != F.col("dst_dom"))
+        )
+        .groupBy("src_dom", "dst_dom")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("__src_url").alias("n_src_pages"),
+        )
+    )
+
+
 def anchor_text_agg(
     edges: DataFrame,
     k: int = 3,

@@ -475,3 +475,74 @@ def test_trustrank_flows_from_seeds_and_starves_spam(spark):
     assert pr["spamA"] > 0
     # teleport mass splits over the seed set: rank0(seed) = 1/|S|
     assert got["island"] == pytest.approx(0.15 * 0.5, abs=1e-9)
+
+
+def test_opic_hand_computed_one_round(spark):
+    """One BSP round on 1→2, 2→{1,3} (3 dangling), hand-computed:
+    D0 = 1/3 routes through the virtual node; importance sums to 1."""
+    from context_crawler_spark.operators.ranking import opic_importance
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3)], "src int, dst int")
+    got = {r["node"]: r["importance"]
+           for r in opic_importance(edges, iters=1).collect()}
+    assert got[1] == pytest.approx(11 / 36, abs=1e-12)
+    assert got[2] == pytest.approx(14 / 36, abs=1e-12)
+    assert got[3] == pytest.approx(11 / 36, abs=1e-12)
+
+
+def test_opic_cash_conserved_and_hub_wins(spark):
+    """Total cash is exactly 1 per round (virtual-node redistribution),
+    so importance sums to 1 after any number of rounds; a node every
+    page links to out-earns the leaves."""
+    from context_crawler_spark.operators.ranking import opic_importance
+
+    edges = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a"),
+         ("a", "b")],
+        "src string, dst string",
+    )
+    rows = opic_importance(edges, iters=6).collect()
+    got = {r["node"]: r["importance"] for r in rows}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert got["hub"] > max(got["b"], got["c"])
+    assert all(v > 0 for v in got.values())
+
+
+def test_opic_deep_iteration_stays_linear(spark):
+    """Each OPIC round reads its state three times, so the per-round
+    lineage cut (checkpoint_every=1 default) is load-bearing: 12 rounds
+    must analyze+run in bounded time instead of building a 3^12-node
+    plan, and cash stays conserved through every cut."""
+    from context_crawler_spark.operators.ranking import opic_importance
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src int, dst int")
+    got = {r["node"]: r["importance"]
+           for r in opic_importance(edges, iters=12).collect()}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_host_graph_psl_ports_intra_and_nulls(spark):
+    """Registered-domain election (PSL shortcut: example.co.uk), port and
+    subdomain stripping, intra-domain edges dropped, unparseable URLs
+    dropped, and both weights: n_links counts edges, n_src_pages counts
+    distinct linking pages."""
+    from context_crawler_spark.operators.ranking import host_graph
+
+    edges = spark.createDataFrame(
+        [
+            ("https://www.example.co.uk/a", "https://cdn.other.com/x"),
+            ("https://docs.example.co.uk/b", "https://other.com:8080/y"),
+            ("https://www.example.co.uk/a", "https://img.other.com/z"),
+            # intra-domain: navigation, not endorsement
+            ("https://www.example.co.uk/a", "https://blog.example.co.uk/c"),
+            ("not a url", "https://other.com/"),
+        ],
+        "src_url string, dst_url string",
+    )
+    rows = host_graph(edges).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["src_dom"], r["dst_dom"]) == ("example.co.uk", "other.com")
+    assert r["n_links"] == 3
+    assert r["n_src_pages"] == 2
