@@ -92,6 +92,9 @@ HEADLINE = [
     "canonical_key",
     "cache_control",
     "meta_robots",
+    "opic_priority",
+    "host_graph",
+    "cms_heavy_hitters",
 ]
 
 
@@ -333,6 +336,8 @@ def main() -> None:
                  "trustrank", "exact_incremental", "aged_priority",
                  "resolve_redirects", "canonical_key", "cache_control",
                  "meta_robots"}
+    # r5: OPIC importance + domain-graph reduction
+    r5_added = {"opic_priority", "host_graph", "cms_heavy_hitters"}
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(queries.values()), 3),
@@ -340,18 +345,19 @@ def main() -> None:
         "r1_comparable_total": round(
             sum(v for k, v in queries.items()
                 if k not in r2_added | r3_added | r4_added | r4b_added
-                | r4c_added | r4d_added), 3),
+                | r4c_added | r4d_added | r5_added), 3),
         "r2_comparable_total": round(
             sum(v for k, v in queries.items()
                 if k not in r3_added | r4_added | r4b_added | r4c_added
-                | r4d_added), 3),
+                | r4d_added | r5_added), 3),
         "r3_comparable_total": round(
             sum(v for k, v in queries.items()
                 if k not in r4_added | r4b_added | r4c_added
-                | r4d_added), 3),
+                | r4d_added | r5_added), 3),
         "r4_comparable_total": round(
             sum(v for k, v in queries.items()
-                if k not in r4b_added | r4c_added | r4d_added), 3),
+                if k not in r4b_added | r4c_added | r4d_added
+                | r5_added), 3),
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
