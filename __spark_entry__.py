@@ -2526,6 +2526,48 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def q_quantile_gate(spark, sf_dir):
+    """Exact global top-30% selection by (score desc, doc_id asc) — the
+    DCLM / FineWeb-Edu "keep the top X% by classifier score" cut —
+    computed by curation.quantile_gate's histogram-prune plan (one agg +
+    one ≤4096-row histogram + range-rank of the boundary bucket ONLY;
+    never a SinglePartition global window). n_chars is the score on
+    purpose: an integer score floods the boundary bucket with ties, so
+    the contract exercises the exact tie-rank path, not just the prune.
+    The oracle is the naive one-window rank the plan provably equals."""
+    from context_crawler_spark.operators.curation import quantile_gate
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", F.col("n_chars").cast("double").alias("score"))
+    return quantile_gate(scored, 0.3, score_col="score")
+
+
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric containment near-dup pairs (Broder 1997): C(src,dst) =
+    |grams ∩| / |grams(src)| ≥ 0.6 over distinct word-3gram sets — the
+    quote/truncated-mirror/subset-page signal Jaccard misses. Engine:
+    lossless SSJoin prefix filtering (rarest `m - ceil(θm) + 1` grams per
+    doc are the only join keys) + exact array_intersect verify on
+    candidates. Oracle: all-pairs exact containment — equal output
+    because the prefix filter is pigeonhole-lossless."""
+    from context_crawler_spark.operators.text_dedup import containment_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return containment_pairs(d, theta=0.6, n=3)
+
+
+def q_containment_dedup(spark, sf_dir):
+    """Containment dedup keeper rule: drop any doc θ-contained in a doc
+    with MORE distinct grams (or equal grams and smaller id) — keep the
+    superset/canonical page, drop the quote/truncation. The (m, id)
+    keeper order is total, so mutual containment keeps exactly one."""
+    from context_crawler_spark.operators.text_dedup import containment_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return containment_dedup(d, theta=0.6, n=3).select("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver correctness window (the first 50 entries; the driver
@@ -2598,6 +2640,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_round_sim": q_crawl_round_sim,
         "host_graph": q_host_graph,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "quantile_gate": q_quantile_gate,
+        "containment_pairs": q_containment_pairs,
+        "containment_dedup": q_containment_dedup,
         "claim_order": q_claim_order,
         "queue_stats": q_queue_stats,
         "url_seen_antijoin": q_url_seen_antijoin,
@@ -2778,6 +2823,41 @@ def _opic_ctes(iters: int = 5) -> str:
               FROM nodes
             ),""" + chain
 
+
+# Shared CTE chain for the containment oracles: the SAME distinct
+# word-3gram set contract as text_dedup._word_gram_sets (normalized text,
+# <3 words → one whole-sequence gram, empty → dropped), then ALL-PAIRS
+# exact containment — the lossless reference the engine's prefix-filtered
+# SSJoin must equal.
+_CONTAINMENT_CTES = r"""
+            WITH d AS (
+              SELECT doc_id,
+                trim(regexp_replace(lower(COALESCE(text,'')),'\s+',' ','g'))
+                  AS t
+              FROM documents
+            ),
+            wl AS (
+              SELECT doc_id,
+                     list_filter(string_split(t,' '), x -> x <> '') AS ws
+              FROM d
+            ),
+            g AS (
+              SELECT doc_id, CASE
+                WHEN len(ws) = 0 THEN []::VARCHAR[]
+                WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                ELSE list_distinct(list_transform(
+                       generate_series(1, len(ws)-2),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+              END AS gs
+              FROM wl
+            ),
+            sets AS (SELECT doc_id, gs, len(gs) AS m FROM g WHERE len(gs) > 0),
+            p AS (
+              SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+                     CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) / a.m AS c
+              FROM sets a JOIN sets b ON a.doc_id <> b.doc_id
+            )
+"""
 
 _PAGERANK_CTES = r"""
             WITH e AS (
@@ -4057,6 +4137,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT host, count(*) AS n_exact,
                    TRUE AS lower_ok, TRUE AS upper_ok
             FROM h GROUP BY host
+        """,
+        # naive one-window rank — the engine's histogram-prune +
+        # boundary-range-rank plan (curation.quantile_gate) provably
+        # equals it: bucketing is monotone in score, so higher-bucket
+        # rows outrank every boundary row, and the boundary is ranked
+        # exactly by the same (score desc, id asc) total order.
+        "quantile_gate": """
+            WITH r AS (
+              SELECT doc_id, CAST(n_chars AS DOUBLE) AS score,
+                     row_number() OVER (ORDER BY n_chars DESC, doc_id ASC)
+                       AS rn,
+                     count(*) OVER () AS n
+              FROM documents
+            )
+            SELECT doc_id, score FROM r WHERE rn <= ceil(0.3 * n)
+        """,
+        # all-pairs exact containment — equal to the engine's
+        # prefix-filtered SSJoin because the filter is lossless
+        # (pigeonhole: a doc whose rarest m-ceil(θm)+1 grams miss B
+        # entirely cannot reach a ceil(θm) overlap with B).
+        "containment_pairs": _CONTAINMENT_CTES + """
+            SELECT src_id, dst_id, round(c, 6) AS containment
+            FROM p WHERE c >= 0.6
+        """,
+        "containment_dedup": _CONTAINMENT_CTES + """,
+            sized AS (
+              SELECT p.src_id, p.dst_id, sa.m AS ms, sb.m AS md
+              FROM p
+              JOIN sets sa ON sa.doc_id = p.src_id
+              JOIN sets sb ON sb.doc_id = p.dst_id
+              WHERE p.c >= 0.6
+            ),
+            losers AS (
+              SELECT DISTINCT src_id AS doc_id FROM sized
+              WHERE md > ms OR (md = ms AND dst_id < src_id)
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         """,
         "frontier_priority": _PAGERANK_CTES + """
             , indeg AS (

@@ -95,6 +95,9 @@ HEADLINE = [
     "opic_priority",
     "host_graph",
     "cms_heavy_hitters",
+    "quantile_gate",
+    "containment_pairs",
+    "containment_dedup",
 ]
 
 

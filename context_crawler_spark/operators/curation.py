@@ -876,3 +876,102 @@ def domain_cap(
         .filter(F.col("domain_rank") <= cap)
         .drop("__salt")
     )
+
+
+def quantile_gate(
+    docs: DataFrame,
+    keep_frac: float,
+    score_col: str = "score",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Keep EXACTLY the global top ``ceil(keep_frac * n)`` rows by
+    ``(score desc, id asc)`` — the corpus-selection step of DCLM /
+    FineWeb-Edu ("keep the top X% by classifier score"), computed without
+    a global sort of the corpus.
+
+    A naive ``row_number() OVER (ORDER BY score DESC)`` is a
+    SinglePartition global window — every row of a 100 TB corpus through
+    one task. The percentile-threshold shortcut (``score >=
+    approx_percentile(...)``) is neither exact nor deterministic. This is
+    the exact distributed selection plan instead:
+
+      1. one agg → (n, min, max): three driver scalars.
+      2. one partial-agg histogram over ``n_buckets`` equal-width score
+         buckets → ≤ n_buckets rows to the driver (metadata-sized, same
+         audited-collect class as dsir_weights' 4096-row dists). Walking
+         it from the top finds the boundary bucket: everything in higher
+         buckets is kept outright (bucketing is monotone in score, so
+         higher bucket ⇒ strictly higher score), and only the boundary
+         bucket — expected n / n_buckets rows — needs exact ranking.
+      3. the boundary bucket alone goes through the distributed
+         range-sort rank (``ordering.with_global_seq``: repartitionByRange
+         + in-partition sort + JVM seq stamping, no SinglePartition), and
+         the top ``k - |kept outright|`` of it by (score desc, id asc)
+         join the keep set.
+
+    Degenerate corpora (all scores equal, or pathological ties flooding
+    one bucket) degrade gracefully: the boundary set grows up to n and
+    the plan becomes one full range-sort — the same cost the naive exact
+    form pays ALWAYS.
+
+    Output: the kept input rows, original columns, exactly k of them.
+    Ties at the cut are broken by ``id asc`` — a total order, so the
+    result is bit-stable across retries, partitionings, and cluster
+    sizes, and replayable as ANSI SQL (the contract oracle's
+    ``row_number() OVER (ORDER BY score DESC, id ASC) <= ceil(f*n)``).
+    """
+    import math
+
+    from .ordering import with_global_seq
+
+    score = F.col(score_col).cast("double")
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(score).alias("lo"),
+        F.max(score).alias("hi"),
+    ).collect()[0]
+    n, lo, hi = int(stats["n"]), stats["lo"], stats["hi"]
+    k = min(max(int(math.ceil(keep_frac * n)), 0), n)
+    if n == 0 or k == 0:
+        return docs.limit(0)
+    if k >= n:
+        return docs
+
+    if lo == hi:
+        # all scores tied — the boundary IS the corpus; pure id-rank.
+        ranked = with_global_seq(docs, [F.col(id_col).asc()], seq_col="__seq")
+        return ranked.filter(F.col("__seq") < k).drop("__seq")
+
+    width = (hi - lo) / n_buckets
+    bucket = F.least(
+        F.floor((score - F.lit(lo)) / F.lit(width)).cast("int"),
+        F.lit(n_buckets - 1),
+    )
+    hist = {
+        int(r["b"]): int(r["cnt"])
+        for r in docs.groupBy(bucket.alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    cum = 0
+    tb = 0
+    for b in sorted(hist, reverse=True):
+        if cum + hist[b] >= k:
+            tb = b
+            break
+        cum += hist[b]
+    need = k - cum
+
+    above = docs.filter(bucket > tb)
+    boundary = docs.filter(bucket == tb)
+    picked = (
+        with_global_seq(
+            boundary,
+            [score.desc(), F.col(id_col).asc()],
+            seq_col="__seq",
+        )
+        .filter(F.col("__seq") < need)
+        .drop("__seq")
+    )
+    return above.unionByName(picked)

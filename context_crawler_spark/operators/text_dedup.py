@@ -697,3 +697,157 @@ def semantic_dedup(
             F.col("__csim").alias("centroid_sim"),
             F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment (asymmetric) near-dup — quote / subset / truncated-mirror pages
+# ---------------------------------------------------------------------------
+
+
+def _word_gram_sets(
+    df: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, gs, m): the DISTINCT word-``n``-gram set per doc as an array
+    column, built with pure JVM higher-order expressions (zero Python,
+    zero shuffle). Mirrors the minhash verifier's gram contract: empty
+    text → no row (m=0 filtered), fewer than ``n`` words → one gram (the
+    whole word sequence)."""
+    ws = F.col("__ws")
+    grams = (
+        F.when(F.size(ws) == 0, F.array().cast("array<string>"))
+        .when(F.size(ws) < n, F.array(F.array_join(ws, " ")))
+        .otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+                    lambda i: F.array_join(F.slice(ws, i, n), " "),
+                )
+            )
+        )
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.filter(
+                F.split(normalized_text_col(text_col), " "),
+                lambda w: w != F.lit(""),
+            ).alias("__ws"),
+        )
+        .select("id", grams.alias("gs"))
+        .withColumn("m", F.size("gs"))
+        .filter(F.col("m") > 0)
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    theta: float = 0.6,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Asymmetric containment near-dup pairs: every ordered (src, dst)
+    with ``C(src, dst) = |grams(src) ∩ grams(dst)| / |grams(src)| >=
+    theta`` — src is (near-)contained in dst. Containment (Broder 1997,
+    "On the resemblance and containment of documents") is what Jaccard
+    misses: a page quoted inside a bigger page, a truncated mirror, a
+    boilerplate-wrapped copy all have LOW Jaccard but HIGH containment.
+
+    Plan — SSJoin prefix filtering (Chaudhuri et al., ICDE 2006; Bayardo
+    et al., WWW 2007 All-Pairs), never an all-pairs product:
+
+      1. distinct gram set per doc: JVM HOFs, zero shuffle.
+      2. global gram document-frequency: ONE shuffle on the gram key.
+      3. PREFIX: each doc keeps its ``m - ceil(theta*m) + 1`` rarest
+         grams (df asc, gram asc — rarest-first minimizes candidates; the
+         bound is order-independent). LOSSLESS by pigeonhole: if the
+         prefix of src shares nothing with dst's full set, the remaining
+         ``ceil(theta*m) - 1`` grams cannot reach the ``ceil(theta*m)``
+         overlap the threshold requires.
+      4. candidates = prefix(src) ⋈ full(dst) on gram — the join keys are
+         each doc's RAREST grams, so posting lists stay short; the SSJoin
+         length filter prunes pairs where ``m_dst < ceil(theta*m_src)``
+         (|∩| ≤ m_dst, so such pairs can never reach the threshold —
+         another lossless cut); distinct (src, dst).
+      5. exact verify on candidates only: ``array_intersect`` over the
+         two gram arrays (JVM), emit pairs with containment >= theta.
+
+    The DuckDB oracle replays steps 1+5 as an all-pairs check — equal
+    output because the filter is lossless. Reference parity: the
+    reference dedups URLs only (crawlee RequestQueue uniqueKey,
+    src/core.ts:341); containment is part of the content-dedup extension.
+    """
+    from pyspark.sql import Window
+
+    sets = _word_gram_sets(df, n, id_col, text_col).localCheckpoint(
+        eager=False
+    )
+    exploded = sets.select("id", "m", F.explode("gs").alias("gram"))
+    gfreq = exploded.groupBy("gram").agg(F.count(F.lit(1)).alias("gdf"))
+    # prefix length: per-doc window, group size bounded by doc gram count
+    w = Window.partitionBy("id").orderBy(F.col("gdf").asc(), F.col("gram").asc())
+    prefix = (
+        exploded.join(gfreq, "gram")
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= F.col("m") - F.ceil(F.lit(theta) * F.col("m")) + 1)
+        .select(F.col("gram"), F.col("id").alias("src_id"),
+                F.col("m").alias("__msrc"))
+    )
+    cand = (
+        prefix.join(
+            exploded.select(F.col("gram"), F.col("id").alias("dst_id"),
+                            F.col("m").alias("__mdst")),
+            "gram",
+        )
+        .filter(
+            (F.col("src_id") != F.col("dst_id"))
+            & (F.col("__mdst") >= F.ceil(F.lit(theta) * F.col("__msrc")))
+        )
+        .select("src_id", "dst_id")
+        .distinct()
+    )
+    a = sets.select(
+        F.col("id").alias("src_id"), F.col("gs").alias("__ga"), F.col("m").alias("__ma")
+    )
+    b = sets.select(F.col("id").alias("dst_id"), F.col("gs").alias("__gb"))
+    cont = F.size(F.array_intersect("__ga", "__gb")) / F.col("__ma")
+    return (
+        cand.join(a, "src_id")
+        .join(b, "dst_id")
+        .withColumn("__c", cont)
+        .filter(F.col("__c") >= theta)
+        .select(
+            "src_id",
+            "dst_id",
+            F.round(F.col("__c"), 6).alias("containment"),
+        )
+    )
+
+
+def containment_dedup(
+    df: DataFrame,
+    theta: float = 0.6,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop every doc that is theta-contained in a STRICTLY LARGER doc
+    (more distinct grams), or in an equal-sized doc with a smaller id —
+    i.e. keep the superset/canonical page, drop the quote/truncation.
+    The (size, id) keeper rule is a total order, so mutual containment
+    (exact duplicates) keeps exactly one representative and the result
+    is deterministic for any partitioning."""
+    sets = _word_gram_sets(df, n, id_col, text_col)
+    pairs = containment_pairs(df, theta, n, id_col, text_col)
+    sized = (
+        pairs.join(sets.select(F.col("id").alias("src_id"),
+                               F.col("m").alias("__ms")), "src_id")
+        .join(sets.select(F.col("id").alias("dst_id"),
+                          F.col("m").alias("__md")), "dst_id")
+    )
+    losers = sized.filter(
+        (F.col("__md") > F.col("__ms"))
+        | ((F.col("__md") == F.col("__ms"))
+           & (F.col("dst_id") < F.col("src_id")))
+    ).select(F.col("src_id").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")

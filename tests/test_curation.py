@@ -618,3 +618,70 @@ def test_domain_cap_two_phase_equals_naive_window(spark):
               .filter(F.col("rk") <= 5).collect()}
     assert got == want
     assert sum(1 for (_, rk) in got if rk) == 10  # 5 per host, both hosts
+
+
+# ---------------------------------------------------------------------------
+# quantile_gate — exact global top-p selection
+# ---------------------------------------------------------------------------
+
+
+def _qg_naive(rows, frac):
+    """Reference semantics: top ceil(frac*n) by (score desc, id asc)."""
+    import math
+
+    k = min(max(int(math.ceil(frac * len(rows))), 0), len(rows))
+    return set(r[0] for r in
+               sorted(rows, key=lambda r: (-r[1], r[0]))[:k])
+
+
+def test_quantile_gate_equals_naive_rank(spark):
+    from context_crawler_spark.operators.curation import quantile_gate
+
+    rows = [(i, float((i * 37) % 101) + (i % 7) * 0.125) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    for frac in (0.1, 0.25, 0.5, 0.9):
+        got = {r["doc_id"]
+               for r in quantile_gate(df, frac, n_buckets=16).collect()}
+        assert got == _qg_naive(rows, frac), frac
+
+
+def test_quantile_gate_tie_flood_and_degenerate(spark):
+    """Integer scores flood the boundary bucket with ties; all-equal
+    scores degrade to the pure id-rank path. Both must stay exact."""
+    from context_crawler_spark.operators.curation import quantile_gate
+
+    rows = [(i, float(i % 5)) for i in range(200)]  # 5 distinct scores
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    got = {r["doc_id"] for r in quantile_gate(df, 0.3, n_buckets=8).collect()}
+    assert got == _qg_naive(rows, 0.3)
+
+    tied = [(i, 1.0) for i in range(100)]
+    dft = spark.createDataFrame(tied, "doc_id long, score double")
+    gott = {r["doc_id"] for r in quantile_gate(dft, 0.2).collect()}
+    assert gott == set(range(20))  # id asc tie-break
+
+
+def test_quantile_gate_edges(spark):
+    from context_crawler_spark.operators.curation import quantile_gate
+
+    rows = [(i, float(i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    assert quantile_gate(df, 0.0).count() == 0
+    assert quantile_gate(df, 1.0).count() == 50
+    empty = df.limit(0)
+    assert quantile_gate(empty, 0.5).count() == 0
+
+
+def test_quantile_gate_no_window_no_single_partition(spark):
+    """The selection never uses a window function at all (histogram prune
+    + range-sort seq stamping), so the plan must contain neither a Window
+    node nor a SinglePartition exchange — THE trap this operator exists
+    to avoid at 100 TB."""
+    from context_crawler_spark.operators.curation import quantile_gate
+
+    rows = [(i, float((i * 13) % 97)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    out = quantile_gate(df, 0.4, n_buckets=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan

@@ -400,3 +400,98 @@ def test_exact_incremental_digest_index_roundtrip(spark, tmp_path):
     plan = exact_match_index(new, loaded, buckets=8)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "digest_bucket" in plan
+
+
+# ---------------------------------------------------------------------------
+# containment near-dup (asymmetric) — quote / subset / truncated mirror
+# ---------------------------------------------------------------------------
+
+
+def _brute_containment(rows, theta, n=3):
+    """Reference semantics in plain python sets."""
+    import re
+
+    def grams(text):
+        t = re.sub(r"\s+", " ", (text or "").lower()).strip()
+        ws = [w for w in t.split(" ") if w]
+        if not ws:
+            return set()
+        if len(ws) < n:
+            return {" ".join(ws)}
+        return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+    gs = {i: grams(t) for i, t in rows}
+    out = set()
+    for a, ga in gs.items():
+        if not ga:
+            continue
+        for b, gb in gs.items():
+            if a == b or not gb:
+                continue
+            c = len(ga & gb) / len(ga)
+            if c >= theta:
+                out.add((a, b, round(c, 6)))
+    return out
+
+
+def test_containment_detects_quote_not_jaccard(spark):
+    """A short page quoted inside a much bigger page: high containment
+    (src→dst), low Jaccard — the case this operator exists for. The
+    reverse direction must NOT fire."""
+    from context_crawler_spark.operators.text_dedup import containment_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog near the old river bank"
+    filler = " ".join(f"word{i} token{i} item{i}" for i in range(40))
+    rows = [(1, quote), (2, filler + " " + quote + " " + filler)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.src_id, r.dst_id) for r in
+           containment_pairs(df, theta=0.9).collect()}
+    assert (1, 2) in got
+    assert (2, 1) not in got
+
+
+def test_containment_prefix_filter_is_lossless(spark):
+    """Engine (prefix-filtered SSJoin) == brute-force all-pairs on a
+    corpus with heavy gram sharing, at two thresholds."""
+    from context_crawler_spark.operators.text_dedup import containment_pairs
+
+    vocab = ["spark", "scan", "sort", "merge", "join", "hash", "row",
+             "page", "table", "key"]
+    rows = []
+    for i in range(60):
+        ws = [vocab[(i * 7 + j * 3) % len(vocab)] for j in range(5 + i % 9)]
+        rows.append((i, " ".join(ws)))
+    # exact dup + a truncation
+    rows.append((100, rows[3][1]))
+    rows.append((101, " ".join(rows[5][1].split()[:4])))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for theta in (0.5, 0.8):
+        got = {(r.src_id, r.dst_id, r.containment)
+               for r in containment_pairs(df, theta=theta).collect()}
+        assert got == _brute_containment(rows, theta), theta
+
+
+def test_containment_dedup_keeper_rule(spark):
+    """Superset wins; equal gram sets keep the smaller id; docs under
+    threshold survive."""
+    from context_crawler_spark.operators.text_dedup import containment_dedup
+
+    big = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    small = " ".join(big.split()[:12])  # strict subset of big's grams
+    rows = [(1, big), (2, small), (3, big), (4, "completely different words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r.doc_id for r in containment_dedup(df, theta=0.9).collect()}
+    # 2 contained in 1/3 (bigger) -> dropped; 3 == 1 exactly -> keep min id 1
+    assert kept == {1, 4}
+
+
+def test_containment_short_and_empty_docs(spark):
+    """<3-word docs collapse to one whole-sequence gram (equal short docs
+    are mutual exact dups); empty/whitespace docs emit nothing."""
+    from context_crawler_spark.operators.text_dedup import containment_pairs
+
+    rows = [(1, "hello world"), (2, "hello world"), (3, "   "), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.src_id, r.dst_id, r.containment)
+           for r in containment_pairs(df, theta=0.5).collect()}
+    assert got == {(1, 2, 1.0), (2, 1, 1.0)}
