@@ -2543,6 +2543,22 @@ def q_quantile_gate(spark, sf_dir):
     return quantile_gate(scored, 0.3, score_col="score")
 
 
+def q_stratified_quantile_gate(spark, sf_dir):
+    """Per-language exact top-30% by (n_chars desc, doc_id asc) — the
+    CCNet/FineWeb per-language quality cut. Engine: per-stratum
+    histogram prune + ONE range-rank over the union of boundary buckets
+    (curation.stratified_quantile_gate — no stratum-partitioned global
+    window). Oracle: the naive per-stratum window rank."""
+    from context_crawler_spark.operators.curation import (
+        stratified_quantile_gate)
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang", F.col("n_chars").cast("double").alias("score"))
+    return stratified_quantile_gate(
+        scored, 0.3, stratum_col="lang", score_col="score")
+
+
 def q_containment_pairs(spark, sf_dir):
     """Asymmetric containment near-dup pairs (Broder 1997): C(src,dst) =
     |grams ∩| / |grams(src)| ≥ 0.6 over distinct word-3gram sets — the
@@ -2641,6 +2657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": q_host_graph,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "quantile_gate": q_quantile_gate,
+        "stratified_quantile_gate": q_stratified_quantile_gate,
         "containment_pairs": q_containment_pairs,
         "containment_dedup": q_containment_dedup,
         "claim_order": q_claim_order,
@@ -4152,6 +4169,16 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id, score FROM r WHERE rn <= ceil(0.3 * n)
+        """,
+        "stratified_quantile_gate": """
+            WITH r AS (
+              SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS score,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id ASC) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM documents
+            )
+            SELECT doc_id, lang, score FROM r WHERE rn <= ceil(0.3 * n)
         """,
         # all-pairs exact containment — equal to the engine's
         # prefix-filtered SSJoin because the filter is lossless

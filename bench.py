@@ -96,6 +96,7 @@ HEADLINE = [
     "host_graph",
     "cms_heavy_hitters",
     "quantile_gate",
+    "stratified_quantile_gate",
     "containment_pairs",
     "containment_dedup",
 ]

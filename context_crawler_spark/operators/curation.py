@@ -975,3 +975,119 @@ def quantile_gate(
         .drop("__seq")
     )
     return above.unionByName(picked)
+
+
+def stratified_quantile_gate(
+    docs: DataFrame,
+    keep_frac: float,
+    stratum_col: str = "lang",
+    score_col: str = "score",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Per-stratum exact top-``ceil(keep_frac * n_s)`` selection by
+    ``(score desc, id asc)`` — the CCNet / FineWeb per-LANGUAGE quality
+    cut (one threshold per language, not one global threshold, so
+    low-resource languages aren't wiped out by a quality model biased
+    toward English).
+
+    Same exact-selection guarantee as ``quantile_gate``, same refusal to
+    use stratum-partitioned global windows (a `PARTITION BY lang ORDER BY
+    score` window drags ALL of English through one task). Plan:
+
+      1. per-stratum (n, lo, hi): one groupBy → #strata rows (driver;
+         strata are languages/buckets — bounded, the same audited-collect
+         class as temperature_sample's rate table).
+      2. per-stratum equal-width histogram: one groupBy(stratum, bucket)
+         → ≤ #strata × n_buckets rows; walked per stratum for the
+         boundary bucket.
+      3. rows above their stratum's boundary keep outright (broadcast
+         join on the #strata threshold table); ONLY the union of boundary
+         buckets goes through ONE ``with_global_seq`` ordered by
+         (stratum, score desc, id asc) — per-stratum rank is then
+         ``seq − min(seq) over the stratum`` via one more #strata-row
+         agg, so no window ever sees a whole stratum.
+
+    NULL strata select at their own rate under the ``__null__`` sentinel
+    (the temperature_sample NULL-vanish fix, applied from day one here).
+
+    Output: kept rows, original columns. Deterministic: the per-stratum
+    (score desc, id asc) order is total.
+    """
+    import math
+
+    from .ordering import with_global_seq
+
+    score = F.col(score_col).cast("double")
+    skey = F.coalesce(F.col(stratum_col).cast("string"), F.lit("__null__"))
+    d = docs.withColumn("__s", skey)
+
+    stats = {
+        r["__s"]: (int(r["n"]), r["lo"], r["hi"])
+        for r in d.groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min(score).alias("lo"), F.max(score).alias("hi"))
+        .collect()
+    }
+    spark = docs.sparkSession
+    k = {s: min(max(int(math.ceil(keep_frac * n)), 0), n)
+         for s, (n, _, _) in stats.items()}
+    # strata where everything (or nothing) is kept never need ranking
+    full = [s for s in stats if k[s] >= stats[s][0]]
+    none = [s for s in stats if k[s] == 0]
+    active = [s for s in stats
+              if s not in set(full) | set(none)]
+    if not active:
+        if not full:
+            return d.limit(0).drop("__s")
+        return d.filter(F.col("__s").isin(full)).drop("__s")
+
+    # per-stratum bucket edges; all-tied strata get width=None → the
+    # whole stratum is its own boundary bucket 0
+    edges = [(s, float(stats[s][1]),
+              (stats[s][2] - stats[s][1]) / n_buckets
+              if stats[s][2] > stats[s][1] else None)
+             for s in active]
+    edge_df = F.broadcast(spark.createDataFrame(
+        [(s, lo, w) for s, lo, w in edges], "__s string, __lo double, __w double"))
+    act = d.join(edge_df, "__s")
+    bucket = F.when(
+        F.col("__w").isNull(), F.lit(0)
+    ).otherwise(
+        F.least(F.floor((score - F.col("__lo")) / F.col("__w")).cast("int"),
+                F.lit(n_buckets - 1)))
+    hist: dict[str, dict[int, int]] = {}
+    for r in (act.groupBy("__s", bucket.alias("b"))
+              .agg(F.count(F.lit(1)).alias("cnt")).collect()):
+        hist.setdefault(r["__s"], {})[int(r["b"])] = int(r["cnt"])
+    thr = []  # (stratum, boundary bucket, rows still needed from it)
+    for s in active:
+        cum = 0
+        tb = 0
+        for b in sorted(hist[s], reverse=True):
+            if cum + hist[s][b] >= k[s]:
+                tb = b
+                break
+            cum += hist[s][b]
+        thr.append((s, tb, k[s] - cum))
+    thr_df = F.broadcast(spark.createDataFrame(
+        thr, "__s string, __tb int, __need long"))
+    actb = act.join(thr_df, "__s").withColumn("__b", bucket)
+    above = actb.filter(F.col("__b") > F.col("__tb"))
+    boundary = actb.filter(F.col("__b") == F.col("__tb"))
+    seqd = with_global_seq(
+        boundary,
+        [F.col("__s").asc(), score.desc(), F.col(id_col).asc()],
+        seq_col="__seq",
+    )
+    base = F.broadcast(
+        seqd.groupBy("__s").agg(F.min("__seq").alias("__base")))
+    picked = (
+        seqd.join(base, "__s")
+        .filter(F.col("__seq") - F.col("__base") < F.col("__need"))
+    )
+    drop = ["__s", "__lo", "__w", "__tb", "__need", "__b", "__seq", "__base"]
+    out = above.drop(*drop).unionByName(picked.drop(*drop))
+    if full:
+        out = out.unionByName(d.filter(F.col("__s").isin(full)).drop("__s"))
+    return out

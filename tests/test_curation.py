@@ -685,3 +685,55 @@ def test_quantile_gate_no_window_no_single_partition(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_stratified_quantile_gate_equals_per_stratum_rank(spark):
+    """Per-stratum exact top-p == the naive PARTITION BY window, across
+    uneven stratum sizes and within-stratum ties."""
+    import math
+
+    from context_crawler_spark.operators.curation import (
+        stratified_quantile_gate)
+
+    rows = []
+    for s, size in (("en", 120), ("de", 37), ("zh", 5), ("fr", 1)):
+        for i in range(size):
+            rows.append((len(rows), s, float((i * 11) % 17)))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, score double")
+    got = {r["doc_id"] for r in
+           stratified_quantile_gate(df, 0.3, "lang", "score",
+                                    n_buckets=8).collect()}
+    want = set()
+    for s in ("en", "de", "zh", "fr"):
+        grp = [(i, sc) for i, lang, sc in rows if lang == s]
+        kk = math.ceil(0.3 * len(grp))
+        want |= {i for i, _ in sorted(grp, key=lambda t: (-t[1], t[0]))[:kk]}
+    assert got == want
+
+
+def test_stratified_quantile_gate_null_stratum_not_dropped(spark):
+    """NULL-stratum rows select at their own rate (the temperature_sample
+    NULL-vanish class of bug, pinned here from day one)."""
+    from context_crawler_spark.operators.curation import (
+        stratified_quantile_gate)
+
+    rows = [(i, None, float(i)) for i in range(10)] + \
+           [(100 + i, "en", float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, score double")
+    got = {r["doc_id"] for r in
+           stratified_quantile_gate(df, 0.2, "lang", "score").collect()}
+    assert got == {8, 9, 108, 109}
+
+
+def test_stratified_quantile_gate_all_tied_stratum(spark):
+    """A stratum whose scores are all equal degrades to id-rank within
+    that stratum only; other strata are unaffected."""
+    from context_crawler_spark.operators.curation import (
+        stratified_quantile_gate)
+
+    rows = [(i, "aa", 7.0) for i in range(10)] + \
+           [(100 + i, "bb", float(i)) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, score double")
+    got = {r["doc_id"] for r in
+           stratified_quantile_gate(df, 0.5, "lang", "score").collect()}
+    assert got == {0, 1, 2, 3, 4, 102, 103}
