@@ -884,6 +884,7 @@ def quantile_gate(
     score_col: str = "score",
     id_col: str = "doc_id",
     n_buckets: int = 4096,
+    k: int | None = None,
 ) -> DataFrame:
     """Keep EXACTLY the global top ``ceil(keep_frac * n)`` rows by
     ``(score desc, id asc)`` — the corpus-selection step of DCLM /
@@ -932,7 +933,8 @@ def quantile_gate(
         F.max(score).alias("hi"),
     ).collect()[0]
     n, lo, hi = int(stats["n"]), stats["lo"], stats["hi"]
-    k = min(max(int(math.ceil(keep_frac * n)), 0), n)
+    # explicit k (exact_sample's path) sidesteps ceil(frac*n) float slop
+    k = min(max(int(math.ceil(keep_frac * n)) if k is None else k, 0), n)
     if n == 0 or k == 0:
         return docs.limit(0)
     if k >= n:
@@ -1091,3 +1093,30 @@ def stratified_quantile_gate(
     if full:
         out = out.unionByName(d.filter(F.col("__s").isin(full)).drop("__s"))
     return out
+
+
+def exact_sample(
+    docs: DataFrame, n: int, id_col: str = "doc_id", seed: int = 0
+) -> DataFrame:
+    """EXACTLY ``n`` rows, uniformly and deterministically: rank rows by
+    ``xxhash64(id, seed)`` and keep the smallest n via the same
+    histogram-prune selection as ``quantile_gate`` (hash scores are
+    uniform, so the boundary bucket is provably ~n_rows/n_buckets — the
+    degenerate tie-flood case cannot occur absent 64-bit collisions).
+
+    ``df.sample(fraction)`` returns a BINOMIAL row count and changes
+    membership with partitioning; this is the audit-sample/holdout
+    primitive: same n, same rows, any cluster size, any retry. Not
+    SQL-oracled (xxhash64 has no DuckDB twin) — pinned by pytest
+    determinism/size/disjointness instead.
+    """
+    if n <= 0:
+        return docs.limit(0)
+    scored = docs.withColumn(
+        "__hs", -F.xxhash64(F.col(id_col), F.lit(seed)).cast("double"))
+    total = docs.count()
+    if n >= total:
+        return docs
+    return quantile_gate(
+        scored, 0.0, score_col="__hs", id_col=id_col, k=n
+    ).drop("__hs")

@@ -737,3 +737,20 @@ def test_stratified_quantile_gate_all_tied_stratum(spark):
     got = {r["doc_id"] for r in
            stratified_quantile_gate(df, 0.5, "lang", "score").collect()}
     assert got == {0, 1, 2, 3, 4, 102, 103}
+
+
+def test_exact_sample_size_determinism_seed(spark):
+    """Exactly n rows; identical membership across partitionings; a
+    different seed draws a different sample; n>=total passes through."""
+    from context_crawler_spark.operators.curation import exact_sample
+
+    rows = [(i,) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long")
+    s1 = {r.doc_id for r in exact_sample(df, 50).collect()}
+    s1b = {r.doc_id for r in exact_sample(df.repartition(13), 50).collect()}
+    s2 = {r.doc_id for r in exact_sample(df, 50, seed=7).collect()}
+    assert len(s1) == 50 and s1 == s1b
+    assert s2 != s1 and len(s2) == 50
+    assert exact_sample(df, 0).count() == 0
+    assert exact_sample(df, 500).count() == 500
+    assert exact_sample(df, 9999).count() == 500
