@@ -2584,6 +2584,27 @@ def q_containment_dedup(spark, sf_dir):
     return containment_dedup(d, theta=0.6, n=3).select("doc_id")
 
 
+def q_exact_sample(spark, sf_dir):
+    """Deterministic exact-size sample: EXACTLY 150 rows by hash order
+    (the audit/holdout primitive df.sample cannot be — binomial count,
+    partitioning-dependent membership). The shipped default ranks by
+    xxhash64 (no DuckDB twin); this contract injects an md5-derived
+    52-bit key both engines compute bit-identically, so the histogram-
+    prune selection machinery itself is value-hash-verified. Keeping the
+    LARGEST score = smallest md5 prefix; ties (none expected at 52 bits,
+    but defined) break by doc_id asc — the oracle's ORDER BY/LIMIT
+    replays the identical total order."""
+    from context_crawler_spark.operators.curation import exact_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    score = -F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id"), F.lit("0"))), 1, 13),
+        16, 10,
+    ).cast("double")
+    return exact_sample(d, 150, id_col="doc_id", score=score)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver correctness window (the first 50 entries; the driver
@@ -2660,6 +2681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_quantile_gate": q_stratified_quantile_gate,
         "containment_pairs": q_containment_pairs,
         "containment_dedup": q_containment_dedup,
+        "exact_sample": q_exact_sample,
         "claim_order": q_claim_order,
         "queue_stats": q_queue_stats,
         "url_seen_antijoin": q_url_seen_antijoin,
@@ -4202,6 +4224,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        """,
+        # md5 of the identical "id:seed" string in both engines; the
+        # fixed-width lowercase-hex prefix sorts lexicographically in
+        # exactly its numeric order, so ORDER BY prefix ASC ≡ the
+        # engine's (score DESC = md5num ASC, doc_id ASC) total order.
+        "exact_sample": """
+            SELECT doc_id, lang, n_chars FROM documents
+            ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 13)
+                       ASC,
+                     doc_id ASC
+            LIMIT 150
         """,
         "frontier_priority": _PAGERANK_CTES + """
             , indeg AS (

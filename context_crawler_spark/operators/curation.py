@@ -37,7 +37,7 @@ same documents schema its dataset sink emits.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # PII patterns — the common Java-regex/RE2 subset (no lookaround), so the
@@ -1096,7 +1096,11 @@ def stratified_quantile_gate(
 
 
 def exact_sample(
-    docs: DataFrame, n: int, id_col: str = "doc_id", seed: int = 0
+    docs: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    score: Column | None = None,
 ) -> DataFrame:
     """EXACTLY ``n`` rows, uniformly and deterministically: rank rows by
     ``xxhash64(id, seed)`` and keep the smallest n via the same
@@ -1106,14 +1110,21 @@ def exact_sample(
 
     ``df.sample(fraction)`` returns a BINOMIAL row count and changes
     membership with partitioning; this is the audit-sample/holdout
-    primitive: same n, same rows, any cluster size, any retry. Not
-    SQL-oracled (xxhash64 has no DuckDB twin) — pinned by pytest
-    determinism/size/disjointness instead.
+    primitive: same n, same rows, any cluster size, any retry.
+
+    ``score`` overrides the ranking key (rows with the LARGEST score are
+    kept; ties break by ``id_col`` asc). The default xxhash64 key has no
+    DuckDB twin, so the ``exact_sample`` contract query passes an
+    md5-derived 52-bit numeric key both engines compute bit-identically
+    — the selection machinery itself is value-hash-oracled there, while
+    the shipped xxhash64 default is pinned by pytest determinism/size/
+    disjointness tests.
     """
     if n <= 0:
         return docs.limit(0)
-    scored = docs.withColumn(
-        "__hs", -F.xxhash64(F.col(id_col), F.lit(seed)).cast("double"))
+    if score is None:
+        score = -F.xxhash64(F.col(id_col), F.lit(seed)).cast("double")
+    scored = docs.withColumn("__hs", score.cast("double"))
     total = docs.count()
     if n >= total:
         return docs
