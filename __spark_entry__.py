@@ -2605,6 +2605,18 @@ def q_exact_sample(spark, sf_dir):
     return exact_sample(d, 150, id_col="doc_id", score=score)
 
 
+def q_host_template(spark, sf_dir):
+    """Per-host template removal (Gibson/Punera/Tomkins 2005 cross-page
+    repetition): blocks on >=2 distinct pages AND >=5% of a source's
+    pages are furniture, stripped from EVERY page of that source.
+    hash_blocks=False so the oracle replays string block keys."""
+    from context_crawler_spark.operators.curation import host_template_removal
+
+    d = _t(spark, sf_dir, "documents")
+    return host_template_removal(
+        d, block_words=10, min_pages=2, ratio=0.05, hash_blocks=False)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver correctness window (the first 50 entries; the driver
@@ -2682,6 +2694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "containment_dedup": q_containment_dedup,
         "exact_sample": q_exact_sample,
+        "host_template": q_host_template,
         "claim_order": q_claim_order,
         "queue_stats": q_queue_stats,
         "url_seen_antijoin": q_url_seen_antijoin,
@@ -4521,6 +4534,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(t2,
                      '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones
             FROM s2
+        """,
+        # host_template_removal replay: same block CTE as paragraph_dedup
+        # (B=10), page frequency per (source, block) over DISTINCT docs,
+        # template = page_df >= 2 AND page_df/n_pages >= 0.05, anti-join,
+        # in-order reassembly. Both engines divide the same integers as
+        # doubles, so the ratio edge is bit-identical.
+        "host_template": r"""
+            WITH w AS (
+              SELECT doc_id, source,
+                     string_split_regex(trim(text), '\s+') AS words
+              FROM documents
+            ), nb AS (
+              SELECT doc_id, source, words,
+                     CAST(floor((len(words)-1)/10) AS BIGINT) + 1 AS nblocks
+              FROM w
+            ), b AS (
+              SELECT doc_id, source, unnest(range(0, nblocks)) AS idx, words
+              FROM nb
+            ), blk AS (
+              SELECT doc_id, source, idx,
+                     array_to_string(words[(idx*10+1):(idx*10+10)], ' ')
+                       AS block
+              FROM b
+            ), dfc AS (
+              SELECT source, block, count(DISTINCT doc_id) AS page_df
+              FROM blk GROUP BY source, block
+            ), pg AS (
+              SELECT source, count(DISTINCT doc_id) AS n_pages
+              FROM documents GROUP BY source
+            ), tmpl AS (
+              SELECT d.source, d.block
+              FROM dfc d JOIN pg USING (source)
+              WHERE page_df >= 2
+                AND CAST(page_df AS DOUBLE) / n_pages >= 0.05
+            ), kept AS (
+              SELECT k.doc_id, count(*) AS n_kept,
+                     string_agg(k.block, ' ' ORDER BY k.idx) AS kept_text
+              FROM blk k
+              WHERE NOT EXISTS (
+                SELECT 1 FROM tmpl t
+                WHERE t.source = k.source AND t.block = k.block)
+              GROUP BY k.doc_id
+            ), tot AS (
+              SELECT doc_id, source, count(*) AS n_blocks
+              FROM blk GROUP BY doc_id, source
+            )
+            SELECT t.doc_id, t.source, CAST(t.n_blocks AS BIGINT) AS n_blocks,
+                   CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+                   COALESCE(k.kept_text, '') AS kept_text
+            FROM tot t LEFT JOIN kept k USING (doc_id)
         """,
         "paragraph_dedup": r"""
             WITH w AS (

@@ -222,6 +222,116 @@ def paragraph_dedup(
     )
 
 
+def host_template_removal(
+    df: DataFrame,
+    block_words: int = 25,
+    min_pages: int = 2,
+    ratio: float = 0.5,
+    id_col: str = "doc_id",
+    host_col: str = "source",
+    text_col: str = "text",
+    hash_blocks: bool = True,
+) -> DataFrame:
+    """Per-host template/boilerplate removal: a block that appears on at
+    least ``min_pages`` DISTINCT pages of the same host AND on at least
+    ``ratio`` of that host's pages is site furniture (nav, footer, cookie
+    banner — the cross-page repetition signal of Gibson, Punera & Tomkins
+    2005, "The Volume and Evolution of Web Page Templates"; the same
+    per-site frequent-unit cut ships in Dolma's frequent-line filter) and
+    is removed from EVERY page of that host.
+
+    Complements ``paragraph_dedup`` (corpus-wide keep-FIRST): templates
+    must vanish from the first page too, and a block shared across
+    DIFFERENT hosts (a quote, a license header) is not a template and is
+    kept everywhere. ``ratio`` gates hapax-pair coincidences on large
+    sites; ``min_pages`` gates tiny sites where one repeat already
+    clears any ratio.
+
+    Plan shape (100 TB-safe): block construction is within-row HOFs; the
+    (host, key, page) distinct and the (host, key) page-frequency agg ride
+    ONE shuffle on the block key (xxhash64 by default — 8 bytes on the
+    wire); per-host page totals are a separate tiny agg joined in (AQE
+    broadcasts it); the template set anti-joins back on the SAME
+    (host, key) partitioning; one final shuffle on ``id_col`` reassembles
+    surviving blocks in order. Nothing is O(corpus) on the driver.
+
+    Returns one row per input doc: host, block count, surviving count,
+    and the cleaned text ('' when every block was template).
+    """
+    B = block_words
+    ws = F.col("__ws")
+    blocks_arr = F.transform(
+        F.sequence(F.lit(0), F.floor((F.size(ws) - 1) / B).cast("int")),
+        lambda k: F.array_join(F.slice(ws, k * B + 1, B), " "),
+    )
+    blocks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(host_col).alias("host"),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("__ws"),
+        )
+        .select("id", "host", F.posexplode(blocks_arr).alias("idx", "block"))
+    )
+    key = F.xxhash64("block") if hash_blocks else F.col("block")
+    keyed = blocks.withColumn("__k", key)
+    # distinct pages carrying each (host, block): a block repeated WITHIN
+    # one page counts once — template-ness is a cross-page signal
+    page_df = (
+        keyed.select("host", "__k", "id")
+        .distinct()
+        .groupBy("host", "__k")
+        .agg(F.count(F.lit(1)).alias("page_df"))
+    )
+    pages = (
+        df.select(F.col(host_col).alias("host"), F.col(id_col).alias("id"))
+        .distinct()
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+    templates = (
+        page_df.join(pages, "host")
+        .filter(
+            (F.col("page_df") >= F.lit(int(min_pages)))
+            & (F.col("page_df").cast("double") / F.col("n_pages")
+               >= F.lit(float(ratio)))
+        )
+        .select("host", "__k")
+    )
+    kept = (
+        keyed.join(templates, ["host", "__k"], "left_anti")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "block"))),
+                    lambda s: s["block"],
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+    )
+    totals = df.select(
+        F.col(id_col).alias("id"),
+        F.col(host_col).alias(host_col),
+        (
+            F.floor(
+                (F.size(F.split(F.trim(F.col(text_col)), r"\s+")) - 1) / B
+            ) + 1
+        ).cast("long").alias("n_blocks"),
+    )
+    return (
+        totals.join(kept, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            host_col,
+            "n_blocks",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        )
+    )
+
+
 def rate_threshold_hex(rate: float) -> str:
     """8-hex-digit keep threshold for a rate in [0, 1]: a row survives iff
     the first 8 md5 hex chars of its sampling key compare BELOW this

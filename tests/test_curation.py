@@ -754,3 +754,84 @@ def test_exact_sample_size_determinism_seed(spark):
     assert exact_sample(df, 0).count() == 0
     assert exact_sample(df, 500).count() == 500
     assert exact_sample(df, 9999).count() == 500
+
+
+# ---------------------------------------------------------------------------
+# per-host template removal
+# ---------------------------------------------------------------------------
+
+_NAV = "home about contact"            # 3 words -> one B=3 block
+_FOOT = "copyright acme corp"
+
+
+def _site_docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, text string")
+
+
+def test_host_template_removed_from_every_page(spark):
+    """A block on >= ratio of a host's pages vanishes from ALL pages —
+    including the first (contrast: paragraph_dedup keeps first)."""
+    from context_crawler_spark.operators.curation import host_template_removal
+
+    rows = [
+        (1, "a", f"{_NAV} alpha beta gamma {_FOOT}"),
+        (2, "a", f"{_NAV} delta epsi zeta {_FOOT}"),
+        (3, "a", f"{_NAV} theta iota kappa {_FOOT}"),
+        (4, "a", "lamb mu nu unique page body"),
+    ]
+    out = {r["doc_id"]: r for r in host_template_removal(
+        _site_docs(spark, rows), block_words=3, min_pages=2, ratio=0.5,
+    ).collect()}
+    assert len(out) == 4
+    # nav+footer on 3/4 pages >= 0.5 -> stripped everywhere
+    for d in (1, 2, 3):
+        assert "home" not in out[d]["kept_text"]
+        assert "copyright" not in out[d]["kept_text"]
+        assert out[d]["n_blocks"] == 3 and out[d]["n_kept"] == 1
+    assert out[1]["kept_text"] == "alpha beta gamma"
+    assert out[4]["n_kept"] == out[4]["n_blocks"]
+
+
+def test_host_template_scoped_per_host_and_gates(spark):
+    """The same block on two DIFFERENT hosts is not a template (a quote
+    is not furniture); min_pages gates single-page hosts; ratio gates
+    rare pairs on big hosts; an all-template page comes back ''."""
+    from context_crawler_spark.operators.curation import host_template_removal
+
+    quote = "to be or"
+    rows = (
+        # hosts b and c share `quote` once each -> kept on both
+        [(10, "b", f"{quote} words here too"), (11, "c", f"{quote} and more words")]
+        # host d: 10 pages, block on only 2 -> page_df/n_pages = 0.2 < 0.5
+        + [(20 + i, "d", f"{_NAV} page d{i} filler" if i < 2
+            else f"page d{i} body filler x") for i in range(10)]
+        # host e: 2 pages, both ONLY the template -> kept_text ''
+        + [(40, "e", _FOOT), (41, "e", _FOOT)]
+    )
+    out = {r["doc_id"]: r for r in host_template_removal(
+        _site_docs(spark, rows), block_words=3, min_pages=2, ratio=0.5,
+    ).collect()}
+    assert quote in out[10]["kept_text"] and quote in out[11]["kept_text"]
+    assert "home" in out[20]["kept_text"] and "home" in out[21]["kept_text"]
+    assert out[40]["kept_text"] == "" and out[40]["n_kept"] == 0
+    assert out[41]["n_blocks"] == 1
+
+
+def test_host_template_partitioning_invariant_and_hashed_key(spark):
+    """Same output under a different partitioning; the shipped xxhash64
+    key path agrees with the string-key (oracle) path."""
+    from context_crawler_spark.operators.curation import host_template_removal
+
+    rows = [
+        (i, f"s{i % 3}", f"{_NAV} body {i} text tail {_FOOT}")
+        for i in range(30)
+    ]
+    df = _site_docs(spark, rows)
+    a = {tuple(r) for r in host_template_removal(
+        df, block_words=3, ratio=0.3).collect()}
+    b = {tuple(r) for r in host_template_removal(
+        df.repartition(7), block_words=3, ratio=0.3).collect()}
+    c = {tuple(r) for r in host_template_removal(
+        df, block_words=3, ratio=0.3, hash_blocks=False).collect()}
+    assert a == b == c
