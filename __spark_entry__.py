@@ -2617,6 +2617,24 @@ def q_host_template(spark, sf_dir):
         d, block_words=10, min_pages=2, ratio=0.05, hash_blocks=False)
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS, Schleimer 2003) fingerprint sets: window-min over
+    md5-hex char-5-gram hashes, w=16. Hex strings order as their numeric
+    values, so DuckDB replays the window-min bit-identically."""
+    from context_crawler_spark.operators.text_dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=5, w=16)
+
+
+def q_winnow_pairs(spark, sf_dir):
+    """MOSS-style overlap candidates: pairs sharing >=2 winnowing
+    fingerprints, stop-fingerprints (df > 20) cut before the self-join."""
+    from context_crawler_spark.operators.text_dedup import winnow_pairs
+
+    return winnow_pairs(
+        _t(spark, sf_dir, "documents"), k=5, w=16, min_shared=2, max_df=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver correctness window (the first 50 entries; the driver
@@ -2695,6 +2713,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_dedup": q_containment_dedup,
         "exact_sample": q_exact_sample,
         "host_template": q_host_template,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_pairs": q_winnow_pairs,
         "claim_order": q_claim_order,
         "queue_stats": q_queue_stats,
         "url_seen_antijoin": q_url_seen_antijoin,
@@ -4534,6 +4554,72 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(t2,
                      '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones
             FROM s2
+        """,
+        # Winnowing replay: the gram hash is substr(md5(gram),1,13) in BOTH
+        # engines; fixed-width lowercase hex orders as its numeric value,
+        # so list_min over strings == window-min over 52-bit numbers.
+        "winnow_fingerprints": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_replace(lower(COALESCE(text, '')),
+                                    '[^a-z0-9]', '', 'g') AS t
+              FROM documents
+            ), g AS (
+              SELECT doc_id, t, length(t) - 4 AS m
+              FROM d WHERE length(t) >= 5
+            ), h AS (
+              SELECT doc_id, m,
+                     list_transform(range(1, m + 1),
+                       i -> substr(md5(substr(t, CAST(i AS INT), 5)), 1, 13))
+                       AS H
+              FROM g
+            ), s AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(0, greatest(m - 15, 1)),
+                       j -> list_min(
+                         H[(CAST(j AS INT) + 1):(CAST(j AS INT) + 16)])))
+                       AS sel
+              FROM h
+            )
+            SELECT doc_id, unnest(sel) AS fp FROM s
+        """,
+        "winnow_pairs": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_replace(lower(COALESCE(text, '')),
+                                    '[^a-z0-9]', '', 'g') AS t
+              FROM documents
+            ), g AS (
+              SELECT doc_id, t, length(t) - 4 AS m
+              FROM d WHERE length(t) >= 5
+            ), h AS (
+              SELECT doc_id, m,
+                     list_transform(range(1, m + 1),
+                       i -> substr(md5(substr(t, CAST(i AS INT), 5)), 1, 13))
+                       AS H
+              FROM g
+            ), s AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(0, greatest(m - 15, 1)),
+                       j -> list_min(
+                         H[(CAST(j AS INT) + 1):(CAST(j AS INT) + 16)])))
+                       AS sel
+              FROM h
+            ), fps AS (
+              SELECT doc_id, unnest(sel) AS fp FROM s
+            ), rare AS (
+              SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 20
+            ), ff AS (
+              SELECT doc_id, fp FROM fps JOIN rare USING (fp)
+            )
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   CAST(count(*) AS BIGINT) AS shared_fps
+            FROM ff x JOIN ff y USING (fp)
+            WHERE x.doc_id < y.doc_id
+            GROUP BY x.doc_id, y.doc_id
+            HAVING count(*) >= 2
         """,
         # host_template_removal replay: same block CTE as paragraph_dedup
         # (B=10), page frequency per (source, block) over DISTINCT docs,

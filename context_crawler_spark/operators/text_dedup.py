@@ -851,3 +851,106 @@ def containment_dedup(
            & (F.col("dst_id") < F.col("src_id")))
     ).select(F.col("src_id").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints — the MOSS local fingerprinting algorithm
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every character ``k``-gram of
+    the normalized text (lowercased, non-alphanumerics stripped — the
+    paper's whitespace/punctuation insensitivity), slide a window of
+    ``w`` consecutive gram hashes, and select each window's MINIMUM.
+    Guarantee: any substring match of length >= w + k - 1 between two
+    documents yields at least one shared fingerprint, while only ~2/(w+1)
+    of all gram hashes are retained.
+
+    Differs from ``rolling_fingerprint`` (functions/tokens.py — ONE
+    Karp-Rabin min per doc, an identity key): this emits a fingerprint
+    SET sized to the document, the unit MOSS-style overlap detection and
+    plagiarism/mirror search joins on.
+
+    Engine-native and oracle-shared hashing: the gram hash is the first
+    13 hex chars of md5 — fixed-width lowercase hex orders exactly as its
+    numeric value, so window-min over the STRING equals window-min over
+    the 52-bit number and DuckDB replays it bit-identically. The whole
+    selection is JVM higher-order expressions (zero Python, zero shuffle);
+    the only exchange is the final per-doc DISTINCT. Docs with fewer than
+    ``w`` grams winnow to the single global min (the paper's short-input
+    convention); docs shorter than ``k`` chars emit nothing.
+
+    Returns (id_col, fp) — one row per distinct selected fingerprint.
+    """
+    t = F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                         "[^a-z0-9]", "")
+    n = F.length("__t")
+    m = n - (k - 1)  # number of k-grams
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.col("__m")),
+        lambda i: F.substring(F.md5(F.substring(F.col("__t"), i, k)), 1, 13),
+    )
+    n_windows = F.greatest(F.col("__m") - (w - 1), F.lit(1))
+    selected = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n_windows - 1),
+            lambda j: F.array_min(F.slice(F.col("__h"), j + 1, w)),
+        )
+    )
+    return (
+        df.select(F.col(id_col), t.alias("__t"))
+        .withColumn("__m", m)
+        .filter(F.col("__m") >= 1)
+        .withColumn("__h", hashes)
+        .select(id_col, F.explode(selected).alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 16,
+    min_shared: int = 2,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate overlap pairs by shared winnowing fingerprints: docs
+    sharing >= ``min_shared`` selected fingerprints, with the shared
+    count as evidence weight. ``max_df`` drops fingerprints occurring in
+    more than that many docs before pairing (the standard stop-gram cut:
+    a fingerprint half the web shares carries no signal and would
+    quadratically blow up the self-join — same role as the band-bucket
+    cap in minhash LSH).
+
+    Plan: ONE shuffle on fp groups postings; pairs form inside each
+    fingerprint's posting list only (never all-pairs); one (a, b) shuffle
+    counts shared fps. Emits a < b once per pair.
+    """
+    fps = winnow_fingerprints(df, k=k, w=w, id_col=id_col, text_col=text_col)
+    if max_df is not None:
+        rare = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("fp")
+        )
+        fps = fps.join(rare, "fp")
+    a = fps.select(F.col(id_col).alias("a"), "fp")
+    b = fps.select(F.col(id_col).alias("b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

@@ -518,3 +518,68 @@ def test_cms_counter_table_is_bounded_and_absent_key_is_zero(spark):
     # bucket on some row — with 7 keys x 2 rows over 8 buckets that is
     # not guaranteed, so only assert the one-sided floor here
     assert got >= 0
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (MOSS)
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_guarantee_and_density(spark):
+    """Any shared substring of length >= w+k-1 yields a shared
+    fingerprint; unrelated docs share none; density ~2/(w+1); short-doc
+    and sub-k edge cases."""
+    from context_crawler_spark.operators.text_dedup import winnow_fingerprints
+
+    k, w = 5, 8
+    shared = "the quick brown fox jumps over the lazy dog near the river"
+    rows = [
+        (1, f"INTRO A. {shared} OUTRO ONE two three four five six seven"),
+        (2, f"completely different preamble text here. {shared} and a different tail"),
+        (3, "nothing in common with anybody else at all zebra quark flux"),
+        (4, "tiny"),        # < k after normalization -> no grams? 'tiny'=4 chars < 5
+        (5, "abcdefg"),     # 7 chars -> 3 grams < w -> single global min
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=k, w=w).collect()
+    by = {}
+    for r in fps:
+        by.setdefault(r["doc_id"], set()).add(r["fp"])
+    # guarantee: len(shared normalized) >> w+k-1
+    assert by[1] & by[2], "shared substring must share a fingerprint"
+    assert not (by[1] & by[3]) and not (by[2] & by[3])
+    assert 4 not in by                      # no k-gram
+    assert len(by[5]) == 1                  # sub-window doc -> global min
+    # density: selected distinct fps well below the gram count
+    n1 = len("".join(c for c in rows[0][1].lower() if c.isalnum()))
+    assert len(by[1]) < (n1 - k + 1) / 2
+    # determinism across partitionings
+    fps2 = winnow_fingerprints(df.repartition(7), k=k, w=w).collect()
+    by2 = {}
+    for r in fps2:
+        by2.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by == by2
+
+
+def test_winnow_pairs_min_shared_and_max_df(spark):
+    """Pair weight counts shared fps; min_shared gates; max_df kills
+    corpus-wide stop fingerprints before the self-join."""
+    from context_crawler_spark.operators.text_dedup import winnow_pairs
+
+    boiler = "all rights reserved contact us terms of service apply here"
+    body = "original research result section with unique narrative text"
+    rows = [
+        (1, f"{body} alpha continuation of the same story"),
+        (2, f"{body} beta continuation slightly different"),
+        (3, f"unrelated page about gardening and soil {boiler}"),
+        (4, f"unrelated page about astronomy and stars {boiler}"),
+        (5, "lone page sharing nothing with the others xylophone"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["a"], r["b"]): r["shared_fps"]
+           for r in winnow_pairs(df, k=5, w=8, min_shared=2).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 2
+    assert (3, 4) in got
+    assert all(5 not in ab for ab in got)
+    # max_df=1 removes every shared fp -> no pairs at all
+    assert winnow_pairs(df, k=5, w=8, min_shared=1, max_df=1).count() == 0
