@@ -2635,6 +2635,20 @@ def q_winnow_pairs(spark, sf_dir):
         _t(spark, sf_dir, "documents"), k=5, w=16, min_shared=2, max_df=20)
 
 
+def q_approx_quantiles(spark, sf_dir):
+    """GK quantile sketch (Greenwald & Khanna 2001) bound contract: for
+    every (event_type, p) the exact rank window of the estimate must
+    intersect [(p-eps)N, (p+eps)N] — DETERMINISTIC (GK's worst-case
+    bound, unlike CMS/HLL's probabilistic ones), so the oracle replays
+    exact group sizes + TRUE (the cms_heavy_hitters pattern)."""
+    from context_crawler_spark.operators.quantiles import quantile_bound_check
+
+    e = _t(spark, sf_dir, "events")
+    return quantile_bound_check(
+        e, "value", [0.1, 0.5, 0.9, 0.99], accuracy=200,
+        group_cols=["event_type"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver correctness window (the first 50 entries; the driver
@@ -2715,6 +2729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_template": q_host_template,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
+        "approx_quantiles": q_approx_quantiles,
         "claim_order": q_claim_order,
         "queue_stats": q_queue_stats,
         "url_seen_antijoin": q_url_seen_antijoin,
@@ -4554,6 +4569,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(t2,
                      '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones
             FROM s2
+        """,
+        # GK bound contract: exact per-group sizes in SQL, rank_ok TRUE —
+        # the bound is deterministic (GK worst case), so a FALSE anywhere
+        # hash-mismatches.
+        "approx_quantiles": """
+            SELECT event_type, CAST(p AS DOUBLE) AS p,
+                   CAST(count(*) AS BIGINT) AS n, TRUE AS rank_ok
+            FROM events, (VALUES (0.1), (0.5), (0.9), (0.99)) AS probs(p)
+            WHERE value IS NOT NULL
+            GROUP BY event_type, p
         """,
         # Winnowing replay: the gram hash is substr(md5(gram),1,13) in BOTH
         # engines; fixed-width lowercase hex orders as its numeric value,

@@ -583,3 +583,42 @@ def test_winnow_pairs_min_shared_and_max_df(spark):
     assert all(5 not in ab for ab in got)
     # max_df=1 removes every shared fp -> no pairs at all
     assert winnow_pairs(df, k=5, w=8, min_shared=1, max_df=1).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# GK approximate quantiles (sketch family: rank/distribution)
+# ---------------------------------------------------------------------------
+
+
+def test_approx_quantiles_exact_at_high_accuracy(spark):
+    """accuracy >= N degenerates to exact discrete quantiles; grouped
+    path returns one row per (group, p); NULLs ignored."""
+    from context_crawler_spark.operators.quantiles import approx_quantiles
+
+    rows = [("a", float(i)) for i in range(1, 101)] + [("a", None)] \
+        + [("b", float(10 * i)) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {(r["g"], r["p"]): r["est"]
+           for r in approx_quantiles(df, "v", [0.5, 0.9], 10000,
+                                     ["g"]).collect()}
+    assert got[("a", 0.5)] == 50.0 and got[("a", 0.9)] == 90.0
+    assert got[("b", 0.5)] == 50.0 and got[("b", 0.9)] == 90.0
+    # ungrouped scalar path
+    one = approx_quantiles(df.filter("g = 'b'"), "v", [0.1], 10000).collect()
+    assert len(one) == 1 and one[0]["est"] == 10.0
+
+
+def test_quantile_bound_holds_at_low_accuracy(spark):
+    """The deterministic GK rank bound holds for every (group, p) even
+    at a coarse sketch, on a skewed distribution, for any partitioning."""
+    from context_crawler_spark.operators.quantiles import quantile_bound_check
+
+    rows = ([("hot", float(i * i % 997)) for i in range(5000)]
+            + [("cold", 1.0)] * 200 + [("cold", 2.0)] * 3)
+    df = spark.createDataFrame(rows, "g string, v double")
+    for d in (df, df.repartition(17)):
+        out = quantile_bound_check(
+            d, "v", [0.01, 0.25, 0.5, 0.75, 0.99], accuracy=20,
+            group_cols=["g"]).collect()
+        assert len(out) == 10
+        assert all(r["rank_ok"] for r in out), [tuple(r) for r in out]
