@@ -2649,6 +2649,16 @@ def q_approx_quantiles(spark, sf_dir):
         group_cols=["event_type"])
 
 
+def q_mirror_hosts(spark, sf_dir):
+    """Mirror-host detection (Bharat & Broder 1999): host-pair
+    containment over winnowing-fingerprint sets, theta=0.3, web-wide
+    fingerprints (df > 10 hosts) cut first."""
+    from context_crawler_spark.operators.text_dedup import mirror_hosts
+
+    return mirror_hosts(
+        _t(spark, sf_dir, "documents"), theta=0.3, k=5, w=16, max_df=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver correctness window (the first 50 entries; the driver
@@ -2730,6 +2740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
         "approx_quantiles": q_approx_quantiles,
+        "mirror_hosts": q_mirror_hosts,
         "claim_order": q_claim_order,
         "queue_stats": q_queue_stats,
         "url_seen_antijoin": q_url_seen_antijoin,
@@ -4645,6 +4656,53 @@ def oracle_sql() -> dict[str, str]:
             WHERE x.doc_id < y.doc_id
             GROUP BY x.doc_id, y.doc_id
             HAVING count(*) >= 2
+        """,
+        "mirror_hosts": r"""
+            WITH d AS (
+              SELECT doc_id, source,
+                     regexp_replace(lower(COALESCE(text, '')),
+                                    '[^a-z0-9]', '', 'g') AS t
+              FROM documents
+            ), g AS (
+              SELECT doc_id, source, t, length(t) - 4 AS m
+              FROM d WHERE length(t) >= 5
+            ), h AS (
+              SELECT doc_id, source, m,
+                     list_transform(range(1, m + 1),
+                       i -> substr(md5(substr(t, CAST(i AS INT), 5)), 1, 13))
+                       AS H
+              FROM g
+            ), s AS (
+              SELECT doc_id, source,
+                     list_distinct(list_transform(
+                       range(0, greatest(m - 15, 1)),
+                       j -> list_min(
+                         H[(CAST(j AS INT) + 1):(CAST(j AS INT) + 16)])))
+                       AS sel
+              FROM h
+            ), hf AS (
+              SELECT DISTINCT source AS host, unnest(sel) AS fp FROM s
+            ), rare AS (
+              SELECT fp FROM hf GROUP BY fp HAVING count(*) <= 10
+            ), ff AS (
+              SELECT host, fp FROM hf JOIN rare USING (fp)
+            ), tot AS (
+              SELECT host, count(*) AS nf FROM ff GROUP BY host
+            ), pairs AS (
+              SELECT x.host AS host_a, y.host AS host_b,
+                     CAST(count(*) AS BIGINT) AS shared_fps
+              FROM ff x JOIN ff y USING (fp)
+              WHERE x.host < y.host GROUP BY x.host, y.host
+            )
+            SELECT host_a, host_b, shared_fps,
+                   CAST(ta.nf AS BIGINT) AS nf_a,
+                   CAST(tb.nf AS BIGINT) AS nf_b,
+                   CAST(shared_fps AS DOUBLE) / least(ta.nf, tb.nf)
+                     AS containment
+            FROM pairs
+            JOIN tot ta ON ta.host = pairs.host_a
+            JOIN tot tb ON tb.host = pairs.host_b
+            WHERE CAST(shared_fps AS DOUBLE) / least(ta.nf, tb.nf) >= 0.3
         """,
         # host_template_removal replay: same block CTE as paragraph_dedup
         # (B=10), page frequency per (source, block) over DISTINCT docs,

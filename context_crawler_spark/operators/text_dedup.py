@@ -864,6 +864,7 @@ def winnow_fingerprints(
     w: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     SIGMOD 2003 — the MOSS algorithm): hash every character ``k``-gram of
@@ -888,8 +889,11 @@ def winnow_fingerprints(
     ``w`` grams winnow to the single global min (the paper's short-input
     convention); docs shorter than ``k`` chars emit nothing.
 
-    Returns (id_col, fp) — one row per distinct selected fingerprint.
+    Returns (id_col, *keep_cols, fp) — one row per distinct selected
+    fingerprint (``keep_cols`` are carried through unchanged, e.g. the
+    host for ``mirror_hosts``).
     """
+    extra = list(keep_cols or [])
     t = F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
                          "[^a-z0-9]", "")
     n = F.length("__t")
@@ -906,11 +910,11 @@ def winnow_fingerprints(
         )
     )
     return (
-        df.select(F.col(id_col), t.alias("__t"))
+        df.select(F.col(id_col), *extra, t.alias("__t"))
         .withColumn("__m", m)
         .filter(F.col("__m") >= 1)
         .withColumn("__h", hashes)
-        .select(id_col, F.explode(selected).alias("fp"))
+        .select(id_col, *extra, F.explode(selected).alias("fp"))
         .distinct()
     )
 
@@ -953,4 +957,76 @@ def winnow_pairs(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
+def mirror_hosts(
+    df: DataFrame,
+    theta: float = 0.5,
+    k: int = 5,
+    w: int = 16,
+    max_df: int = 10,
+    host_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mirror-host detection (Bharat & Broder, WWW8 1999, "A comparison
+    of techniques to find mirrored hosts on the WWW"; Cho, Shivakumar &
+    Garcia-Molina, SIGMOD 2000, "Finding replicated web collections"):
+    two hosts serving largely the same content should be crawled ONCE —
+    the single biggest crawl-budget saver on the mirrored web (kernel
+    archives, package CDNs, doc mirrors).
+
+    Host similarity is containment over each host's winnowing-fingerprint
+    SET: shared / min(|A|, |B|) >= ``theta`` — min-normalized so a small
+    full mirror inside a big portal still fires (the Bharat-Broder
+    host-resemblance with MOSS fingerprints as the shingle sample).
+    ``max_df`` cuts fingerprints present on more than that many hosts
+    first (boilerplate the whole web shares is not mirror evidence, and
+    the cut bounds the posting-list self-join exactly like winnow_pairs).
+
+    Plan: winnowing selection is zero-shuffle HOFs; ONE fp shuffle makes
+    the distinct (host, fp) set + the df cut; pairs form inside each
+    fingerprint's host list only; one (a, b) shuffle counts; per-host
+    totals join in (AQE broadcasts — it is #hosts rows). Never all-pairs
+    over hosts, never O(corpus) on the driver.
+
+    Returns (host_a, host_b, shared_fps, nf_a, nf_b, containment),
+    host_a < host_b, one row per candidate mirror pair.
+    """
+    hf = (
+        winnow_fingerprints(
+            df, k=k, w=w, id_col=id_col, text_col=text_col,
+            keep_cols=[host_col])
+        .select(F.col(host_col).alias("host"), "fp")
+        .distinct()
+    )
+    rare = (
+        hf.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("fp")
+    )
+    ff = hf.join(rare, "fp")
+    tot = ff.groupBy("host").agg(F.count(F.lit(1)).alias("nf"))
+    a = ff.select(F.col("host").alias("host_a"), "fp")
+    b = ff.select(F.col("host").alias("host_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+    )
+    return (
+        pairs.join(tot.select(F.col("host").alias("host_a"),
+                              F.col("nf").alias("nf_a")), "host_a")
+        .join(tot.select(F.col("host").alias("host_b"),
+                         F.col("nf").alias("nf_b")), "host_b")
+        .withColumn(
+            "containment",
+            F.col("shared_fps").cast("double")
+            / F.least("nf_a", "nf_b"))
+        .filter(F.col("containment") >= F.lit(float(theta)))
+        .select("host_a", "host_b", "shared_fps", "nf_a", "nf_b",
+                "containment")
     )

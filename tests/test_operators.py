@@ -622,3 +622,38 @@ def test_quantile_bound_holds_at_low_accuracy(spark):
             group_cols=["g"]).collect()
         assert len(out) == 10
         assert all(r["rank_ok"] for r in out), [tuple(r) for r in out]
+
+
+def test_mirror_hosts_detects_mirror_and_gates(spark):
+    """A full mirror of a small host inside a larger one fires via the
+    min-normalized containment; unrelated hosts don't; max_df kills
+    web-wide boilerplate evidence; output is partitioning-invariant."""
+    from context_crawler_spark.operators.text_dedup import mirror_hosts
+
+    arts = [
+        f"article number {i} with its own distinctive narrative body "
+        f"about topic {i} and nothing else shared" for i in range(6)
+    ]
+    rows = (
+        # big.com hosts all six articles; mirror.org mirrors three of them
+        [(i, "big.com", arts[i]) for i in range(6)]
+        + [(10 + i, "mirror.org", arts[i]) for i in range(3)]
+        # other.net: unrelated content
+        + [(20 + i, "other.net",
+            f"totally different essay {i} on gardening soil and compost")
+           for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {(r["host_a"], r["host_b"]): r
+           for r in mirror_hosts(df, theta=0.5, k=5, w=8,
+                                 max_df=10).collect()}
+    assert ("big.com", "mirror.org") in got
+    pair = got[("big.com", "mirror.org")]
+    assert pair["containment"] >= 0.9          # mirror.org fully contained
+    assert all("other.net" not in ab for ab in got)
+    # max_df=1: every shared fp (by definition on >=2 hosts) is cut
+    assert mirror_hosts(df, theta=0.1, k=5, w=8, max_df=1).count() == 0
+    got2 = {(r["host_a"], r["host_b"]): r["shared_fps"]
+            for r in mirror_hosts(df.repartition(9), theta=0.5, k=5, w=8,
+                                  max_df=10).collect()}
+    assert got2 == {ab: r["shared_fps"] for ab, r in got.items()}
