@@ -2659,6 +2659,27 @@ def q_mirror_hosts(spark, sf_dir):
         _t(spark, sf_dir, "documents"), theta=0.3, k=5, w=16, max_df=10)
 
 
+def q_phrase_search(spark, sf_dir):
+    """Exact phrase search, scan path: zero-shuffle HOF window count of
+    the token sequence (overlaps counted), top-k by occurrence count.
+    Phrase 'table table' exercises the overlapping-repeat case."""
+    from context_crawler_spark.operators.ranking import phrase_search
+
+    return phrase_search(
+        _t(spark, sf_dir, "documents"), "table table", k=50)
+
+
+def q_phrase_search_indexed(spark, sf_dir):
+    """Phrase search against a persisted positional postings index:
+    bucket-pruned scan + offset-shifted array_intersect fold. Must be
+    result-identical to the scan path — same oracle SQL."""
+    from context_crawler_spark.operators.ranking import (
+        build_positional_index, phrase_search_indexed)
+
+    idx = build_positional_index(_t(spark, sf_dir, "documents"))
+    return phrase_search_indexed(idx, "table table", k=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver correctness window (the first 50 entries; the driver
@@ -2741,6 +2762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "approx_quantiles": q_approx_quantiles,
         "mirror_hosts": q_mirror_hosts,
+        "phrase_search": q_phrase_search,
+        "phrase_search_indexed": q_phrase_search_indexed,
         "claim_order": q_claim_order,
         "queue_stats": q_queue_stats,
         "url_seen_antijoin": q_url_seen_antijoin,
@@ -3039,6 +3062,31 @@ _C4_DEC = r"""
                            string_split_regex(trim(text), '\s+') AS ws
                     FROM documents)
             )"""
+
+
+# Shared by phrase_search and phrase_search_indexed (result-identical by
+# contract). Phrase = ['table','table'] (m=2), k=50; DuckDB lists are
+# 1-based, so window starts are j in 1..len(w)-m+1.
+_PHRASE_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(regexp_replace(
+               text, '[^A-Za-z0-9]+', ' ', 'g')), ' '),
+               w -> w <> '') AS w
+      FROM documents
+    ), cnt AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 2 THEN len(list_filter(
+               range(1, len(w) - 2 + 2),
+               j -> w[j] = 'table' AND w[j + 1] = 'table'))
+             ELSE 0 END AS phrase_tf
+      FROM toks
+    )
+    SELECT doc_id, CAST(phrase_tf AS INT) AS phrase_tf
+    FROM cnt WHERE phrase_tf > 0
+    ORDER BY phrase_tf DESC, doc_id
+    LIMIT 50
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4704,6 +4752,12 @@ def oracle_sql() -> dict[str, str]:
             JOIN tot tb ON tb.host = pairs.host_b
             WHERE CAST(shared_fps AS DOUBLE) / least(ta.nf, tb.nf) >= 0.3
         """,
+        # phrase search replay: same shared tokenizer mirror, then count
+        # window starts j where w[j..j+1] == the phrase (overlapping
+        # occurrences counted, exactly as the HOF fold does). The indexed
+        # path must be result-identical, so both keys share this SQL.
+        "phrase_search": _PHRASE_SQL,
+        "phrase_search_indexed": _PHRASE_SQL,
         # host_template_removal replay: same block CTE as paragraph_dedup
         # (B=10), page frequency per (source, block) over DISTINCT docs,
         # template = page_df >= 2 AND page_df/n_pages >= 0.05, anti-join,

@@ -885,3 +885,164 @@ def focused_priority(
         (F.lit(anchor_weight) * F.col("anchor_hits")
          + F.col("src_hits")).alias("priority"),
     )
+
+
+def tokenize_phrase(phrase: str) -> list[str]:
+    """Order-preserving, duplicate-preserving tokenization of a phrase
+    query — unlike :func:`tokenize_query` (bag-of-words), position
+    matters: ``"table table"`` is a 2-term phrase."""
+    return [w for w in re.sub(r"[^A-Za-z0-9]+", " ", phrase.lower()).split() if w]
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase search, scan path: top-k docs by occurrence count of
+    the token sequence ``phrase`` (overlapping occurrences counted —
+    ``"a a a"`` contains ``"a a"`` twice).
+
+    Reference parity: the reference's artifact search is substring
+    ILIKE over stored markdown (src/server.ts:412-436 `%query%`);
+    phrase-over-tokens is the IR-correct form of the same need, immune
+    to whitespace/markup noise, and the natural companion to
+    ``bm25_topk`` (which ignores adjacency).
+
+    Plan: ZERO shuffle before the final top-k. The phrase is a driver
+    constant, so each doc answers locally: tokenize JVM-side, then count
+    window starts ``j`` where every ``tokens[j+i] == terms[i]`` — one
+    ``filter(sequence(...))`` higher-order fold inside whole-stage
+    codegen. Global top-k is TakeOrderedAndProject (no sort shuffle).
+    On 100 TB this is a single pruned scan — the same shape as
+    gopher_repetition."""
+    terms = tokenize_phrase(phrase)
+    if not terms:
+        raise ValueError("empty phrase")
+    m = len(terms)
+    toks = alnum_words(text_col)
+    w = F.col("__w")
+
+    def window_matches(j: Column) -> Column:
+        cond = F.lit(True)
+        for i, t in enumerate(terms):
+            cond = cond & (F.element_at(w, j + F.lit(i + 1)) == F.lit(t))
+        return cond
+
+    tf = F.when(
+        F.size(w) >= m,
+        F.size(F.filter(F.sequence(F.lit(0), F.size(w) - F.lit(m)),
+                        window_matches)),
+    ).otherwise(F.lit(0))
+    out = (
+        docs.select(F.col(id_col), toks.alias("__w"))
+        .select(id_col, tf.alias("phrase_tf"))
+        .filter(F.col("phrase_tf") > 0)
+    )
+    return out.orderBy(F.desc("phrase_tf"), F.asc(id_col)).limit(k)
+
+
+def build_positional_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    term_buckets: int = 256,
+) -> DataFrame:
+    """Positional postings: one row per (term, doc) with the SORTED
+    position list — ``(term, term_bucket, id, positions, dl)``. The
+    positional twin of :func:`build_postings_index` (same bucket scheme,
+    same write/prune contract); ``size(positions)`` is the plain tf, so
+    this index also serves ``bm25_topk_indexed`` via a projection.
+
+    Build cost: one tokenize pass + ONE shuffle on (term, id); positions
+    aggregate as a collect_list of ints (positions within one doc — the
+    per-row state is bounded by doc length, never by corpus size)."""
+    did = F.col(id_col)
+    toks = docs.select(did.alias("id"), alnum_words(text_col).alias("__w"))
+    return (
+        toks.select(
+            "id", F.size("__w").alias("dl"),
+            F.posexplode("__w").alias("pos", "term"))
+        .groupBy("term", "id", "dl")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+        .withColumn(
+            "term_bucket",
+            F.pmod(F.xxhash64("term"), F.lit(int(term_buckets))).cast("int"))
+        .select("term", "term_bucket", "id", "positions", "dl")
+    )
+
+
+def phrase_search_indexed(
+    postings: DataFrame,
+    phrase: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    term_buckets: int = 256,
+) -> DataFrame:
+    """Exact phrase search against a persisted
+    :func:`build_positional_index` — result-identical to
+    :func:`phrase_search` over the same corpus (pinned by
+    tests/test_ranking.py) without touching document text.
+
+    The classic positional-intersection algorithm, vectorized:
+
+    1. the phrase's term-bucket set prunes the index scan to
+       ≤ len(phrase) partitions (the ``bm25_topk_indexed`` pattern);
+    2. each (term, phrase-offset) pair shifts its position list by the
+       offset (``transform(positions, p -> p - off)``) — a phrase start
+       is a position present in EVERY shifted list;
+    3. per doc: require all len(phrase) pairs matched, then fold
+       ``array_intersect`` over the shifted lists; ``size`` of the
+       intersection is the occurrence count (overlaps included, exactly
+       as the scan path counts them).
+
+    One broadcast join (the ≤ m-row query-pair table) + one id-keyed
+    groupBy over postings rows of MATCHED TERMS ONLY — on a 100 TB
+    corpus the exchange carries len(phrase) rows per candidate doc, not
+    the corpus."""
+    terms = tokenize_phrase(phrase)
+    if not terms:
+        raise ValueError("empty phrase")
+    n_pairs = len(terms)
+    spark = postings.sparkSession
+    qdf = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(terms)], "term string, off int")
+    buckets = sorted({
+        r["b"] for r in qdf.select(
+            F.pmod(F.xxhash64("term"), F.lit(int(term_buckets)))
+            .cast("int").alias("b")).collect()
+    })
+    matched = (
+        postings
+        .filter(F.col("term_bucket").isin(buckets)
+                & F.col("term").isin(list(set(terms))))
+        .join(F.broadcast(qdf), "term")
+        .select(
+            "id",
+            F.filter(
+                F.transform("positions", lambda p: p - F.col("off")),
+                lambda p: p >= 0,
+            ).alias("__shift"),
+        )
+    )
+    arrs = F.col("__arrs")
+    starts = F.aggregate(
+        F.slice(arrs, 2, F.size(arrs) - 1),
+        F.element_at(arrs, 1),
+        lambda acc, x: F.array_intersect(acc, x),
+    )
+    out = (
+        matched.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("__n"),
+             F.collect_list("__shift").alias("__arrs"))
+        .filter(F.col("__n") == n_pairs)
+        .select("id", F.size(starts).alias("phrase_tf"))
+        .filter(F.col("phrase_tf") > 0)
+    )
+    return (
+        out.orderBy(F.desc("phrase_tf"), F.asc("id"))
+        .limit(k)
+        .select(F.col("id").alias(id_col), "phrase_tf")
+    )

@@ -546,3 +546,89 @@ def test_host_graph_psl_ports_intra_and_nulls(spark):
     assert (r["src_dom"], r["dst_dom"]) == ("example.co.uk", "other.com")
     assert r["n_links"] == 3
     assert r["n_src_pages"] == 2
+
+
+def test_phrase_search_counts_overlapping_occurrences(spark):
+    """'a a a' contains 'a a' twice (overlapping starts) — the window
+    fold must count every start, not disjoint matches; punctuation and
+    case fold through the shared tokenizer."""
+    from context_crawler_spark.operators.ranking import phrase_search
+
+    df = spark.createDataFrame(
+        [(1, "A, a; a b"), (2, "x a a y a a"), (3, "b c d"), (4, "a")],
+        "doc_id long, text string")
+    rows = phrase_search(df, "a a", k=10).collect()
+    assert [(r["doc_id"], r["phrase_tf"]) for r in rows] == [(1, 2), (2, 2)]
+    # single-term phrase degenerates to plain tf; short docs don't error
+    one = phrase_search(df, "a", k=10).collect()
+    assert [(r["doc_id"], r["phrase_tf"]) for r in one] == [(2, 4), (1, 3), (4, 1)]
+    assert phrase_search(df, "b c d", k=10).collect()[0]["doc_id"] == 3
+    assert phrase_search(df, "missing words", k=10).count() == 0
+    with pytest.raises(ValueError):
+        phrase_search(df, "...")
+
+
+def test_phrase_search_plan_is_shuffle_free_scan(spark):
+    """The scan path's only exchange is the final top-k (which Spark
+    plans as TakeOrderedAndProject, not a sort shuffle) — no join, no
+    aggregate, no Python in the plan."""
+    from context_crawler_spark.operators.ranking import phrase_search
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    plan = phrase_search(df, "a b", k=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    for bad in ("Exchange hashpartitioning", "SortMergeJoin",
+                "BroadcastHashJoin", "ArrowEvalPython", "BatchEvalPython"):
+        assert bad not in plan, bad
+
+
+def test_phrase_search_indexed_equals_scan_path(spark, tmp_path):
+    """The positional-index path must return EXACTLY what the scan path
+    returns — through a real parquet round-trip partitioned by
+    term_bucket, with the bucket prune reaching the scan. Includes a
+    duplicate-term phrase (two offsets of the same term share one
+    postings row) and a phrase crossing doc start (shift < 0 filtered)."""
+    from context_crawler_spark.operators.ranking import (
+        build_positional_index, phrase_search, phrase_search_indexed)
+
+    docs = [
+        (1, "a a a b"),
+        (2, "x a a y a a"),
+        (3, "b a b a b"),
+        (4, "the quick brown fox jumps over the lazy dog"),
+        (5, "quick brown quick brown quick"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    idx = build_positional_index(df, term_buckets=16)
+    pdir = str(tmp_path / "pos")
+    idx.write.partitionBy("term_bucket").parquet(pdir)
+    loaded = spark.read.parquet(pdir)
+
+    for phrase in ("a a", "b a b", "quick brown", "quick brown quick",
+                   "the lazy dog", "a", "no such phrase"):
+        direct = phrase_search(df, phrase, k=10).collect()
+        indexed = phrase_search_indexed(
+            loaded, phrase, k=10, term_buckets=16).collect()
+        assert [tuple(r) for r in direct] == [tuple(r) for r in indexed], phrase
+
+    plan = phrase_search_indexed(
+        loaded, "quick brown", k=5, term_buckets=16
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "term_bucket" in plan.split("PartitionFilters:", 1)[1][:200]
+
+
+def test_positional_index_serves_plain_tf(spark):
+    """size(positions) == the tf build_postings_index computes — one
+    index can serve both BM25 and phrase queries."""
+    from context_crawler_spark.operators.ranking import (
+        build_positional_index, build_postings_index)
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b b c")], "doc_id long, text string")
+    pos = build_positional_index(df, term_buckets=8)
+    flat, _ = build_postings_index(df, term_buckets=8)
+    got = {(r["term"], r["id"]): len(r["positions"]) for r in pos.collect()}
+    want = {(r["term"], r["id"]): r["tf"] for r in flat.collect()}
+    assert got == want
