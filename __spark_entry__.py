@@ -2680,6 +2680,35 @@ def q_phrase_search_indexed(spark, sf_dir):
     return phrase_search_indexed(idx, "table table", k=50)
 
 
+def q_hits(spark, sf_dir):
+    """HITS hubs/authorities (Kleinberg, JACM 1999) over the shared
+    events-derived host graph — the frontier-priority signal
+    complementary to PageRank (authority = worth fetching; hub =
+    high-yield outlink source, Chakrabarti et al. 1999). The oracle
+    unrolls the two-direction recurrence with per-step L2 norms; both
+    sides round to 6dp (the pagerank float-parity precedent)."""
+    from context_crawler_spark.operators.ranking import hits
+
+    return hits(_host_graph(spark, sf_dir), iters=5).select(
+        "node", F.round("a", 6).alias("a"), F.round("h", 6).alias("h")
+    )
+
+
+def q_exact_substring(spark, sf_dir):
+    """ExactSubstr duplicated-span REMOVAL (Lee et al. 2022 §3.1), word-
+    window form at n=8 over documents: every word position covered by a
+    corpus-duplicated 8-gram is excised from the normalized token stream
+    (all copies removed, per the paper). The engine shuffles xxhash64
+    gram keys; the oracle replays grams positionally on raw strings and
+    filters indices under the same coverage rule, so clean_text hashes
+    byte-identically."""
+    from context_crawler_spark.operators.text_dedup import (
+        exact_substring_dedup,
+    )
+
+    return exact_substring_dedup(_t(spark, sf_dir, "documents"), n=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver correctness window (the first 50 entries; the driver
@@ -2764,6 +2793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_hosts": q_mirror_hosts,
         "phrase_search": q_phrase_search,
         "phrase_search_indexed": q_phrase_search_indexed,
+        "hits": q_hits,
+        "exact_substring": q_exact_substring,
         "claim_order": q_claim_order,
         "queue_stats": q_queue_stats,
         "url_seen_antijoin": q_url_seen_antijoin,
@@ -2899,6 +2930,48 @@ def _trustrank_ctes(iters: int = 5) -> str:
             ),
             od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
             r0 AS (SELECT node, d, d AS rank FROM nd),""" + chain
+
+
+def _hits_ctes(iters: int = 5) -> str:
+    """Unrolled HITS recurrence (Kleinberg 1999) over the shared
+    events-derived graph: a_{t+1} = normalize(Σ_{u→v} h_t(u)),
+    h_{t+1} = normalize(Σ_{u→v} a_{t+1}(v)), L2 norms as whole-table
+    window sums dividing exactly as the engine does. Every CTE is
+    MATERIALIZED: DuckDB re-inlines multiply-referenced CTEs by
+    default, and the raw/normalized pair per step would re-evaluate the
+    whole prefix exponentially (2^(2·iters)) without it."""
+    step = """
+            a{i}r AS MATERIALIZED (
+              SELECT nodes.node, coalesce(c.s, 0.0::DOUBLE) AS a
+              FROM nodes LEFT JOIN (
+                SELECT e.dst AS node, sum(h{p}.h) AS s
+                FROM e JOIN h{p} ON e.src = h{p}.node GROUP BY e.dst) c
+              ON nodes.node = c.node
+            ),
+            a{i} AS MATERIALIZED (
+              SELECT node, a / sqrt(sum(a*a) OVER ()) AS a
+              FROM a{i}r
+            ),
+            h{i}r AS MATERIALIZED (
+              SELECT nodes.node, coalesce(c.s, 0.0::DOUBLE) AS h
+              FROM nodes LEFT JOIN (
+                SELECT e.src AS node, sum(a{i}.a) AS s
+                FROM e JOIN a{i} ON e.dst = a{i}.node GROUP BY e.src) c
+              ON nodes.node = c.node
+            ),
+            h{i} AS MATERIALIZED (
+              SELECT node, h / sqrt(sum(h*h) OVER ()) AS h
+              FROM h{i}r
+            )"""
+    chain = ",".join(step.format(i=i, p=i - 1) for i in range(1, iters + 1))
+    return r"""
+            WITH e AS MATERIALIZED (
+              SELECT DISTINCT (user_id % 200) AS src, (event_id % 200) AS dst
+              FROM events WHERE (user_id % 200) != (event_id % 200)
+            ), nodes AS MATERIALIZED (
+              SELECT src AS node FROM e UNION SELECT dst FROM e
+            ),
+            h0 AS (SELECT node, 1.0::DOUBLE AS h FROM nodes),""" + chain
 
 
 def _opic_ctes(iters: int = 5) -> str:
@@ -4758,6 +4831,57 @@ def oracle_sql() -> dict[str, str]:
         # path must be result-identical, so both keys share this SQL.
         "phrase_search": _PHRASE_SQL,
         "phrase_search_indexed": _PHRASE_SQL,
+        "hits": _hits_ctes(5) + """
+            SELECT a5.node AS node, round(a5.a, 6) AS a,
+                   round(h5.h, 6) AS h
+            FROM a5 JOIN h5 USING (node)
+        """,
+        # ExactSubstr removal replay: positional 8-grams via struct
+        # unnest, multiplicity classes on raw gram strings (the engine's
+        # xxhash64 keys are collision-free on this corpus, the
+        # repeated_spans posture), then the identical coverage filter
+        # over word indices and in-order reassembly.
+        "exact_substring": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(regexp_replace(
+                         text, '[^A-Za-z0-9]+', ' ', 'g')), ' '),
+                         x -> x != '') AS words
+              FROM documents
+            ), gp AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(words) - 7),
+                         i -> struct_pack(pos := i,
+                              gram := array_to_string(words[i:i+7], ' '))))
+                         AS s
+              FROM w WHERE len(words) >= 8
+            ), g AS (
+              SELECT doc_id, s.pos AS pos, s.gram AS gram FROM gp
+            ), gs AS (
+              SELECT gram, count(DISTINCT doc_id) AS ndocs,
+                     count(*) AS nocc
+              FROM g GROUP BY gram
+            ), starts AS (
+              SELECT doc_id, list_sort(list(pos)) AS st
+              FROM g JOIN gs USING (gram)
+              WHERE ndocs >= 2 OR nocc >= 2
+              GROUP BY doc_id
+            ), kept AS (
+              SELECT w.doc_id, len(words) AS n_words,
+                     list_transform(
+                       list_filter(generate_series(1, len(words)),
+                         i -> len(list_filter(
+                                  coalesce(st, CAST([] AS BIGINT[])),
+                                  p -> p <= i AND i <= p + 7)) = 0),
+                       i -> words[i]) AS kw
+              FROM w LEFT JOIN starts ON w.doc_id = starts.doc_id
+            )
+            SELECT doc_id, n_words, n_words - len(kw) AS n_removed,
+                   -- DuckDB array_to_string([]) is NULL; Spark
+                   -- array_join([]) is '' — align on ''
+                   coalesce(array_to_string(kw, ' '), '') AS clean_text
+            FROM kept
+        """,
         # host_template_removal replay: same block CTE as paragraph_dedup
         # (B=10), page frequency per (source, block) over DISTINCT docs,
         # template = page_df >= 2 AND page_df/n_pages >= 0.05, anti-join,

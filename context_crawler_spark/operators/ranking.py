@@ -1046,3 +1046,88 @@ def phrase_search_indexed(
         .limit(k)
         .select(F.col("id").alias(id_col), "phrase_tf")
     )
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg, JACM 1999 / SODA 1998) — the
+    query-independent form over a link graph: a good *hub* links to good
+    *authorities*, a good authority is linked from good hubs. The crawl
+    use is twofold: authority complements PageRank as a frontier-priority
+    signal (pages many strong hubs point at are worth fetching early),
+    and hub scores surface directory/index pages whose outlinks are the
+    cheapest high-yield frontier expansions (the focused-crawling seed
+    heuristic of Chakrabarti et al. 1999).
+
+    Synchronous power iteration with per-step L2 normalization:
+
+        a_{t+1}(v) = Σ_{u→v} h_t(u)   then  a ← a / ‖a‖₂
+        h_{t+1}(u) = Σ_{u→v} a_{t+1}(v)  then  h ← h / ‖h‖₂
+
+    Plan shape per iteration: TWO rank-onto-edges joins + TWO groupBy
+    shuffles (one per direction — HITS is pagerank's bill for running
+    both directions), each followed by a left join onto the node set;
+    the L2 norms are 1-row aggregates crossJoin-broadcast back onto the
+    vector — never a driver collect, never an action in the loop. The
+    state is read twice per iteration (the h-update reads the fresh a),
+    so lineage is cut every iteration like :func:`opic_importance`
+    (uncut the plan would grow ~2^iters). Node count drives nothing
+    here — no driver scalars at all; at 10^10 edges the per-iteration
+    traffic is the two keyed exchanges, identical to running pagerank
+    twice.
+
+    The DuckDB oracle unrolls the identical recurrence; norms divide
+    (not multiply by a reciprocal) for ULP parity with the oracle, per
+    the pagerank precedent.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hubs = nodes.withColumn("h", F.lit(1.0))
+
+    def _norm(df: DataFrame, col: str) -> DataFrame:
+        nrm = df.agg(F.sqrt(F.sum(F.col(col) * F.col(col))).alias("__n"))
+        return df.crossJoin(F.broadcast(nrm)).select(
+            "node", (F.col(col) / F.col("__n")).alias(col)
+        )
+
+    auth = None
+    for i in range(iters):
+        a_raw = (
+            e.join(hubs, e["src"] == hubs["node"])
+            .select(F.col("dst").alias("node"), F.col("h").alias("__c"))
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        auth = _norm(
+            nodes.join(a_raw, "node", "left").select(
+                "node", F.coalesce(F.col("__in"), F.lit(0.0)).alias("a")
+            ),
+            "a",
+        )
+        h_raw = (
+            e.join(auth, e["dst"] == auth["node"])
+            .select(F.col("src").alias("node"), F.col("a").alias("__c"))
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        hubs = _norm(
+            nodes.join(h_raw, "node", "left").select(
+                "node", F.coalesce(F.col("__in"), F.lit(0.0)).alias("h")
+            ),
+            "h",
+        )
+        if (i + 1) % checkpoint_every == 0:
+            auth = auth.localCheckpoint(eager=False)
+            hubs = hubs.localCheckpoint(eager=False)
+    return auth.join(hubs, "node").select("node", "a", "h")

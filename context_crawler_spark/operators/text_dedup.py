@@ -1030,3 +1030,97 @@ def mirror_hosts(
         .select("host_a", "host_b", "shared_fps", "nf_a", "nf_b",
                 "containment")
     )
+
+
+def exact_substring_dedup(
+    df: DataFrame, n: int = 8, id_col: str = "doc_id", text_col: str = "text",
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Cross-document duplicated-span REMOVAL — the ExactSubstr operator
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better", §3.1), word-window form: any word position covered by
+    an ``n``-gram that occurs more than once in the corpus (in another
+    document, or twice anywhere) is excised from the normalized token
+    stream. ALL copies are removed, the paper's published semantics
+    (their suffix-array tool cuts every occurrence of a ≥50-token
+    duplicated span, which can leave documents with holes); documents
+    arrive back reconstructed with the surviving words joined by single
+    spaces. :func:`repeated_ngram_spans` is the measurement half of this
+    pair — this is the surgery.
+
+    Where the paper builds one giant suffix array (quadratic-ish memory
+    discipline, single machine), the distributed form needs only the
+    n-gram multiplicity join: a span of ≥ n duplicated words is covered
+    by its duplicated n-gram windows, so excising every position under a
+    duplicated window removes exactly the words inside maximal duplicated
+    runs (with the standard windowing caveat that the first/last n-1
+    words bordering a duplicated run are kept only if no window covering
+    them is duplicated).
+
+    Plan shape: gram construction + positional indexing are pure JVM
+    higher-order expressions (zero Python); shuffle #1 is the gram-key
+    groupBy for multiplicities (8-byte ``xxhash64`` keys on the wire with
+    ``hash_grams=True``, the 100 TB posture shared with
+    :func:`repeated_ngram_spans`); the gram→stats join reuses that key;
+    shuffle #2 collects each doc's duplicated window starts (positions
+    only — ints, never text); shuffle #3 joins the start-lists back onto
+    the docs by id. Coverage testing is a per-row ``exists`` fold over
+    the sorted start list inside codegen — O(words × starts) per doc
+    worst case, which is the right trade until a doc is pathologically
+    self-repetitive (Gopher's repetition gate runs FIRST in the
+    :func:`pipeline <context_crawler_spark.operators.curation>` exactly
+    to shed those).
+
+    Returns (id, n_words, n_removed, clean_text).
+    """
+    from context_crawler_spark.operators.ranking import alnum_words
+
+    ws = F.col("__ws")
+    docs = df.select(
+        F.col(id_col).alias("id"), alnum_words(text_col).alias("__ws")
+    )
+    grams_arr = F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.array_join(F.slice(ws, i, n), " ").alias("gram"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+    grams = (
+        docs.select("id", F.explode(grams_arr).alias("g"))
+        .select("id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    )
+    if hash_grams:
+        grams = grams.select("id", "pos", F.xxhash64("gram").alias("gram"))
+    gstats = grams.groupBy("gram").agg(
+        F.count_distinct("id").alias("ndocs"), F.count(F.lit(1)).alias("nocc")
+    )
+    starts = (
+        grams.join(gstats, "gram")
+        .filter((F.col("ndocs") >= 2) | (F.col("nocc") >= 2))
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("__starts"))
+    )
+    st = F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
+    indexed = F.transform(
+        ws, lambda w, i: F.struct((i + 1).alias("i"), w.alias("w"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            st, lambda p: (p <= s["i"]) & (s["i"] <= p + (n - 1))
+        ),
+    )
+    return (
+        docs.join(starts, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.size(ws).alias("n_words"),
+            (F.size(ws) - F.size(kept)).alias("n_removed"),
+            F.array_join(F.transform(kept, lambda s: s["w"]), " ")
+            .alias("clean_text"),
+        )
+    )

@@ -495,3 +495,68 @@ def test_containment_short_and_empty_docs(spark):
     got = {(r.src_id, r.dst_id, r.containment)
            for r in containment_pairs(df, theta=0.5).collect()}
     assert got == {(1, 2, 1.0), (2, 1, 1.0)}
+
+
+def test_exact_substring_removes_all_copies_of_shared_span(spark):
+    """Two docs share an 8-word run embedded in unique prose: the run is
+    excised from BOTH (Lee et al. 2022 remove-all-copies semantics),
+    unique words survive, and a third unrelated doc is untouched."""
+    from context_crawler_spark.operators.text_dedup import (
+        exact_substring_dedup,
+    )
+
+    span = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (1, f"unique one two three {span} tail1 tail2 tail3"),
+        (2, f"other prose here {span} closing words four"),
+        (3, "completely unrelated text with nothing shared at all ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in exact_substring_dedup(df, n=8).collect()}
+    for w in span.split():
+        assert w not in out[1]["clean_text"].split()
+        assert w not in out[2]["clean_text"].split()
+    assert out[1]["clean_text"] == "unique one two three tail1 tail2 tail3"
+    assert out[2]["clean_text"] == "other prose here closing words four"
+    assert out[1]["n_removed"] == 8 and out[2]["n_removed"] == 8
+    assert out[3]["n_removed"] == 0
+    assert out[3]["clean_text"].split() == rows[2][1].split()
+
+
+def test_exact_substring_within_doc_repeat_and_short_docs(spark):
+    """A doc repeating its own 8-gram loses both occurrences (nocc >= 2
+    branch); docs shorter than n pass through whole; normalization is
+    the shared alnum tokenizer (case/punct folded)."""
+    from context_crawler_spark.operators.text_dedup import (
+        exact_substring_dedup,
+    )
+
+    g = "one two three four five six seven eight"
+    rows = [
+        (1, f"{g} filler {g} done"),
+        (2, "tiny doc"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in exact_substring_dedup(df, n=8).collect()}
+    assert out[1]["n_words"] == 18 and out[1]["n_removed"] == 16
+    assert out[1]["clean_text"] == "filler done"
+    assert out[2]["n_removed"] == 0 and out[2]["clean_text"] == "tiny doc"
+    assert out[3]["n_words"] == 0 and out[3]["clean_text"] == ""
+
+
+def test_exact_substring_longer_run_is_fully_covered(spark):
+    """A shared 10-word run at n=8 is covered by 3 overlapping duplicated
+    windows → all 10 words removed from both docs (maximal-run excision,
+    not just one window)."""
+    from context_crawler_spark.operators.text_dedup import (
+        exact_substring_dedup,
+    )
+
+    run = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    rows = [(1, f"headA {run} tailA"), (2, f"headB {run} tailB")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in exact_substring_dedup(df, n=8).collect()}
+    assert out[1]["n_removed"] == 10
+    assert out[1]["clean_text"] == "heada taila"
+    assert out[2]["clean_text"] == "headb tailb"

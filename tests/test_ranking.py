@@ -632,3 +632,50 @@ def test_positional_index_serves_plain_tf(spark):
     got = {(r["term"], r["id"]): len(r["positions"]) for r in pos.collect()}
     want = {(r["term"], r["id"]): r["tf"] for r in flat.collect()}
     assert got == want
+
+
+def test_hits_bipartite_symmetric(spark):
+    """Hubs {1,2} → authorities {3,4}, complete bipartite: the stable
+    point is a = h = 1/√2 on the respective sides, 0 off-side, and both
+    vectors are unit-L2 after every iteration."""
+    from context_crawler_spark.operators.ranking import hits
+
+    e = spark.createDataFrame(
+        [(1, 3), (1, 4), (2, 3), (2, 4)], "src long, dst long"
+    )
+    rows = {r["node"]: r for r in hits(e, iters=3).collect()}
+    inv = 1.0 / math.sqrt(2.0)
+    for hub in (1, 2):
+        assert rows[hub]["h"] == pytest.approx(inv)
+        assert rows[hub]["a"] == pytest.approx(0.0)
+    for auth in (3, 4):
+        assert rows[auth]["a"] == pytest.approx(inv)
+        assert rows[auth]["h"] == pytest.approx(0.0)
+    assert sum(r["a"] ** 2 for r in rows.values()) == pytest.approx(1.0)
+    assert sum(r["h"] ** 2 for r in rows.values()) == pytest.approx(1.0)
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    """Asymmetric graph vs an independent numpy replay of the same
+    normalized recurrence, exact per-iteration semantics."""
+    import numpy as np
+
+    from context_crawler_spark.operators.ranking import hits
+
+    edges = [(1, 3), (1, 4), (2, 3), (4, 3), (3, 5), (2, 5)]
+    nodes = sorted({u for e in edges for u in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for s, d in edges:
+        A[idx[s], idx[d]] = 1.0
+    h = np.ones(len(nodes))
+    for _ in range(4):
+        a = A.T @ h
+        a /= np.linalg.norm(a)
+        h = A @ a
+        h /= np.linalg.norm(h)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    rows = {r["node"]: r for r in hits(e, iters=4).collect()}
+    for n in nodes:
+        assert rows[n]["a"] == pytest.approx(a[idx[n]], abs=1e-9)
+        assert rows[n]["h"] == pytest.approx(h[idx[n]], abs=1e-9)
