@@ -1074,9 +1074,13 @@ def hits(
     both directions), each followed by a left join onto the node set;
     the L2 norms are 1-row aggregates crossJoin-broadcast back onto the
     vector — never a driver collect, never an action in the loop. The
-    state is read twice per iteration (the h-update reads the fresh a),
-    so lineage is cut every iteration like :func:`opic_importance`
-    (uncut the plan would grow ~2^iters). Node count drives nothing
+    norm step reads its input subtree TWICE (the 1-row aggregate + the
+    main branch), so each normalization DOUBLES the uncut plan —
+    2^(2·iters) without cuts (measured: planning alone exceeds minutes
+    at iters=5; the DuckDB oracle needed MATERIALIZED CTEs for the same
+    reason). Hence lineage is cut every iteration, unlike
+    :func:`pagerank`'s batched every-8 policy, whose recurrence is
+    single-reference and grows linearly. Node count drives nothing
     here — no driver scalars at all; at 10^10 edges the per-iteration
     traffic is the two keyed exchanges, identical to running pagerank
     twice.
