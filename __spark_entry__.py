@@ -2709,6 +2709,53 @@ def q_exact_substring(spark, sf_dir):
     return exact_substring_dedup(_t(spark, sf_dir, "documents"), n=8)
 
 
+def q_host_communities(spark, sf_dir):
+    """Host-community detection by deterministic synchronous label
+    propagation (Raghavan et al. 2007, BSP determinization: most
+    frequent neighbor label, ties to the smallest). The graph is a
+    sparse planted-block construction — 10 blocks of 50 node-slots,
+    intra-block edges kept at ~25% by an md5 draw both engines compute
+    identically — so after 5 iterations the flood is still mid-way and
+    the frequency rule (not mere connectivity) decides labels. The
+    oracle unrolls the recurrence with row_number over
+    (count DESC, label ASC) ≡ the engine's max-struct fold."""
+    from context_crawler_spark.operators.ranking import label_propagation
+
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 500).alias("src"),
+        (F.col("event_id") % 500).alias("dst"),
+    ).filter(
+        (F.col("src") != F.col("dst"))
+        & (F.floor(F.col("src") / 50) == F.floor(F.col("dst") / 50))
+        & (F.substring(
+            F.md5(F.concat_ws("-", F.col("src"), F.col("dst"))), 1, 1
+        ).isin("0", "1", "2", "3"))
+    )
+    return label_propagation(e, iters=5)
+
+
+def q_dup_representatives(spark, sf_dir):
+    """Keep-the-best election inside duplicate clusters (RefinedWeb /
+    FineWeb keep-best policy vs exact_dedup's first-seen): groups are
+    the 80-char normalized-prefix clusters of q_exact_dup_groups, the
+    quality key is raw text length, ties to the smallest doc_id. The
+    group key stays the raw prefix string (the oracle-shared
+    normalization of q_exact_dup_groups) so the oracle replays the
+    argmax as row_number over (score DESC, doc_id ASC); production
+    callers pass xxhash64 group ids from the dedup producers."""
+    from context_crawler_spark.operators.text_dedup import (
+        elect_representatives,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    norm = F.substring(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), 1, 80
+    )
+    members = d.select("doc_id", norm.alias("group_id"))
+    scores = d.select("doc_id", F.length("text").alias("score"))
+    return elect_representatives(members, scores)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver correctness window (the first 50 entries; the driver
@@ -2795,6 +2842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search_indexed": q_phrase_search_indexed,
         "hits": q_hits,
         "exact_substring": q_exact_substring,
+        "host_communities": q_host_communities,
+        "dup_representatives": q_dup_representatives,
         "claim_order": q_claim_order,
         "queue_stats": q_queue_stats,
         "url_seen_antijoin": q_url_seen_antijoin,
@@ -2972,6 +3021,44 @@ def _hits_ctes(iters: int = 5) -> str:
               SELECT src AS node FROM e UNION SELECT dst FROM e
             ),
             h0 AS (SELECT node, 1.0::DOUBLE AS h FROM nodes),""" + chain
+
+
+def _lpa_ctes(iters: int = 5) -> str:
+    """Unrolled synchronous label propagation over the planted-block
+    md5-sampled graph of q_host_communities: per step, each node adopts
+    its neighbors' most frequent label, ties to the smallest
+    (row_number over (count DESC, label ASC) ≡ the engine's max-struct
+    fold). MATERIALIZED so DuckDB never re-inlines the chain."""
+    step = """
+            l{i} AS MATERIALIZED (
+              SELECT node, label FROM (
+                SELECT c.node, c.label,
+                       row_number() OVER (
+                         PARTITION BY c.node
+                         ORDER BY c.c DESC, c.label ASC) AS rn
+                FROM (
+                  SELECT u.a AS node, l{p}.label, count(*) AS c
+                  FROM und u JOIN l{p} ON u.b = l{p}.node
+                  GROUP BY u.a, l{p}.label) c) t
+              WHERE rn = 1
+            )"""
+    chain = ",".join(step.format(i=i, p=i - 1) for i in range(1, iters + 1))
+    return r"""
+            WITH raw AS MATERIALIZED (
+              SELECT (user_id % 500) AS src, (event_id % 500) AS dst
+              FROM events
+              WHERE (user_id % 500) != (event_id % 500)
+                AND floor((user_id % 500) / 50) = floor((event_id % 500) / 50)
+                AND substring(md5(concat(
+                      (user_id % 500)::VARCHAR, '-',
+                      (event_id % 500)::VARCHAR)), 1, 1)
+                    IN ('0', '1', '2', '3')
+            ), und AS MATERIALIZED (
+              SELECT DISTINCT a, b FROM (
+                SELECT src AS a, dst AS b FROM raw
+                UNION ALL SELECT dst AS a, src AS b FROM raw)
+            ),
+            l0 AS (SELECT DISTINCT a AS node, a AS label FROM und),""" + chain
 
 
 def _opic_ctes(iters: int = 5) -> str:
@@ -4881,6 +4968,30 @@ def oracle_sql() -> dict[str, str]:
                    -- array_join([]) is '' — align on ''
                    coalesce(array_to_string(kw, ' '), '') AS clean_text
             FROM kept
+        """,
+        "host_communities": _lpa_ctes(5) + """
+            SELECT node, label FROM l5
+        """,
+        # keep-the-best election replay: same 80-char prefix key as
+        # exact_dup_groups; the engine's max(struct(score,-id)) fold ≡
+        # row_number over (score DESC, id ASC).
+        "dup_representatives": r"""
+            WITH m AS (
+              SELECT doc_id,
+                     substring(trim(regexp_replace(lower(text),
+                         '\s+', ' ', 'g')), 1, 80) AS group_id,
+                     CAST(length(text) AS BIGINT) AS score
+              FROM documents
+            ), w AS (
+              SELECT group_id, doc_id AS rep_id,
+                     row_number() OVER (
+                       PARTITION BY group_id
+                       ORDER BY score DESC, doc_id ASC) AS rn
+              FROM m
+            )
+            SELECT m.doc_id, m.group_id, w.rep_id,
+                   m.doc_id = w.rep_id AS is_rep
+            FROM m JOIN w ON m.group_id = w.group_id AND w.rn = 1
         """,
         # host_template_removal replay: same block CTE as paragraph_dedup
         # (B=10), page frequency per (source, block) over DISTINCT docs,

@@ -1135,3 +1135,65 @@ def hits(
             auth = auth.localCheckpoint(eager=False)
             hubs = hubs.localCheckpoint(eager=False)
     return auth.join(hubs, "node").select("node", "a", "h")
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara, Phys. Rev. E 2007) over the UNDIRECTED view of a
+    link graph — the crawl use is host-community discovery: link farms,
+    mirror clusters, and topically-cohesive site groups surface as
+    communities, feeding the trap/politeness budgets with a
+    cluster-level knob (Gyöngyi's spam neighborhoods are communities
+    before they are rankings).
+
+    The paper's asynchronous random-order sweep is neither deterministic
+    nor parallel; this is the standard BSP determinization: every node
+    simultaneously adopts the most frequent label among its neighbors,
+    ties broken by the SMALLEST label, labels initialized to the node id.
+    Deterministic by construction — same input, same communities, any
+    partitioning — which is what lets a DuckDB oracle replay it exactly
+    (row_number over (count DESC, label ASC) ≡ the max-struct fold).
+
+    Plan shape per iteration: one labels-onto-edges join (AQE broadcasts
+    when the label table fits), one (node, label) count groupBy, then the
+    argmax as a second groupBy folding ``max(struct(cnt, -label))`` —
+    never a window over the full node set. The recurrence is
+    single-reference, so lineage cuts follow :func:`pagerank`'s batched
+    every-8 policy and the plan grows linearly in ``iters``. At 10^10
+    edges the per-iteration traffic is the two keyed exchanges on
+    (node, label) — label skew inside mega-communities is absorbed by
+    the partial (map-side) count aggregation.
+
+    Returns (node, label); nodes sharing a label share a community.
+    """
+    fwd = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    und = fwd.union(
+        fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).filter(F.col("a") != F.col("b")).distinct()
+    nodes = und.select(F.col("a").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node"))
+    for i in range(iters):
+        cnt = (
+            und.join(labels, und["b"] == labels["node"])
+            .select(F.col("a").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                ).alias("__m")
+            )
+            .select("node", (-F.col("__m.nl")).alias("label"))
+        )
+        if (i + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=False)
+    return labels

@@ -1124,3 +1124,55 @@ def exact_substring_dedup(
             .alias("clean_text"),
         )
     )
+
+
+def elect_representatives(
+    members: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "group_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-keyed representative election inside duplicate clusters —
+    the "which copy do we keep" policy stage downstream of any grouping
+    producer (:func:`exact_dup_groups`, :func:`connected_components`
+    over MinHash/SimHash pairs, SemDeDup clusters). First-seen-wins
+    (exact_dedup) is the right default for byte-identical copies;
+    near-dup clusters differ in quality, and the published pipelines
+    keep the BEST member, not the first (RefinedWeb keeps by heuristic
+    quality; FineWeb keeps the longest; SemDeDup keeps the
+    lowest-centroid-similarity outlier). This operator is that policy
+    with the key pluggable: argmax(score), ties to the smallest id — a
+    total order, so the election is deterministic across partitionings
+    and retries.
+
+    Plan shape: one id-keyed join attaching scores, one group-keyed
+    groupBy folding ``max(struct(score, -id))`` — the exchange carries
+    one row per member, the agg one row per group; no window over the
+    corpus, no rank. The winners table re-joins members on the group
+    key (AQE broadcasts it when groups fit). At 100 TB both exchanges
+    are the same keys the grouping producer already shuffled on, so AQE
+    reuses the partitioning when the stages line up.
+
+    Returns (id, group, rep_id, is_rep); filter ``is_rep`` to get the
+    survivor set, ``NOT is_rep`` for the deletion list.
+    """
+    mid, grp, sc = F.col(id_col), F.col(group_col), F.col(score_col)
+    m = members.select(mid.alias("__id"), grp.alias("__g"))
+    s = scores.select(mid.alias("__id"), sc.alias("__s"))
+    winners = (
+        m.join(s, "__id")
+        .groupBy("__g")
+        .agg(
+            F.max(
+                F.struct(F.col("__s").alias("s"), (-F.col("__id")).alias("ni"))
+            ).alias("__m")
+        )
+        .select("__g", (-F.col("__m.ni")).alias("__rep"))
+    )
+    return m.join(winners, "__g").select(
+        F.col("__id").alias(id_col),
+        F.col("__g").alias(group_col),
+        F.col("__rep").alias("rep_id"),
+        (F.col("__id") == F.col("__rep")).alias("is_rep"),
+    )

@@ -560,3 +560,51 @@ def test_exact_substring_longer_run_is_fully_covered(spark):
     assert out[1]["n_removed"] == 10
     assert out[1]["clean_text"] == "heada taila"
     assert out[2]["clean_text"] == "headb tailb"
+
+
+def test_elect_representatives_keeps_best_then_smallest_id(spark):
+    """Max score wins; exact score ties fall to the smallest id;
+    singleton groups elect themselves."""
+    from context_crawler_spark.operators.text_dedup import (
+        elect_representatives,
+    )
+
+    members = spark.createDataFrame(
+        [(1, "g1"), (2, "g1"), (3, "g1"), (7, "g2"), (9, "g2"), (5, "g3")],
+        "doc_id long, group_id string",
+    )
+    scores = spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (3, 30.0), (7, 4.0), (9, 4.0), (5, 1.0)],
+        "doc_id long, score double",
+    )
+    out = {r["doc_id"]: r for r in
+           elect_representatives(members, scores).collect()}
+    assert out[1]["rep_id"] == 2 and not out[1]["is_rep"]
+    assert out[2]["rep_id"] == 2 and out[2]["is_rep"]
+    assert out[3]["rep_id"] == 2 and not out[3]["is_rep"]
+    assert out[7]["rep_id"] == 7 and out[7]["is_rep"]
+    assert out[9]["rep_id"] == 7 and not out[9]["is_rep"]
+    assert out[5]["rep_id"] == 5 and out[5]["is_rep"]
+
+
+def test_elect_representatives_partitioning_invariant(spark):
+    """The election is a total order: any input partitioning produces
+    the identical winner set."""
+    from context_crawler_spark.operators.text_dedup import (
+        elect_representatives,
+    )
+
+    rows = [(i, f"g{i % 7}") for i in range(100)]
+    members = spark.createDataFrame(rows, "doc_id long, group_id string")
+    scores = spark.createDataFrame(
+        [(i, float((i * 37) % 11)) for i in range(100)],
+        "doc_id long, score double",
+    )
+    base = sorted(
+        (r["doc_id"], r["rep_id"], r["is_rep"])
+        for r in elect_representatives(members, scores).collect())
+    shuf = sorted(
+        (r["doc_id"], r["rep_id"], r["is_rep"])
+        for r in elect_representatives(
+            members.repartition(13), scores.repartition(3)).collect())
+    assert base == shuf

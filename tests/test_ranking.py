@@ -679,3 +679,66 @@ def test_hits_matches_numpy_power_iteration(spark):
     for n in nodes:
         assert rows[n]["a"] == pytest.approx(a[idx[n]], abs=1e-9)
         assert rows[n]["h"] == pytest.approx(h[idx[n]], abs=1e-9)
+
+
+def _lpa_reference(edges, iters):
+    """Driver-side replay of the deterministic synchronous LPA recurrence."""
+    und = set()
+    for s, d in edges:
+        if s != d:
+            und.add((s, d))
+            und.add((d, s))
+    nodes = {a for a, _ in und}
+    lab = {n: n for n in nodes}
+    for _ in range(iters):
+        new = {}
+        for n in nodes:
+            cnt = {}
+            for a, b in und:
+                if a == n:
+                    cnt[lab[b]] = cnt.get(lab[b], 0) + 1
+            new[n] = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        lab = new
+    return lab
+
+
+def test_label_propagation_two_triangles(spark):
+    """Disconnected triangles each flood to their min node id; labels
+    never leak across components."""
+    from context_crawler_spark.operators.ranking import label_propagation
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4)],
+        "src long, dst long",
+    )
+    out = {r["node"]: r["label"] for r in label_propagation(e, iters=5).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
+
+
+def test_label_propagation_matches_reference_replay(spark):
+    """Mid-flood states on an irregular sparse graph match the
+    driver-side synchronous replay exactly, at two iteration counts."""
+    from context_crawler_spark.operators.ranking import label_propagation
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 8),
+             (8, 1), (2, 6), (10, 11), (11, 12), (3, 3), (12, 10)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    for iters in (2, 5):
+        want = _lpa_reference(edges, iters)
+        got = {r["node"]: r["label"]
+               for r in label_propagation(e, iters=iters).collect()}
+        assert got == want
+
+
+def test_label_propagation_duplicate_and_reverse_edges_collapse(spark):
+    """Duplicate directed edges and pre-reversed pairs must not inflate
+    neighbor-label counts (undirected-distinct semantics)."""
+    from context_crawler_spark.operators.ranking import label_propagation
+
+    base = [(1, 2), (2, 3)]
+    noisy = base + [(2, 1), (1, 2), (3, 2), (2, 3), (1, 2)]
+    a = {r["node"]: r["label"] for r in label_propagation(
+        spark.createDataFrame(base, "src long, dst long"), iters=4).collect()}
+    b = {r["node"]: r["label"] for r in label_propagation(
+        spark.createDataFrame(noisy, "src long, dst long"), iters=4).collect()}
+    assert a == b
