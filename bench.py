@@ -99,6 +99,17 @@ HEADLINE = [
     "stratified_quantile_gate",
     "containment_pairs",
     "containment_dedup",
+    "exact_sample",
+    "host_template",
+    "winnow_pairs",
+    "approx_quantiles",
+    "mirror_hosts",
+    "phrase_search",
+    "phrase_search_indexed",
+    "hits",
+    "exact_substring",
+    "host_communities",
+    "dup_representatives",
 ]
 
 
@@ -340,8 +351,17 @@ def main() -> None:
                  "trustrank", "exact_incremental", "aged_priority",
                  "resolve_redirects", "canonical_key", "cache_control",
                  "meta_robots"}
-    # r5: OPIC importance + domain-graph reduction
-    r5_added = {"opic_priority", "host_graph", "cms_heavy_hitters"}
+    # r5: OPIC/HITS/LPA graph family, sketches, quantile gates,
+    # containment/winnowing/mirror dedup, phrase search, ExactSubstr
+    # removal, representative election — excluded from every earlier
+    # subtotal so round-over-round totals compare like for like
+    r5_added = {"opic_priority", "host_graph", "cms_heavy_hitters",
+                "quantile_gate", "stratified_quantile_gate",
+                "containment_pairs", "containment_dedup", "exact_sample",
+                "host_template", "winnow_pairs", "approx_quantiles",
+                "mirror_hosts", "phrase_search", "phrase_search_indexed",
+                "hits", "exact_substring", "host_communities",
+                "dup_representatives"}
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(queries.values()), 3),
