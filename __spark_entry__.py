@@ -2983,34 +2983,26 @@ def _trustrank_ctes(iters: int = 5) -> str:
 
 def _hits_ctes(iters: int = 5) -> str:
     """Unrolled HITS recurrence (Kleinberg 1999) over the shared
-    events-derived graph: a_{t+1} = normalize(Σ_{u→v} h_t(u)),
-    h_{t+1} = normalize(Σ_{u→v} a_{t+1}(v)), L2 norms as whole-table
-    window sums dividing exactly as the engine does. Every CTE is
-    MATERIALIZED: DuckDB re-inlines multiply-referenced CTEs by
-    default, and the raw/normalized pair per step would re-evaluate the
-    whole prefix exponentially (2^(2·iters)) without it."""
+    events-derived graph in the engine's DEFERRED-norm form (the
+    per-step L2 norms are positive scalars and commute out of the
+    linear maps): a_{t+1} = Σ_{u→v} h_t(u), h_{t+1} = Σ_{u→v}
+    a_{t+1}(v), with the two FINAL vectors normalized by whole-table
+    window sums dividing exactly as the engine does. MATERIALIZED so
+    DuckDB never re-inlines the chain."""
     step = """
-            a{i}r AS MATERIALIZED (
+            a{i} AS MATERIALIZED (
               SELECT nodes.node, coalesce(c.s, 0.0::DOUBLE) AS a
               FROM nodes LEFT JOIN (
                 SELECT e.dst AS node, sum(h{p}.h) AS s
                 FROM e JOIN h{p} ON e.src = h{p}.node GROUP BY e.dst) c
               ON nodes.node = c.node
             ),
-            a{i} AS MATERIALIZED (
-              SELECT node, a / sqrt(sum(a*a) OVER ()) AS a
-              FROM a{i}r
-            ),
-            h{i}r AS MATERIALIZED (
+            h{i} AS MATERIALIZED (
               SELECT nodes.node, coalesce(c.s, 0.0::DOUBLE) AS h
               FROM nodes LEFT JOIN (
                 SELECT e.src AS node, sum(a{i}.a) AS s
                 FROM e JOIN a{i} ON e.dst = a{i}.node GROUP BY e.src) c
               ON nodes.node = c.node
-            ),
-            h{i} AS MATERIALIZED (
-              SELECT node, h / sqrt(sum(h*h) OVER ()) AS h
-              FROM h{i}r
             )"""
     chain = ",".join(step.format(i=i, p=i - 1) for i in range(1, iters + 1))
     return r"""
@@ -4918,10 +4910,12 @@ def oracle_sql() -> dict[str, str]:
         # path must be result-identical, so both keys share this SQL.
         "phrase_search": _PHRASE_SQL,
         "phrase_search_indexed": _PHRASE_SQL,
-        "hits": _hits_ctes(5) + """
-            SELECT a5.node AS node, round(a5.a, 6) AS a,
-                   round(h5.h, 6) AS h
-            FROM a5 JOIN h5 USING (node)
+        "hits": _hits_ctes(5) + """,
+            an AS (SELECT node, a / sqrt(sum(a*a) OVER ()) AS a FROM a5),
+            hn AS (SELECT node, h / sqrt(sum(h*h) OVER ()) AS h FROM h5)
+            SELECT an.node AS node, round(an.a, 6) AS a,
+                   round(hn.h, 6) AS h
+            FROM an JOIN hn USING (node)
         """,
         # ExactSubstr removal replay: positional 8-grams via struct
         # unnest, multiplicity classes on raw gram strings (the engine's
