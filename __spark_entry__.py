@@ -2756,6 +2756,38 @@ def q_dup_representatives(spark, sf_dir):
     return elect_representatives(members, scores)
 
 
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-doc tf-idf keyword extraction (Sparck Jones 1972): top-5
+    terms by tf·ln(N/df), ties by term ascending — the zero-model topic
+    tagger for mixture weights and dedup-cluster summaries. The oracle
+    replays the same shared tokenizer and a row_number window; both
+    sides round the score to 6dp."""
+    from context_crawler_spark.operators.ranking import tfidf_keywords
+
+    return tfidf_keywords(_t(spark, sf_dir, "documents"), k=5).select(
+        "doc_id", "term", "tf", F.round("score", 6).alias("score")
+    )
+
+
+def q_cocitation(spark, sf_dir):
+    """Co-citation related-page pairs (Small 1973 / Bharat-Henzinger
+    SIGIR'98): pages linked by ≥2 common referrers, pairs formed inside
+    per-source outlink lists only with a max-outdegree hub cut. Runs on
+    the planted-block graph (10 blocks of 50 slots) so within-block
+    referrer overlap is dense enough to fire. The oracle is the direct
+    src-keyed self-join replay."""
+    from context_crawler_spark.operators.ranking import cocitation_pairs
+
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 500).alias("src"),
+        (F.col("event_id") % 500).alias("dst"),
+    ).filter(
+        (F.col("src") != F.col("dst"))
+        & (F.floor(F.col("src") / 50) == F.floor(F.col("dst") / 50))
+    )
+    return cocitation_pairs(e, min_common=2, max_outdeg=40)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver correctness window (the first 50 entries; the driver
@@ -2844,6 +2876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring": q_exact_substring,
         "host_communities": q_host_communities,
         "dup_representatives": q_dup_representatives,
+        "tfidf_keywords": q_tfidf_keywords,
+        "cocitation": q_cocitation,
         "claim_order": q_claim_order,
         "queue_stats": q_queue_stats,
         "url_seen_antijoin": q_url_seen_antijoin,
@@ -4965,6 +4999,58 @@ def oracle_sql() -> dict[str, str]:
         """,
         "host_communities": _lpa_ctes(5) + """
             SELECT node, label FROM l5
+        """,
+        # tf-idf keyword replay: shared tokenizer mirror, tf per (doc,
+        # term), df per term, score = tf * ln(N/df), row_number over
+        # (score DESC, term ASC) ≤ 5. Both engines compute ln on the
+        # same integers and round to 6dp.
+        "tfidf_keywords": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(regexp_replace(
+                         text, '[^A-Za-z0-9]+', ' ', 'g')), ' '),
+                         w -> w != '') AS w
+              FROM documents
+            ), n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM toks),
+            tf AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, unnest(w) AS term FROM toks)
+              GROUP BY doc_id, term
+            ), dft AS (
+              SELECT term, CAST(count(*) AS DOUBLE) AS df
+              FROM tf GROUP BY term
+            ), scored AS (
+              SELECT doc_id, tf.term, tf,
+                     tf * ln((SELECT n_docs FROM n) / df) AS score
+              FROM tf JOIN dft ON tf.term = dft.term
+            )
+            SELECT doc_id, term, tf, round(score, 6) AS score
+            FROM (
+              SELECT doc_id, term, tf, score,
+                     row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score DESC, term ASC) AS rn
+              FROM scored) t
+            WHERE rn <= 5
+        """,
+        # co-citation replay: same planted-block edge derivation, the
+        # max-outdeg hub cut, then the src-keyed self-join with a < b.
+        "cocitation": r"""
+            WITH e AS MATERIALIZED (
+              SELECT DISTINCT (user_id % 500) AS src, (event_id % 500) AS dst
+              FROM events
+              WHERE (user_id % 500) != (event_id % 500)
+                AND floor((user_id % 500) / 50) = floor((event_id % 500) / 50)
+            ), keep AS (
+              SELECT src FROM e GROUP BY src HAVING count(*) <= 40
+            ), s AS MATERIALIZED (
+              SELECT e.src, e.dst FROM e JOIN keep ON e.src = keep.src
+            )
+            SELECT x.dst AS a, y.dst AS b,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM s x JOIN s y ON x.src = y.src AND x.dst < y.dst
+            GROUP BY x.dst, y.dst
+            HAVING count(*) >= 2
         """,
         # keep-the-best election replay: same 80-char prefix key as
         # exact_dup_groups; the engine's max(struct(score,-id)) fold ≡

@@ -1206,3 +1206,101 @@ def label_propagation(
         if (i + 1) % checkpoint_every == 0:
             labels = labels.localCheckpoint(eager=False)
     return labels
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document keyword extraction by tf-idf (Sparck Jones 1972) —
+    the zero-model topic tagger a curation pipeline hangs mixture
+    weights, domain caps, and dedup-cluster summaries on when no
+    classifier is available. ``score = tf · ln(N/df)``, top-``k`` terms
+    per doc, ties by term ascending — a total order, deterministic
+    across partitionings.
+
+    Plan shape: tokenize JVM-side with per-row ``array_distinct``-free
+    full counting; shuffle #1 the (id, term) tf groupBy (map-side
+    combine); df per term is a second groupBy REUSING the term key of
+    the postings; the corpus size N is a 1-row aggregate attached by
+    broadcast cross-join (no collect). The top-k is a row_number window
+    partitioned BY DOC — each doc's posting list hashes to one
+    partition, so the window never sees a global sort, and the exchange
+    it rides is the same id-keyed shuffle the tf groupBy produced. At
+    100 TB the vocabulary join (postings ⋈ df) is term-keyed — AQE
+    broadcasts df only when a curated vocabulary fits.
+
+    Empty/short docs simply contribute no rows. Returns
+    (id, term, tf, score) with ≤ k rows per doc.
+    """
+    from pyspark.sql import Window
+
+    did = F.col(id_col)
+    toks = docs.select(did.alias("id"), alnum_words(text_col).alias("__w"))
+    n_docs = toks.agg(F.count(F.lit(1)).alias("__n"))
+    tf = (
+        toks.select("id", F.explode("__w").alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id", "term", "tf",
+            (F.col("tf") * F.log(F.col("__n") / F.col("df"))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(F.col("id").alias(id_col), "term", "tf", "score")
+    )
+
+
+def cocitation_pairs(
+    edges: DataFrame,
+    min_common: int = 2,
+    max_outdeg: int = 1000,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Co-citation similarity (Small 1973; Bharat & Henzinger SIGIR'98
+    related-pages): two pages are related when many pages link to BOTH.
+    The crawl uses: related-page discovery for focused frontier
+    expansion, and duplicate-host corroboration next to
+    :func:`~context_crawler_spark.operators.text_dedup.mirror_hosts`
+    (mirrored pages are co-cited by the same referrers).
+
+    Pairs form INSIDE per-source outlink lists only — the posting-list
+    pattern shared with winnow_pairs/mirror_hosts, never an all-pairs
+    product over pages: a source with outdegree d contributes d(d-1)/2
+    pairs, so mega-hubs (link farms, sitemaps-as-pages) are cut by the
+    ``max_outdeg`` stop-list FIRST (the max_df analog; the dropped
+    sources are exactly the ones whose co-citations are least
+    discriminative, Bharat-Henzinger's own pruning argument). Plan:
+    one outdeg groupBy, the hub filter, one src-keyed self-join (the
+    pair explosion, bounded by max_outdeg²/2 per source), one pair
+    groupBy with map-side combine. Output (a, b, n_common), a < b,
+    n_common ≥ min_common.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).filter(F.col("src") != F.col("dst")).distinct()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__d"))
+    small = e.join(
+        outdeg.filter(F.col("__d") <= max_outdeg).select("src"), "src"
+    )
+    x = small.select("src", F.col("dst").alias("a"))
+    y = small.select("src", F.col("dst").alias("b"))
+    return (
+        x.join(y, "src")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )

@@ -742,3 +742,57 @@ def test_label_propagation_duplicate_and_reverse_edges_collapse(spark):
     b = {r["node"]: r["label"] for r in label_propagation(
         spark.createDataFrame(noisy, "src long, dst long"), iters=4).collect()}
     assert a == b
+
+
+def test_tfidf_keywords_hand_computed(spark):
+    """Doc-discriminating terms outrank corpus-wide ones; ubiquitous
+    terms score ln(N/N)=0; ties fall to lexicographic term order."""
+    from context_crawler_spark.operators.ranking import tfidf_keywords
+
+    rows = [
+        (1, "shared shared apple apple apple"),
+        (2, "shared banana banana"),
+        (3, "shared cherry"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    for r in tfidf_keywords(df, k=2).collect():
+        out.setdefault(r["doc_id"], []).append((r["term"], r["tf"], r["score"]))
+    ln3 = math.log(3.0)
+    assert out[1][0] == ("apple", 3, pytest.approx(3 * ln3))
+    assert out[1][1] == ("shared", 2, pytest.approx(0.0))
+    assert out[2][0] == ("banana", 2, pytest.approx(2 * ln3))
+    assert out[3][0] == ("cherry", 1, pytest.approx(ln3))
+    # 'shared' appears in every doc: score exactly 0, still rankable
+    assert all(t[0] != "shared" or t[2] == pytest.approx(0.0)
+               for ts in out.values() for t in ts)
+
+
+def test_tfidf_keywords_k_cap_and_empty_docs(spark):
+    """At most k rows per doc; docs with no tokens emit nothing."""
+    from context_crawler_spark.operators.ranking import tfidf_keywords
+
+    rows = [(1, "a b c d e f g h"), (2, "   "), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = tfidf_keywords(df, k=3).collect()
+    assert len(got) == 3 and all(r["doc_id"] == 1 for r in got)
+
+
+def test_cocitation_pairs_hand_graph_and_hub_cut(spark):
+    """Referrers 1,2 both cite {10,11} → pair (10,11) with n_common=2;
+    a mega-hub above max_outdeg contributes no pairs; duplicate edges
+    collapse; output is canonical a < b."""
+    from context_crawler_spark.operators.ranking import cocitation_pairs
+
+    edges = [(1, 10), (1, 11), (2, 10), (2, 11), (2, 10),  # dup edge
+             (3, 10), (3, 12),
+             # hub 9 cites everything — must be cut at max_outdeg=3
+             (9, 10), (9, 11), (9, 12), (9, 13)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r["a"], r["b"]): r["n_common"]
+           for r in cocitation_pairs(e, min_common=2, max_outdeg=3).collect()}
+    assert got == {(10, 11): 2}
+    # raising the cap lets the hub corroborate more pairs
+    got2 = {(r["a"], r["b"]): r["n_common"]
+            for r in cocitation_pairs(e, min_common=2, max_outdeg=10).collect()}
+    assert got2[(10, 11)] == 3 and got2[(10, 12)] == 2
