@@ -796,3 +796,48 @@ def test_cocitation_pairs_hand_graph_and_hub_cut(spark):
     got2 = {(r["a"], r["b"]): r["n_common"]
             for r in cocitation_pairs(e, min_common=2, max_outdeg=10).collect()}
     assert got2[(10, 11)] == 3 and got2[(10, 12)] == 2
+
+
+def test_tfidf_keywords_window_partitions_by_doc(spark):
+    """The top-k window partitions BY DOC — a global single-partition
+    window (the classic tf-idf-rank trap) must never appear. The only
+    SinglePartition exchange allowed is the 1-row n_docs aggregate."""
+    from context_crawler_spark.operators.ranking import tfidf_keywords
+
+    d = spark.createDataFrame(
+        [(i, f"word{i} common text here") for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = tfidf_keywords(d, k=3)._jdf.queryExecution().executedPlan().toString()
+    wins = [ln for ln in plan.splitlines()
+            if "Window" in ln and "row_number" in ln]
+    assert wins and all("id#" in ln for ln in wins)
+    # the 1-row corpus-count agg is the single permitted SinglePartition
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_cocitation_no_cartesian_no_single_partition(spark):
+    """Pairs form via the src-keyed self-join — never a cartesian
+    product over pages, never a single-partition exchange."""
+    from context_crawler_spark.operators.ranking import cocitation_pairs
+
+    e = spark.createDataFrame(
+        [(i % 10, (i * 7) % 40) for i in range(200)], "src long, dst long"
+    )
+    plan = cocitation_pairs(e)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_label_propagation_no_single_partition(spark):
+    """The per-iteration argmax is a max-struct groupBy fold, not a
+    window — no single-partition exchange anywhere in the loop."""
+    from context_crawler_spark.operators.ranking import label_propagation
+
+    e = spark.createDataFrame(
+        [(i % 20, (i * 3) % 20) for i in range(100)], "src long, dst long"
+    )
+    plan = label_propagation(e, iters=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
