@@ -2792,27 +2792,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver correctness window (the first 50 entries; the driver
         # checks exactly these against oracle_sql at sf0.01) -----------
-        # r5 ordering policy (VERDICT r4 #1): highest-risk first — the 50
-        # queries the r4 driver artifact never witnessed (the registry
-        # outgrew the window), with the two newly-oracled queries
-        # (hyperball, token_counts_bpe) swapped in for the 3 rows-only-by-
-        # design ones (ann_ivf_topk, chunk_documents, extract_page — no
-        # oracle CAN exist; they would read as err rows) plus the flagship
-        # crawl_round_sim. All 50 are fully oracled, so the artifact reads
-        # 50/50 pass with zero err. The back half is witnessed by
+        # r5-final ordering policy (VERDICT r4 #1): highest-risk first.
+        # Slots 1-9: the newest late-r5 operators (zero prior driver
+        # witness). Then the r4-added set the r4 driver artifact never
+        # saw, with hyperball + token_counts_bpe kept in-window so their
+        # r4 `err: no_oracle` rows flip to oracled passes, and the 3
+        # rows-only-by-design queries (ann_ivf_topk, chunk_documents,
+        # extract_page — no oracle CAN exist) kept out. Nine queries
+        # displaced to the back half (minhash_dedup, simhash_dedup,
+        # embedding_near_dup, ann_lsh_topk, embed_documents,
+        # canonicalize, output_split_plan, frame_sample,
+        # multimodal_meta) all carry an r3 driver witness. All 50 here
+        # are fully oracled, so the artifact reads 50/50 pass with zero
+        # err. Every back-half query is witnessed by
         # tools/check_contract.py over the FULL registry, committed as
         # CONTRACT_r05.json each round.
-        "minhash_dedup": q_minhash_dedup,
+        "hits": q_hits,
+        "exact_substring": q_exact_substring,
+        "host_communities": q_host_communities,
+        "dup_representatives": q_dup_representatives,
+        "tfidf_keywords": q_tfidf_keywords,
+        "cocitation": q_cocitation,
+        "phrase_search_indexed": q_phrase_search_indexed,
+        "mirror_hosts": q_mirror_hosts,
+        "approx_quantiles": q_approx_quantiles,
         "minhash_incremental": q_minhash_incremental,
         "exact_incremental": q_exact_incremental,
         "resolve_redirects": q_resolve_redirects,
         "canonical_key": q_canonical_key,
         "cache_control": q_cache_control,
         "meta_robots": q_meta_robots,
-        "simhash_dedup": q_simhash_dedup,
-        "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
-        "ann_lsh_topk": q_ann_lsh_topk,
         "chunk_split_plan": q_chunk_split_plan,
         "pipeline_clean": q_pipeline_clean,
         "bm25_search": q_bm25_search,
@@ -2844,11 +2854,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_diff": q_crawl_diff,
         "domain_prior": q_domain_prior,
         "frontier_priority": q_frontier_priority,
-        "embed_documents": q_embed_documents,
-        "canonicalize": q_canonicalize,
-        "output_split_plan": q_output_split_plan,
-        "frame_sample": q_frame_sample,
-        "multimodal_meta": q_multimodal_meta,
         "hyperball": q_hyperball,
         "token_counts_bpe": q_token_counts_bpe,
         # opic_priority is the newest float-recurrence operator (r5) —
@@ -2857,6 +2862,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # moves to the back half, where CONTRACT_r05.json witnesses it.
         "opic_priority": q_opic_priority,
         # --- back half: witnessed by the committed CONTRACT_rN.json ---
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_dedup": q_simhash_dedup,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embed_documents": q_embed_documents,
+        "canonicalize": q_canonicalize,
+        "output_split_plan": q_output_split_plan,
+        "frame_sample": q_frame_sample,
+        "multimodal_meta": q_multimodal_meta,
         "crawl_round_sim": q_crawl_round_sim,
         "host_graph": q_host_graph,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -2868,16 +2882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_template": q_host_template,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
-        "approx_quantiles": q_approx_quantiles,
-        "mirror_hosts": q_mirror_hosts,
         "phrase_search": q_phrase_search,
-        "phrase_search_indexed": q_phrase_search_indexed,
-        "hits": q_hits,
-        "exact_substring": q_exact_substring,
-        "host_communities": q_host_communities,
-        "dup_representatives": q_dup_representatives,
-        "tfidf_keywords": q_tfidf_keywords,
-        "cocitation": q_cocitation,
         "claim_order": q_claim_order,
         "queue_stats": q_queue_stats,
         "url_seen_antijoin": q_url_seen_antijoin,

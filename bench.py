@@ -110,6 +110,8 @@ HEADLINE = [
     "exact_substring",
     "host_communities",
     "dup_representatives",
+    "tfidf_keywords",
+    "cocitation",
 ]
 
 
@@ -361,7 +363,7 @@ def main() -> None:
                 "host_template", "winnow_pairs", "approx_quantiles",
                 "mirror_hosts", "phrase_search", "phrase_search_indexed",
                 "hits", "exact_substring", "host_communities",
-                "dup_representatives"}
+                "dup_representatives", "tfidf_keywords", "cocitation"}
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(queries.values()), 3),
