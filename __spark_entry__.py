@@ -2569,7 +2569,10 @@ def q_containment_pairs(spark, sf_dir):
     because the prefix filter is pigeonhole-lossless."""
     from context_crawler_spark.operators.text_dedup import containment_pairs
 
-    d = _t(spark, sf_dir, "documents")
+    # toy-scale repartition (q_ngram_lm note): one scan task otherwise
+    # serializes the gram-set build
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
     return containment_pairs(d, theta=0.6, n=3)
 
 
@@ -2580,7 +2583,8 @@ def q_containment_dedup(spark, sf_dir):
     keeper order is total, so mutual containment keeps exactly one."""
     from context_crawler_spark.operators.text_dedup import containment_dedup
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
     return containment_dedup(d, theta=0.6, n=3).select("doc_id")
 
 
@@ -2623,7 +2627,10 @@ def q_winnow_fingerprints(spark, sf_dir):
     values, so DuckDB replays the window-min bit-identically."""
     from context_crawler_spark.operators.text_dedup import winnow_fingerprints
 
-    return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=5, w=16)
+    # toy-scale repartition: one parquet file = one scan task serializing
+    # the per-doc gram/window HOFs (the q_ngram_lm note)
+    return winnow_fingerprints(_t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism), k=5, w=16)
 
 
 def q_winnow_pairs(spark, sf_dir):
@@ -2632,7 +2639,9 @@ def q_winnow_pairs(spark, sf_dir):
     from context_crawler_spark.operators.text_dedup import winnow_pairs
 
     return winnow_pairs(
-        _t(spark, sf_dir, "documents"), k=5, w=16, min_shared=2, max_df=20)
+        _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism),
+        k=5, w=16, min_shared=2, max_df=20)
 
 
 def q_approx_quantiles(spark, sf_dir):
@@ -2656,7 +2665,9 @@ def q_mirror_hosts(spark, sf_dir):
     from context_crawler_spark.operators.text_dedup import mirror_hosts
 
     return mirror_hosts(
-        _t(spark, sf_dir, "documents"), theta=0.3, k=5, w=16, max_df=10)
+        _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism),
+        theta=0.3, k=5, w=16, max_df=10)
 
 
 def q_phrase_search(spark, sf_dir):
@@ -2706,7 +2717,9 @@ def q_exact_substring(spark, sf_dir):
         exact_substring_dedup,
     )
 
-    return exact_substring_dedup(_t(spark, sf_dir, "documents"), n=8)
+    # toy-scale repartition (q_ngram_lm note)
+    return exact_substring_dedup(_t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism), n=8)
 
 
 def q_host_communities(spark, sf_dir):

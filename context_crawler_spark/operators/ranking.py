@@ -49,6 +49,23 @@ def tokenize_query(query: str) -> list[str]:
     return sorted({w for w in re.sub(r"[^A-Za-z0-9]+", " ", query.lower()).split() if w})
 
 
+def let1(expr: Column, fn) -> Column:
+    """Poor-man's ``let``: evaluate ``expr`` ONCE per row and bind the
+    value as a higher-order-function lambda variable —
+    ``transform(array(expr), fn)[1]``.
+
+    Why this exists: Catalyst's CollapseProject inlines a projected
+    column into every downstream reference, and common-subexpression
+    elimination does NOT reach inside HOF lambdas — so an expensive
+    expression (the tokenizer regex) referenced per element of a
+    ``filter(sequence(...))`` fold re-executes once PER ELEMENT per row.
+    Binding through a 1-element array makes the inner references hit the
+    lambda variable instead of the inlined expression. Measured on the
+    phrase-search scan: 13.7 s → sub-second at sf0.1 (the regex was
+    running ~2×windows times per document)."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def bm25_topk(
     docs: DataFrame,
     query: str,
@@ -922,23 +939,26 @@ def phrase_search(
     if not terms:
         raise ValueError("empty phrase")
     m = len(terms)
-    toks = alnum_words(text_col)
-    w = F.col("__w")
 
-    def window_matches(j: Column) -> Column:
-        cond = F.lit(True)
-        for i, t in enumerate(terms):
-            cond = cond & (F.element_at(w, j + F.lit(i + 1)) == F.lit(t))
-        return cond
+    # let1-bind the tokenized array: CollapseProject would otherwise
+    # inline the tokenizer regex into every element_at below, re-running
+    # it ~2×windows times per document (see let1 docstring)
+    def tf_of(w: Column) -> Column:
+        def window_matches(j: Column) -> Column:
+            cond = F.lit(True)
+            for i, t in enumerate(terms):
+                cond = cond & (F.element_at(w, j + F.lit(i + 1)) == F.lit(t))
+            return cond
 
-    tf = F.when(
-        F.size(w) >= m,
-        F.size(F.filter(F.sequence(F.lit(0), F.size(w) - F.lit(m)),
-                        window_matches)),
-    ).otherwise(F.lit(0))
+        return F.when(
+            F.size(w) >= m,
+            F.size(F.filter(F.sequence(F.lit(0), F.size(w) - F.lit(m)),
+                            window_matches)),
+        ).otherwise(F.lit(0))
+
+    tf = let1(alnum_words(text_col), tf_of)
     out = (
-        docs.select(F.col(id_col), toks.alias("__w"))
-        .select(id_col, tf.alias("phrase_tf"))
+        docs.select(F.col(id_col), tf.alias("phrase_tf"))
         .filter(F.col("phrase_tf") > 0)
     )
     return out.orderBy(F.desc("phrase_tf"), F.asc(id_col)).limit(k)

@@ -893,28 +893,38 @@ def winnow_fingerprints(
     fingerprint (``keep_cols`` are carried through unchanged, e.g. the
     host for ``mirror_hosts``).
     """
+    from context_crawler_spark.operators.ranking import let1
+
     extra = list(keep_cols or [])
-    t = F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
-                         "[^a-z0-9]", "")
-    n = F.length("__t")
-    m = n - (k - 1)  # number of k-grams
-    hashes = F.transform(
-        F.sequence(F.lit(1), F.col("__m")),
-        lambda i: F.substring(F.md5(F.substring(F.col("__t"), i, k)), 1, 13),
-    )
-    n_windows = F.greatest(F.col("__m") - (w - 1), F.lit(1))
-    selected = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), n_windows - 1),
-            lambda j: F.array_min(F.slice(F.col("__h"), j + 1, w)),
+    t_norm = F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                              "[^a-z0-9]", "")
+
+    # nested let1 bindings (see ranking.let1): without them
+    # CollapseProject inlines the normalization regex into every gram
+    # substring and the whole gram-hash array into every window slice —
+    # O(grams) regex runs and O(windows·w) md5 recomputes per document
+    def selected_of(h: Column) -> Column:
+        n_windows = F.greatest(F.size(h) - (w - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n_windows - 1),
+                lambda j: F.array_min(F.slice(h, j + 1, w)),
+            )
         )
-    )
+
+    def fps_of(t: Column) -> Column:
+        m = F.length(t) - (k - 1)  # number of k-grams
+        hashes = F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.substring(F.md5(F.substring(t, i, k)), 1, 13),
+        )
+        return F.when(m >= 1, let1(hashes, selected_of)).otherwise(
+            F.array().cast("array<string>")
+        )
+
     return (
-        df.select(F.col(id_col), *extra, t.alias("__t"))
-        .withColumn("__m", m)
-        .filter(F.col("__m") >= 1)
-        .withColumn("__h", hashes)
-        .select(id_col, *extra, F.explode(selected).alias("fp"))
+        df.select(F.col(id_col), *extra,
+                  F.explode(let1(t_norm, fps_of)).alias("fp"))
         .distinct()
     )
 
