@@ -711,29 +711,32 @@ def _word_gram_sets(
     column, built with pure JVM higher-order expressions (zero Python,
     zero shuffle). Mirrors the minhash verifier's gram contract: empty
     text → no row (m=0 filtered), fewer than ``n`` words → one gram (the
-    whole word sequence)."""
-    ws = F.col("__ws")
-    grams = (
-        F.when(F.size(ws) == 0, F.array().cast("array<string>"))
-        .when(F.size(ws) < n, F.array(F.array_join(ws, " ")))
-        .otherwise(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(ws) - (n - 1)),
-                    lambda i: F.array_join(F.slice(ws, i, n), " "),
+    whole word sequence). The word array is let1-bound (ranking.let1):
+    inlined, the normalize/split chain would re-run per gram window."""
+    from context_crawler_spark.operators.ranking import let1
+
+    def grams_of(ws: Column) -> Column:
+        return (
+            F.when(F.size(ws) == 0, F.array().cast("array<string>"))
+            .when(F.size(ws) < n, F.array(F.array_join(ws, " ")))
+            .otherwise(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+                        lambda i: F.array_join(F.slice(ws, i, n), " "),
+                    )
                 )
             )
         )
+
+    words = F.filter(
+        F.split(normalized_text_col(text_col), " "),
+        lambda w: w != F.lit(""),
     )
     return (
         df.select(
-            F.col(id_col).alias("id"),
-            F.filter(
-                F.split(normalized_text_col(text_col), " "),
-                lambda w: w != F.lit(""),
-            ).alias("__ws"),
+            F.col(id_col).alias("id"), let1(words, grams_of).alias("gs")
         )
-        .select("id", grams.alias("gs"))
         .withColumn("m", F.size("gs"))
         .filter(F.col("m") > 0)
     )
@@ -745,6 +748,7 @@ def containment_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_grams: bool = True,
 ) -> DataFrame:
     """Asymmetric containment near-dup pairs: every ordered (src, dst)
     with ``C(src, dst) = |grams(src) ∩ grams(dst)| / |grams(src)| >=
@@ -779,9 +783,18 @@ def containment_pairs(
     """
     from pyspark.sql import Window
 
-    sets = _word_gram_sets(df, n, id_col, text_col).localCheckpoint(
-        eager=False
-    )
+    sets = _word_gram_sets(df, n, id_col, text_col)
+    if hash_grams:
+        # 8-byte xxhash64 keys replace the gram STRINGS everywhere
+        # downstream — the exchanges carry longs, the verify intersects
+        # long arrays (the repeated_spans/minhash 100 TB posture;
+        # collision-free on any real corpus, counts unchanged)
+        sets = sets.select(
+            "id",
+            F.transform("gs", lambda g: F.xxhash64(g)).alias("gs"),
+            "m",
+        )
+    sets = sets.localCheckpoint(eager=False)
     exploded = sets.select("id", "m", F.explode("gs").alias("gram"))
     gfreq = exploded.groupBy("gram").agg(F.count(F.lit(1)).alias("gdf"))
     # prefix length: per-doc window, group size bounded by doc gram count
@@ -830,6 +843,7 @@ def containment_dedup(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_grams: bool = True,
 ) -> DataFrame:
     """Drop every doc that is theta-contained in a STRICTLY LARGER doc
     (more distinct grams), or in an equal-sized doc with a smaller id —
@@ -838,7 +852,7 @@ def containment_dedup(
     (exact duplicates) keeps exactly one representative and the result
     is deterministic for any partitioning."""
     sets = _word_gram_sets(df, n, id_col, text_col)
-    pairs = containment_pairs(df, theta, n, id_col, text_col)
+    pairs = containment_pairs(df, theta, n, id_col, text_col, hash_grams)
     sized = (
         pairs.join(sets.select(F.col("id").alias("src_id"),
                                F.col("m").alias("__ms")), "src_id")
