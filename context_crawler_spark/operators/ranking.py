@@ -54,15 +54,18 @@ def let1(expr: Column, fn) -> Column:
     value as a higher-order-function lambda variable —
     ``transform(array(expr), fn)[1]``.
 
-    Why this exists: Catalyst's CollapseProject inlines a projected
-    column into every downstream reference, and common-subexpression
-    elimination does NOT reach inside HOF lambdas — so an expensive
-    expression (the tokenizer regex) referenced per element of a
-    ``filter(sequence(...))`` fold re-executes once PER ELEMENT per row.
-    Binding through a 1-element array makes the inner references hit the
-    lambda variable instead of the inlined expression. Measured on the
-    phrase-search scan: 13.7 s → sub-second at sf0.1 (the regex was
-    running ~2×windows times per document)."""
+    Why this exists: two Catalyst rewrites substitute an alias's
+    DEFINITION into its references — CollapseProject (when the alias is
+    referenced once, the winnowing case) and predicate/expression
+    pushdown (which substitutes regardless of cost, the phrase-search
+    case: the ``phrase_tf > 0`` filter pushed below the tokenize
+    projection). Common-subexpression elimination does NOT reach inside
+    HOF lambdas, so once the expensive expression (a tokenizer regex, a
+    gram-hash array) lands inside a ``filter(sequence(...))`` fold it
+    re-executes once PER ELEMENT per row. Binding through a 1-element
+    array makes the inner references hit the lambda variable instead.
+    Measured on the phrase-search scan: 13.7 s → 0.5 s at sf0.1 (the
+    regex was running ~2×windows times per document)."""
     return F.element_at(F.transform(F.array(expr), fn), 1)
 
 
