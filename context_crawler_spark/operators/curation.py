@@ -889,17 +889,29 @@ def classifier_score(
         F.lit(0).cast("long"),
         lambda acc, w: acc + (_bucket_expr(w) * F.lit(2654435761)) % 1001,
     )
+    # materialize the md5-per-word fold and its derived mean/score as
+    # COLUMNS before fanning out to mean_weight/score/keep: an alias
+    # referenced more than once is not inlined by CollapseProject, while
+    # referencing the raw fold expression from three output columns
+    # re-ran the whole per-word md5 fold 3× per row — codegen
+    # subexpression elimination skips trees containing lambda variables
+    # (the gopher_repetition rule (a); r6, measured ~3× on this operator)
     n = F.size("__words")
-    mean = F.round(wsum.cast("double") / (500.0 * n) - 1.0, 6)
-    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-mean)), 6)
+    df = df.withColumn("__n", n)
+    df = df.withColumn(
+        "__mean",
+        F.round(wsum.cast("double") / (500.0 * F.col("__n")) - 1.0, 6))
+    df = df.withColumn(
+        "__score",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__mean"))), 6))
+    nn = F.col("__n")
     return df.select(
         F.col(id_col),
-        n.alias("n_words"),
-        F.when(n > 0, mean).alias("mean_weight"),
-        F.when(n > 0, score).alias("score"),
-        F.coalesce(F.when(n > 0, score >= threshold), F.lit(False)).alias(
-            "keep"
-        ),
+        nn.alias("n_words"),
+        F.when(nn > 0, F.col("__mean")).alias("mean_weight"),
+        F.when(nn > 0, F.col("__score")).alias("score"),
+        F.coalesce(F.when(nn > 0, F.col("__score") >= threshold),
+                   F.lit(False)).alias("keep"),
     )
 
 

@@ -69,6 +69,42 @@ def let1(expr: Column, fn) -> Column:
     return F.element_at(F.transform(F.array(expr), fn), 1)
 
 
+def term_counts(ws: Column) -> Column:
+    """Per-row ``array<struct<term,tf>>`` — one entry per DISTINCT word of
+    the (already let1-bound / materialized) word-array column ``ws``, with
+    its occurrence count. Zero shuffle, zero Python: ``sort_array`` + one
+    boundary scan (O(n log n) per row, the gopher_repetition run-length
+    idiom). Exploding this is row-for-row identical to the classic
+    ``explode(words) → groupBy(id, term).count()`` kernel but skips that
+    kernel's full-token exchange — at corpus scale the difference between
+    shuffling every token and shuffling nothing (r6)."""
+    def from_sorted(sw: Column) -> Column:
+        n = F.size(sw)
+        starts_expr = F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: (i == 1)
+            | (F.element_at(sw, i) != F.element_at(sw, i - 1)),
+        )
+
+        def entries(starts: Column) -> Column:
+            ends = F.concat(
+                F.slice(starts, 2, F.size(starts) - 1), F.array(n + 1)
+            )
+            return F.zip_with(
+                starts, ends,
+                lambda s, e: F.struct(
+                    F.element_at(sw, s).alias("term"),
+                    (e - s).cast("long").alias("tf"),
+                ),
+            )
+
+        return F.when(n >= 1, let1(starts_expr, entries)).otherwise(
+            F.array().cast("array<struct<term:string,tf:bigint>>")
+        )
+
+    return let1(F.sort_array(ws), from_sorted)
+
+
 def bm25_topk(
     docs: DataFrame,
     query: str,
@@ -81,52 +117,73 @@ def bm25_topk(
     """BM25 (Robertson/Sparck Jones probabilistic relevance) top-k over a
     document table.
 
-    Plan shape (the part that matters at 100 TB):
+    Plan shape (r6 rewrite — the part that matters at 100 TB):
 
-    1. tokenize JVM-side; per-doc length ``dl`` is a projection.
-    2. explode → **filter to the query's terms first** → groupBy
-       (doc, term): the only full-width shuffle carries just the postings
-       of ``len(query)`` terms.
-    3. document frequency per term: a ≤len(query)-row aggregate,
-       broadcast back.
-    4. corpus stats (N, avgdl): a single-row aggregate, attached by
-       broadcast cross-join — no ``collect()``, the whole thing stays one
-       lazy plan.
-    5. score-sum per doc, global top-k via orderBy+limit (Spark plans
-       TakeOrderedAndProject — per-partition heaps, no full sort).
+    1. ONE tokenize pass: per doc, ``dl`` and the per-query-term tf
+       vector are computed WITHIN the row (``size(filter(words, w ==
+       term))`` per term — the query has a handful of terms), and the
+       narrow (id, dl, tfs) projection is localCheckpoint'd so the
+       corpus text is read and tokenized exactly once.
+    2. corpus stats (N, avgdl) AND per-term document frequencies come
+       out of a SINGLE 1-row aggregate over that narrow table
+       (``sum(tfs[i] > 0)`` per term) — no postings explode, no
+       (doc, term) exchange at all.
+    3. docs containing no query term are dropped array-side
+       (``exists(tfs, t > 0)`` — exactly the rows the old postings path
+       produced); the per-doc score folds the fixed, term-ascending sum
+       of idf·tfq — same idf/tfq expressions as before.
+    4. global top-k via orderBy+limit (TakeOrderedAndProject —
+       per-partition heaps, no sort shuffle).
 
-    Ties broken by ascending id for cross-engine determinism.
+    Net: zero full-width shuffles (the old plan exchanged the query-term
+    postings twice — groupBy and df join). Ties broken by ascending id
+    for cross-engine determinism; oracle-pinned result-identical.
     """
     terms = tokenize_query(query)
     if not terms:
         raise ValueError("empty query")
     did = F.col(id_col)
-    toks = docs.select(
-        did.alias("id"), alnum_words(text_col).alias("__w")
-    ).select("id", F.size("__w").alias("dl"), "__w")
-    stats = toks.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+
+    def eq(t: str):
+        return lambda x: x == F.lit(t)
+
+    def row_of(w: Column) -> Column:
+        return F.struct(
+            F.size(w).alias("dl"),
+            F.array(*[
+                F.size(F.filter(w, eq(t))) for t in terms
+            ]).alias("tfs"),
+        )
+
+    narrow = docs.select(
+        did.alias("id"), let1(alnum_words(text_col), row_of).alias("__s")
+    ).select("id", F.col("__s.dl").alias("dl"),
+             F.col("__s.tfs").alias("tfs")).localCheckpoint(eager=False)
+    stats = narrow.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"),
+        *[F.sum(F.when(F.element_at("tfs", i + 1) > 0, 1).otherwise(0))
+          .alias(f"df_{i}") for i in range(len(terms))],
     )
-    tf = (
-        toks.select("id", "dl", F.explode("__w").alias("term"))
-        .filter(F.col("term").isin(terms))
-        .groupBy("id", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df_t = tf.groupBy("term").agg(F.count_distinct("id").alias("df"))
-    idf = F.log(
-        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-        + F.lit(1.0)
-    )
-    tfq = F.col("tf") * (k1 + 1) / (
-        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
-    )
+
+    def idf_i(i: int) -> Column:
+        return F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5)) + F.lit(1.0)
+        )
+
+    def tfq_i(i: int) -> Column:
+        tf = F.element_at("tfs", i + 1)
+        return tf * (k1 + 1) / (
+            tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+
+    score = idf_i(0) * tfq_i(0)
+    for i in range(1, len(terms)):
+        score = score + idf_i(i) * tfq_i(i)
     scored = (
-        tf.join(F.broadcast(df_t), "term")
+        narrow.filter(F.exists("tfs", lambda t: t > 0))
         .join(F.broadcast(stats))
-        .select("id", (idf * tfq).alias("__s"))
-        .groupBy("id")
-        .agg(F.sum("__s").alias("score"))
+        .select("id", score.alias("score"))
     )
     return (
         scored.orderBy(F.desc("score"), F.asc("id"))
@@ -157,9 +214,13 @@ def build_postings_index(
       at build time so every query scores against the same collection
       statistics.
 
-    Build cost: one tokenize pass + ONE shuffle on (term, id) with
-    map-side partial counts — the same exchange bm25_topk pays per query,
-    paid once.
+    Build cost (r6): one tokenize pass, ZERO shuffle — the (term, doc, tf)
+    rows come from the per-row :func:`term_counts` run-length kernel
+    (every token of a doc lives in its own row already, so the old
+    ``explode → groupBy(term, id, dl)`` exchange only ever regrouped rows
+    that were co-located to begin with; at corpus scale it shuffled every
+    token). Row set is identical; the sink's clustering (bucket by
+    ``term_bucket``) owns whatever exchange the layout needs.
     """
     did = F.col(id_col)
     toks = docs.select(
@@ -168,9 +229,10 @@ def build_postings_index(
     stats = toks.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
     postings = (
-        toks.select("id", "dl", F.explode("__w").alias("term"))
-        .groupBy("term", "id", "dl")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        toks.select("id", "dl",
+                    F.explode(term_counts(F.col("__w"))).alias("__e"))
+        .select("id", "dl", F.col("__e.term").alias("term"),
+                F.col("__e.tf").alias("tf"))
         .withColumn(
             "term_bucket",
             F.pmod(F.xxhash64("term"), F.lit(int(term_buckets)))
@@ -1263,10 +1325,17 @@ def tfidf_keywords(
     did = F.col(id_col)
     toks = docs.select(did.alias("id"), alnum_words(text_col).alias("__w"))
     n_docs = toks.agg(F.count(F.lit(1)).alias("__n"))
+    # r6: (id, term, tf) comes straight from the per-row term_counts
+    # run-length kernel — every token of a doc is already co-located, so
+    # the old explode → groupBy(id, term) exchange (the full tf table on
+    # the wire) only regrouped co-located rows; the df groupBy's term
+    # exchange is shared with the join below (same subtree →
+    # ReusedExchange), leaving 2 exchanges on the tf table where the old
+    # plan paid 3
     tf = (
-        toks.select("id", F.explode("__w").alias("term"))
-        .groupBy("id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        toks.select("id", F.explode(term_counts(F.col("__w"))).alias("__e"))
+        .select("id", F.col("__e.term").alias("term"),
+                F.col("__e.tf").alias("tf"))
     )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (

@@ -29,7 +29,6 @@ from ..functions.udfs import (
     make_minhash_bands_udf,
     make_minhash_udf,
     make_simhash_bands_udf,
-    ngram_jaccard_udf,
     simhash_udf,
 )
 from .search import make_lsh_bucket_udf
@@ -261,14 +260,39 @@ def minhash_dedup(
     jaccard_threshold: float = 0.8,
 ) -> DataFrame:
     """Near-dup removal: MinHash-LSH candidates → exact word-3gram Jaccard
-    verification (texts joined back only for candidates) → connected
-    components → keep min id."""
+    verification → connected components → keep min id.
+
+    Verification (r6): instead of joining the raw TEXTS onto every
+    candidate pair and re-sharding both texts per pair into a per-pair
+    Python UDF (each doc's grams were rebuilt once per candidate it
+    appears in, and the texts rode two exchanges), the distinct word-3gram
+    set is built ONCE per doc with the same JVM HOF kernel the containment
+    family uses (``_word_gram_sets`` — gram semantics mirror
+    ``textstats.word_ngrams``: <n words → one gram, empty → empty set),
+    hashed to 8-byte longs, and attached to the pairs by id; the Jaccard
+    is then ``|∩| / (m_l + m_r − |∩|)`` via ``array_intersect`` in
+    codegen. Exact same quotient of the same integers as the Python
+    ``len(a & b) / len(a | b)`` (empty/empty → 1.0, one-empty → 0.0
+    special cases preserved), so the survivor set is unchanged — pinned
+    by the oracle and tests/test_dedup.py."""
     cand = minhash_candidates(df, id_col, text_col, num_perm, bands)
-    texts = df.select(F.col(id_col), F.col(text_col))
+    gs = _word_gram_sets(
+        df, 3, id_col, text_col, include_empty=True, hash_grams=True
+    ).localCheckpoint(eager=False)
+    i_sz = F.size(F.array_intersect("__gl", "__gr"))
+    jac = (
+        F.when((F.col("__ml") == 0) & (F.col("__mr") == 0), F.lit(1.0))
+        .when((F.col("__ml") == 0) | (F.col("__mr") == 0), F.lit(0.0))
+        .otherwise(i_sz / (F.col("__ml") + F.col("__mr") - i_sz))
+    )
     verified = (
-        cand.join(texts.withColumnsRenamed({id_col: "id_l", text_col: "text_l"}), "id_l")
-        .join(texts.withColumnsRenamed({id_col: "id_r", text_col: "text_r"}), "id_r")
-        .withColumn("jaccard", ngram_jaccard_udf(F.col("text_l"), F.col("text_r")))
+        cand.join(gs.select(F.col("id").alias("id_l"),
+                            F.col("gs").alias("__gl"),
+                            F.col("m").alias("__ml")), "id_l")
+        .join(gs.select(F.col("id").alias("id_r"),
+                        F.col("gs").alias("__gr"),
+                        F.col("m").alias("__mr")), "id_r")
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_l", "id_r")
     )
@@ -329,23 +353,44 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold: hyperplane-LSH buckets → exact cosine
     verify on collisions only. The verify dot product is built-in
-    zip_with/aggregate — JVM-side."""
+    zip_with/aggregate — JVM-side.
+
+    Plan (r6, the guide-§8 decide-small/move-big split): the bucket
+    self-join and the candidate-pair DISTINCT carry ONLY (bucket, id) /
+    (id_l, id_r) — 16 bytes a row — never the vectors; with T tables a
+    colliding pair used to ride the exchanges up to T times at ~1 KB a
+    row (two ``dim``-float payloads), which at the bench scale was a
+    multi-GB shuffle for a pair set whose ids fit in MBs. Vectors attach
+    AFTER the dedup, once per surviving pair side, by id-keyed joins
+    against the (id, v, norm) projection; norms are computed once per
+    VECTOR rather than once per pair (same expression, so the float
+    result is bit-identical). Cosine math is unchanged."""
     udf = make_lsh_bucket_udf(dim, n_tables, bits_per_table)
-    banded = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        F.explode(udf(F.col(vec_col))).alias("bucket"),
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    banded = vecs.select(
+        "id", F.explode(udf(F.col("v"))).alias("bucket"),
     ).localCheckpoint(eager=False)
-    l = banded.select("bucket", F.col("id").alias("id_l"), F.col("v").alias("v_l"))
-    r = banded.select("bucket", F.col("id").alias("id_r"), F.col("v").alias("v_r"))
-    dot = F.aggregate(
-        F.zip_with("v_l", "v_r", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-    )
-    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))  # noqa: E731
-    return (
+    l = banded.select("bucket", F.col("id").alias("id_l"))
+    r = banded.select("bucket", F.col("id").alias("id_r"))
+    cand = (
         l.join(r, on="bucket")
         .filter(F.col("id_l") < F.col("id_r"))
         .dropDuplicates(["id_l", "id_r"])
-        .withColumn("cosine", dot / (norm(F.col("v_l")) * norm(F.col("v_r"))))
+    )
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))  # noqa: E731
+    sides = vecs.select("id", "v", norm(F.col("v")).alias("n")) \
+        .localCheckpoint(eager=False)
+    dot = F.aggregate(
+        F.zip_with("v_l", "v_r", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    return (
+        cand.join(sides.select(F.col("id").alias("id_l"),
+                               F.col("v").alias("v_l"),
+                               F.col("n").alias("n_l")), "id_l")
+        .join(sides.select(F.col("id").alias("id_r"),
+                           F.col("v").alias("v_r"),
+                           F.col("n").alias("n_r")), "id_r")
+        .withColumn("cosine", dot / (F.col("n_l") * F.col("n_r")))
         .filter(F.col("cosine") >= cosine_threshold)
         .select("id_l", "id_r", "cosine")
     )
@@ -411,16 +456,28 @@ def repeated_ngram_spans(
     )
     if hash_grams:
         grams = grams.select("id", F.xxhash64("gram").alias("gram"))
-    gstats = grams.groupBy("gram").agg(
-        F.count_distinct("id").alias("ndocs"), F.count(F.lit(1)).alias("nocc")
-    )
-    dup = F.when((F.col("ndocs") >= 2) | (F.col("nocc") >= 2), 1).otherwise(0)
+    # r6: two algebraic cuts. (1) "duplicated" ⟺ ndocs >= 2 OR nocc >= 2
+    # ⟺ nocc >= 2 (every doc contributes >= 1 occurrence, so ndocs <=
+    # nocc) — the count_distinct leg was provably redundant. (2) the
+    # groupBy(gram) + join-back was a self-join of the gram stream with
+    # its own aggregate; expressed instead as ONE gram-keyed exchange and
+    # an unordered window count over the gram key, every occurrence reads
+    # its gram's global multiplicity in place. Plan: 2 exchanges total
+    # (gram repartition + per-doc agg), no join — where the join form
+    # either re-derived the gram stream twice under a vocabulary-sized
+    # broadcast (what AQE's size estimates pick at bench scale) or pays
+    # 4 exchanges as a shuffle join at real scale.
+    from pyspark.sql import Window
+
+    nocc = F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    dup = F.when(nocc >= 2, 1).otherwise(0)
     return (
-        grams.join(gstats, "gram")
+        grams.repartition("gram")
+        .select("id", dup.alias("__dup"))
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.sum(dup).alias("n_dup_grams"),
+            F.sum("__dup").alias("n_dup_grams"),
         )
         .select(
             F.col("id").alias(id_col), "n_grams", "n_dup_grams",
@@ -705,14 +762,19 @@ def semantic_dedup(
 
 
 def _word_gram_sets(
-    df: DataFrame, n: int, id_col: str, text_col: str
+    df: DataFrame, n: int, id_col: str, text_col: str,
+    include_empty: bool = False, hash_grams: bool = False,
 ) -> DataFrame:
     """(id, gs, m): the DISTINCT word-``n``-gram set per doc as an array
     column, built with pure JVM higher-order expressions (zero Python,
     zero shuffle). Mirrors the minhash verifier's gram contract: empty
-    text → no row (m=0 filtered), fewer than ``n`` words → one gram (the
-    whole word sequence). The word array is let1-bound (ranking.let1):
-    inlined, the normalize/split chain would re-run per gram window."""
+    text → no row (m=0 filtered; ``include_empty=True`` keeps it as an
+    empty array for callers that need the ∅/∅ Jaccard special case),
+    fewer than ``n`` words → one gram (the whole word sequence). With
+    ``hash_grams=True`` the gram strings are replaced by their xxhash64
+    longs (``m`` is counted pre-hash). The word array is let1-bound
+    (ranking.let1): inlined, the normalize/split chain would re-run per
+    gram window."""
     from context_crawler_spark.operators.ranking import let1
 
     def grams_of(ws: Column) -> Column:
@@ -729,17 +791,44 @@ def _word_gram_sets(
             )
         )
 
+    def hashed_grams_of(ws: Column) -> Column:
+        # r6: hash the word n-TUPLE directly (xxhash64 chains its column
+        # arguments) instead of allocating the "w1 w2 … wn" string per
+        # window and hashing that. Words contain no spaces (split on
+        # space), so tuple identity ≡ joined-string identity: distinct
+        # counts and intersections are unchanged up to the same 64-bit
+        # collision caveat the string-hash already carried. HOFs are
+        # interpreted (no whole-stage codegen), so dropping the per-gram
+        # slice+join string build is a first-order win on the gram pass.
+        return (
+            F.when(F.size(ws) == 0, F.array().cast("array<bigint>"))
+            .when(F.size(ws) < n, F.array(F.xxhash64(F.array_join(ws, " "))))
+            .otherwise(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+                        lambda i: F.xxhash64(
+                            *[F.element_at(ws, i + j) for j in range(n)]),
+                    )
+                )
+            )
+        )
+
     words = F.filter(
         F.split(normalized_text_col(text_col), " "),
         lambda w: w != F.lit(""),
     )
-    return (
+    out = (
         df.select(
-            F.col(id_col).alias("id"), let1(words, grams_of).alias("gs")
+            F.col(id_col).alias("id"),
+            let1(words,
+                 hashed_grams_of if hash_grams else grams_of).alias("gs"),
         )
         .withColumn("m", F.size("gs"))
-        .filter(F.col("m") > 0)
     )
+    if not include_empty:
+        out = out.filter(F.col("m") > 0)
+    return out
 
 
 def containment_pairs(
@@ -781,19 +870,23 @@ def containment_pairs(
     reference dedups URLs only (crawlee RequestQueue uniqueKey,
     src/core.ts:341); containment is part of the content-dedup extension.
     """
+    sets = _word_gram_sets(df, n, id_col, text_col, hash_grams=hash_grams)
+    return _containment_pairs_from_sets(sets, theta).select(
+        "src_id",
+        "dst_id",
+        F.round(F.col("__c"), 6).alias("containment"),
+    )
+
+
+def _containment_pairs_from_sets(sets: DataFrame, theta: float) -> DataFrame:
+    """SSJoin prefix-filter + verify over a prebuilt ``_word_gram_sets``
+    table. Returns (src_id, dst_id, __c, __ma, __mb) — the raw
+    containment plus BOTH gram-set sizes, so :func:`containment_dedup`
+    can apply its keeper rule without rebuilding the gram sets (r6: the
+    sizes used to be re-derived by a second full gram build plus two
+    extra id-keyed joins)."""
     from pyspark.sql import Window
 
-    sets = _word_gram_sets(df, n, id_col, text_col)
-    if hash_grams:
-        # 8-byte xxhash64 keys replace the gram STRINGS everywhere
-        # downstream — the exchanges carry longs, the verify intersects
-        # long arrays (the repeated_spans/minhash 100 TB posture;
-        # collision-free on any real corpus, counts unchanged)
-        sets = sets.select(
-            "id",
-            F.transform("gs", lambda g: F.xxhash64(g)).alias("gs"),
-            "m",
-        )
     sets = sets.localCheckpoint(eager=False)
     exploded = sets.select("id", "m", F.explode("gs").alias("gram"))
     gfreq = exploded.groupBy("gram").agg(F.count(F.lit(1)).alias("gdf"))
@@ -817,23 +910,28 @@ def containment_pairs(
             & (F.col("__mdst") >= F.ceil(F.lit(theta) * F.col("__msrc")))
         )
         .select("src_id", "dst_id")
-        .distinct()
     )
     a = sets.select(
         F.col("id").alias("src_id"), F.col("gs").alias("__ga"), F.col("m").alias("__ma")
     )
-    b = sets.select(F.col("id").alias("dst_id"), F.col("gs").alias("__gb"))
+    b = sets.select(F.col("id").alias("dst_id"), F.col("gs").alias("__gb"),
+                    F.col("m").alias("__mb"))
     cont = F.size(F.array_intersect("__ga", "__gb")) / F.col("__ma")
+    # r6: dedup AFTER the verify, not before. A pair reached via several
+    # shared prefix grams is only a few % of the candidate stream, so the
+    # pre-verify DISTINCT was a corpus-scale hash aggregation over ~every
+    # candidate (measured: 2 × 5.5 GiB spill, minutes of aggregation
+    # build, for a 4% reduction) — whereas the verify is a per-row filter
+    # whose surviving set is tiny. The verify is deterministic per pair,
+    # so duplicates collapse to identical rows and the post-filter
+    # distinct returns the exact same pair set.
     return (
         cand.join(a, "src_id")
         .join(b, "dst_id")
         .withColumn("__c", cont)
         .filter(F.col("__c") >= theta)
-        .select(
-            "src_id",
-            "dst_id",
-            F.round(F.col("__c"), 6).alias("containment"),
-        )
+        .select("src_id", "dst_id", "__c", "__ma", "__mb")
+        .distinct()
     )
 
 
@@ -850,18 +948,19 @@ def containment_dedup(
     i.e. keep the superset/canonical page, drop the quote/truncation.
     The (size, id) keeper rule is a total order, so mutual containment
     (exact duplicates) keeps exactly one representative and the result
-    is deterministic for any partitioning."""
-    sets = _word_gram_sets(df, n, id_col, text_col)
-    pairs = containment_pairs(df, theta, n, id_col, text_col, hash_grams)
-    sized = (
-        pairs.join(sets.select(F.col("id").alias("src_id"),
-                               F.col("m").alias("__ms")), "src_id")
-        .join(sets.select(F.col("id").alias("dst_id"),
-                          F.col("m").alias("__md")), "dst_id")
-    )
+    is deterministic for any partitioning.
+
+    r6: the keeper rule reads the gram-set sizes straight off the
+    verified pairs (``_containment_pairs_from_sets`` carries both sides'
+    ``m``), where it used to rebuild the whole gram table a second time
+    and join it back on twice — one full tokenize+gram pass and two
+    id-keyed shuffles gone, byte-identical survivor set. Sizes are
+    pre-hash counts either way, so ``hash_grams`` does not affect them."""
+    sets = _word_gram_sets(df, n, id_col, text_col, hash_grams=hash_grams)
+    sized = _containment_pairs_from_sets(sets, theta)
     losers = sized.filter(
-        (F.col("__md") > F.col("__ms"))
-        | ((F.col("__md") == F.col("__ms"))
+        (F.col("__mb") > F.col("__ma"))
+        | ((F.col("__mb") == F.col("__ma"))
            & (F.col("dst_id") < F.col("src_id")))
     ).select(F.col("src_id").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
@@ -1119,12 +1218,17 @@ def exact_substring_dedup(
     )
     if hash_grams:
         grams = grams.select("id", "pos", F.xxhash64("gram").alias("gram"))
-    gstats = grams.groupBy("gram").agg(
-        F.count_distinct("id").alias("ndocs"), F.count(F.lit(1)).alias("nocc")
-    )
+    # r6: duplicated ⟺ ndocs >= 2 OR nocc >= 2 ⟺ nocc >= 2 (ndocs <=
+    # nocc), and the multiplicity join collapses to an unordered window
+    # count over the gram key — 2 exchanges, no join, no
+    # vocabulary-sized broadcast (same rewrite as repeated_ngram_spans)
+    from pyspark.sql import Window
+
+    nocc = F.count(F.lit(1)).over(Window.partitionBy("gram"))
     starts = (
-        grams.join(gstats, "gram")
-        .filter((F.col("ndocs") >= 2) | (F.col("nocc") >= 2))
+        grams.repartition("gram")
+        .select("id", "pos", nocc.alias("__nocc"))
+        .filter(F.col("__nocc") >= 2)
         .groupBy("id")
         .agg(F.sort_array(F.collect_list("pos")).alias("__starts"))
     )

@@ -46,7 +46,14 @@ def get_spark(
         # so cap lower — extraction UDFs re-batch internally anyway.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local[N] runs every task slot inside the driver JVM, so this IS
+        # the executor-fleet memory: 8g across 32 concurrent tasks left
+        # ~150 MB of execution memory each and large aggregations spilled
+        # multi-GiB to disk (r6 profile: containment's pair dedup alone
+        # spilled 11 GiB). 32g default in the 128 GiB sandbox; override
+        # with $SPARK_DRIVER_MEM. On a real cluster the driver goes back
+        # to being a coordinator and executor memory is sized per node.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

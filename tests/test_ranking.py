@@ -84,16 +84,18 @@ def test_bm25_orders_desc_and_limits(spark):
     assert scores == sorted(scores, reverse=True)
 
 
-def test_bm25_plan_filters_before_shuffle(spark):
-    """The posting explode must be filtered to query terms BEFORE any
-    exchange — the full-token stream never crosses the wire."""
+def test_bm25_plan_no_fullwidth_shuffle(spark):
+    """r6 plan guard: the single-pass bm25 has NO hash-partitioned
+    exchange at all — per-term tfs are computed within the row, stats+df
+    come from one 1-row aggregate (its exchange is the partial-agg
+    SinglePartition merge, one row per partition), the top-k is
+    TakeOrderedAndProject. The old guard (postings filtered before the
+    exchange) is subsumed: the token stream never crosses the wire
+    because no full-width exchange exists."""
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = bm25_topk(df, "b", k=1)._jdf.queryExecution().executedPlan().toString()
-    first_exchange = plan.find("Exchange")
-    first_filter = plan.rfind("Filter")
-    # physical plans print top-down: the Filter on the term must appear
-    # BELOW (after, textually) the first Exchange, i.e. upstream of it
-    assert first_exchange != -1 and first_filter > first_exchange, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
 
 
 def test_pagerank_two_node_cycle(spark):
