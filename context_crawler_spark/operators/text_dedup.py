@@ -355,44 +355,69 @@ def embedding_near_dup_pairs(
     verify on collisions only. The verify dot product is built-in
     zip_with/aggregate — JVM-side.
 
-    Plan (r6, the guide-§8 decide-small/move-big split): the bucket
-    self-join and the candidate-pair DISTINCT carry ONLY (bucket, id) /
-    (id_l, id_r) — 16 bytes a row — never the vectors; with T tables a
-    colliding pair used to ride the exchanges up to T times at ~1 KB a
-    row (two ``dim``-float payloads), which at the bench scale was a
-    multi-GB shuffle for a pair set whose ids fit in MBs. Vectors attach
-    AFTER the dedup, once per surviving pair side, by id-keyed joins
-    against the (id, v, norm) projection; norms are computed once per
-    VECTOR rather than once per pair (same expression, so the float
-    result is bit-identical). Cosine math is unchanged."""
+    Plan (r6): with T tables a colliding pair used to ride the bucket
+    self-join up to T times at ~1 KB a row (two ``dim``-float payloads)
+    and the per-pair cosine was an interpreted HOF fold (no codegen) —
+    a multi-GB exchange plus minutes of fold time at the bench scale for
+    a surviving set that fits in MBs. Now every vector ships ONCE per
+    bucket into an ``applyInPandas`` group and the bucket's pairs verify
+    as a numpy block product with the exact op sequence of the old fold
+    (float32 products — Spark's Multiply over FloatType — widened
+    exactly and accumulated in float64 in ascending dim order; norms are
+    the same JVM expression computed once per vector). The cosine and
+    the threshold comparison are therefore bit-identical to the old
+    plan's, so verifying per bucket and deduplicating (id_l, id_r)
+    AFTER the exact filter returns the exact same pair set — and the
+    only corpus-scale exchange left is the (bucket, vector) groupBy."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
     udf = make_lsh_bucket_udf(dim, n_tables, bits_per_table)
-    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    banded = vecs.select(
-        "id", F.explode(udf(F.col("v"))).alias("bucket"),
-    ).localCheckpoint(eager=False)
-    l = banded.select("bucket", F.col("id").alias("id_l"))
-    r = banded.select("bucket", F.col("id").alias("id_r"))
-    cand = (
-        l.join(r, on="bucket")
-        .filter(F.col("id_l") < F.col("id_r"))
-        .dropDuplicates(["id_l", "id_r"])
-    )
     norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))  # noqa: E731
-    sides = vecs.select("id", "v", norm(F.col("v")).alias("n")) \
-        .localCheckpoint(eager=False)
-    dot = F.aggregate(
-        F.zip_with("v_l", "v_r", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-    )
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                     norm(F.col(vec_col)).alias("n"))
+    banded = vecs.select(
+        "id", "v", "n", F.explode(udf(F.col("v"))).alias("bucket"))
+    idt = banded.schema["id"].dataType
+    out_schema = StructType([
+        StructField("id_l", idt), StructField("id_r", idt),
+        StructField("cosine", DoubleType()),
+    ])
+    thr = float(cosine_threshold)
+
+    def bucket_pairs(pdf):
+        import pandas as pd
+
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in out_schema})
+        x = np.stack(pdf["v"].to_numpy()).astype(np.float32, copy=False)
+        ids = pdf["id"].to_numpy()
+        ns = pdf["n"].to_numpy(dtype=np.float64)
+        chunks = []
+        step = max(1, 4_000_000 // m)
+        for s in range(0, m, step):
+            e = min(s + step, m)
+            acc = np.zeros((e - s, m), dtype=np.float64)
+            for j in range(x.shape[1]):
+                acc += (x[s:e, j, None] * x[None, :, j]).astype(np.float64)
+            cos = acc / (ns[s:e, None] * ns[None, :])
+            keep = (ids[s:e, None] < ids[None, :]) & (cos >= thr)
+            li, rj = np.nonzero(keep)
+            if len(li):
+                chunks.append(pd.DataFrame({
+                    "id_l": ids[s + li], "id_r": ids[rj],
+                    "cosine": cos[li, rj],
+                }))
+        if not chunks:
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in out_schema})
+        return pd.concat(chunks, ignore_index=True)
+
     return (
-        cand.join(sides.select(F.col("id").alias("id_l"),
-                               F.col("v").alias("v_l"),
-                               F.col("n").alias("n_l")), "id_l")
-        .join(sides.select(F.col("id").alias("id_r"),
-                           F.col("v").alias("v_r"),
-                           F.col("n").alias("n_r")), "id_r")
-        .withColumn("cosine", dot / (F.col("n_l") * F.col("n_r")))
-        .filter(F.col("cosine") >= cosine_threshold)
-        .select("id_l", "id_r", "cosine")
+        banded.groupBy("bucket").applyInPandas(bucket_pairs, out_schema)
+        .dropDuplicates(["id_l", "id_r"])
     )
 
 
@@ -691,51 +716,98 @@ def semantic_dedup(
         scored = scored.withColumn(
             "__csim", F.round(dot / (F.col("__n") * cn), 6))
 
-    left = scored.select(
-        F.col("__cl").alias("cl"), F.col("__id").alias("id_l"),
-        F.col("__v").alias("v_l"), F.col("__n").alias("n_l"),
-        F.col("__csim").alias("cs_l"))
-    right = scored.select(
-        F.col("__cl").alias("cl"), F.col("__id").alias("id_r"),
-        F.col("__v").alias("v_r"), F.col("__n").alias("n_r"),
-        F.col("__csim").alias("cs_r"))
-    dot = F.aggregate(
-        F.zip_with("v_l", "v_r", lambda x, y: x * y),
-        F.lit(0.0), lambda a, x: a + x)
     # i drops when SOME tau-neighbor j ranks better as the kept outlier:
     # lower centroid_sim, id tie-break (Abbas et al. keep-low-sim rule).
     # The rule is decidable per UNORDERED pair — exactly one member of a
     # tau-pair is the worse one (higher centroid_sim; equal sims break on
-    # the higher id) — so the self-join keeps id_l < id_r and evaluates
-    # each pair's cosine fold ONCE, not once per direction: the 64-dim
-    # zip_with/aggregate per pair is the whole cost of this operator, and
-    # this halves it at every scale. Output-identical to the both-
-    # directions form (the dropped set is the union of per-pair losers
-    # either way).
-    join_keys = ["cl"]
-    if int(pair_blocks) > 1:
-        B = int(pair_blocks)
-        left = left.withColumn(
+    # the higher id) — so pairs form with id_l < id_r and each pair's
+    # cosine is evaluated ONCE, not once per direction.
+    #
+    # r6 pair stage: the cluster self-join + per-pair interpreted HOF dot
+    # (O(Σ cluster² ) pairs, each dragging two dim-float payloads through
+    # the plan — measured 25M pairs / 13 GB at the bench scale, with the
+    # fold itself getting no codegen) is replaced by the paper's own
+    # per-cluster matrix form: ONE applyInPandas over (cluster, block)
+    # groups, each vector shipped once per group, the pair dots computed
+    # as numpy float32-product / float64-ascending-dim accumulation —
+    # the exact op sequence of the old JVM fold, so the dot is
+    # bit-identical. Python applies only a CONSERVATIVE prefilter
+    # (raw cosine >= tau − 2e-6, provably no false negatives for the
+    # rounded test); the authoritative round(…, 6) >= tau comparison and
+    # the loser election stay in JVM expressions, unchanged. pair_blocks
+    # keeps its contract: the right side hashes into B blocks, the left
+    # side replicates over all B, so every unordered pair meets exactly
+    # once and a hot cluster's pair work spreads over B tasks.
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    B = max(1, int(pair_blocks))
+    idt = scored.schema["__id"].dataType
+    out_schema = StructType([
+        StructField("id_l", idt), StructField("id_r", idt),
+        StructField("dot", DoubleType()), StructField("n_l", DoubleType()),
+        StructField("n_r", DoubleType()), StructField("cs_l", DoubleType()),
+        StructField("cs_r", DoubleType()),
+    ])
+    lo = float(tau) - 2e-6
+
+    def pair_dots(pdf):
+        import pandas as pd
+
+        lm = pdf["__role"].to_numpy() == "l"
+        lpdf, rpdf = pdf[lm], pdf[~lm]
+        if not len(lpdf) or not len(rpdf):
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in out_schema})
+        xl = np.stack(lpdf["__v"].to_numpy()).astype(np.float32, copy=False)
+        xr = np.stack(rpdf["__v"].to_numpy()).astype(np.float32, copy=False)
+        il = lpdf["__id"].to_numpy()
+        ir = rpdf["__id"].to_numpy()
+        nl = lpdf["__n"].to_numpy(dtype=np.float64)
+        nr = rpdf["__n"].to_numpy(dtype=np.float64)
+        csl = lpdf["__csim"].to_numpy(dtype=np.float64)
+        csr = rpdf["__csim"].to_numpy(dtype=np.float64)
+        chunks = []
+        step = max(1, 4_000_000 // max(1, len(rpdf)))
+        for s in range(0, len(lpdf), step):
+            e = min(s + step, len(lpdf))
+            acc = np.zeros((e - s, len(rpdf)), dtype=np.float64)
+            for j in range(xl.shape[1]):
+                # float32 product (Spark Multiply over FloatType), exact
+                # widen, float64 add — per-dim ascending, the fold's order
+                acc += (xl[s:e, j, None] * xr[None, :, j]).astype(np.float64)
+            cos_raw = acc / (nl[s:e, None] * nr[None, :])
+            keep = (il[s:e, None] < ir[None, :]) & (cos_raw >= lo)
+            li, rj = np.nonzero(keep)
+            if len(li):
+                chunks.append(pd.DataFrame({
+                    "id_l": il[s + li], "id_r": ir[rj],
+                    "dot": acc[li, rj], "n_l": nl[s + li], "n_r": nr[rj],
+                    "cs_l": csl[s + li], "cs_r": csr[rj],
+                }))
+        if not chunks:
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in out_schema})
+        return pd.concat(chunks, ignore_index=True)
+
+    inp = scored.withColumn(
+        "__rpb",
+        F.pmod(F.xxhash64(F.col("__id").cast("string")), F.lit(B))
+        .cast("int") if B > 1 else F.lit(0),
+    )
+    both = (
+        inp.withColumn(
             "__pb", F.explode(F.array(*[F.lit(b) for b in range(B)])))
-        right = right.withColumn(
-            "__pb",
-            F.pmod(F.xxhash64(F.col("id_r").cast("string")), F.lit(B))
-            .cast("int"))
-        join_keys = ["cl", "__pb"]
-        # When AQE turns the cluster join into a BROADCAST join (small
-        # corpus / hot-cluster regime — precisely when pair_blocks is
-        # asked for), probe-side parallelism is the left side's partition
-        # count, not the join-key count; a one-file scan would evaluate
-        # every pair fold in ONE task. Round-robin the replicated left
-        # side across the cores first — a row-count-sized exchange that
-        # buys pair-count-sized parallelism.
-        left = left.repartition(
-            df.sparkSession.sparkContext.defaultParallelism)
+        .withColumn("__role", F.lit("l"))
+        .unionByName(
+            inp.withColumn("__pb", F.col("__rpb"))
+            .withColumn("__role", F.lit("r")))
+        .drop("__rpb")
+    )
+    cand = both.groupBy("__cl", "__pb").applyInPandas(pair_dots, out_schema)
     dropped = (
-        left.join(right, join_keys)
-        .filter(F.col("id_l") < F.col("id_r"))
-        .withColumn("__cos", F.round(
-            dot / (F.col("n_l") * F.col("n_r")), 6))
+        cand.withColumn("__cos", F.round(
+            F.col("dot") / (F.col("n_l") * F.col("n_r")), 6))
         .filter(F.col("__cos") >= F.lit(float(tau)))
         .select(
             F.when(
