@@ -43,6 +43,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Toy-scale scan-parallelism shim (r6): the bench tables are ONE
+    parquet file with ONE row group — unsplittable, so the scan stage is
+    a single task and any per-row-heavy projection (tokenizer HOFs,
+    pandas UDFs, regex chains) in it runs SERIAL. The round-robin
+    repartition spreads the rows across the cores for the price of a
+    row-count-sized exchange. Same note as q_ngram_lm/q_gopher_repetition
+    since r4: a 100 TB corpus arrives in thousands of splits and never
+    needs this; results are partitioning-independent (oracle-pinned)."""
+    return _t(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism)
+
+
 def _wet_plan_oracle_sql() -> str:
     """DuckDB SQL for wet_export_plan: replay the WET conversion-record
     byte layout arithmetically. The fixed overhead constant comes from the
@@ -696,14 +709,14 @@ def q_exact_dedup(spark, sf_dir):
     """Exact content dedup: keep min doc_id per normalized text."""
     from context_crawler_spark.operators.text_dedup import exact_dedup
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     return exact_dedup(d).select("doc_id")
 
 
 def q_exact_dup_groups(spark, sf_dir):
     """Duplicate-group detection on an 80-char normalized prefix (the corpus
     has no full-text dups; prefix groups exercise the group/keeper shape)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     norm = F.substring(
         F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), 1, 80
     )
@@ -735,7 +748,7 @@ def q_connected_components(spark, sf_dir):
 
 def q_text_stats(spark, sf_dir):
     """Cheap quality features as pure built-ins (C4/Gopher-style gates)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.size(F.split(F.trim("text"), r"\s+")).alias("n_words"),
@@ -750,7 +763,7 @@ def q_gopher_quality(spark, sf_dir):
     cross-multiplied so the flags hash identically across engines."""
     from context_crawler_spark.operators.quality_filter import gopher_filter
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     out = gopher_filter(d.select("doc_id", "text"), keep_flags=True)
     return out.select(
         "doc_id", "n_words", "symbols", "alpha_words", "stop_hits",
@@ -854,7 +867,7 @@ def q_knn_join(spark, sf_dir):
 def q_llms_txt(spark, sf_dir):
     """llms.txt emission (reference src/llm-service.ts:114-123): ordered
     block concat per group, pure built-ins."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d = _tp(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     block = F.format_string(
         "---\nTitle: Doc %s\nURL: https://%s.test/%s\n---\n%s",
         F.col("doc_id").cast("string"), F.col("source"),
@@ -876,12 +889,12 @@ def q_llms_txt(spark, sf_dir):
 
 
 def q_quality_scores(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     return d.select("doc_id", F.round(quality_score_udf("text"), 6).alias("quality"))
 
 
 def q_langid(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     return d.select(
         "doc_id", detect_language_udf("text").alias("pred")
     ).select("doc_id", F.col("pred.lang").alias("lang_pred"),
@@ -901,17 +914,17 @@ def q_token_counts_bpe(spark, sf_dir):
     a closed form over (preceding-spaces, word) pairs that DuckDB's
     regexp_extract_all replays exactly (validated piece-for-piece against
     the Python tokenizer on all three SFs; see oracle comment)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     return d.select("doc_id", count_tokens_udf("text").alias("n_tokens"))
 
 
 def q_fingerprint(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     return d.select("doc_id", rolling_fingerprint_udf("text").alias("fingerprint"))
 
 
 def q_simhash(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     return d.select("doc_id", simhash_udf("text").alias("simhash"))
 
 
@@ -959,7 +972,7 @@ def q_simhash_dedup(spark, sf_dir):
 def q_embedding_near_dup(spark, sf_dir):
     from context_crawler_spark.operators.text_dedup import embedding_near_dup_pairs
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _tp(spark, sf_dir, "embeddings")
     # testdata vectors are near-orthogonal (max pairwise cosine ≈ 0.47);
     # 0.35 with 8-bit tables yields a non-trivial candidate/verified set
     pairs = embedding_near_dup_pairs(
@@ -978,7 +991,7 @@ def q_semantic_dedup(spark, sf_dir):
     alone would cap the pair join at 8 tasks."""
     from context_crawler_spark.operators.text_dedup import semantic_dedup
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _tp(spark, sf_dir, "embeddings")
     cents = [list(r["embedding"]) for r in
              e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()]
     return semantic_dedup(e, cents, tau=0.38, pair_blocks=8)
@@ -1059,7 +1072,7 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 def q_chunk_documents(spark, sf_dir):
     """Recursive character chunking (reference src/llm-service.ts:129-145)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     chunks = chunk_text_udf(
         F.concat(F.lit("Doc "), F.col("doc_id").cast("string")),
         F.concat(F.lit("https://"), "source", F.lit(".test/"),
@@ -1089,7 +1102,7 @@ def q_chunk_split_plan(spark, sf_dir):
     from context_crawler_spark.functions.udfs import make_split_text_udf
 
     split_udf = make_split_text_udf(chunk_size=120, chunk_overlap=20)
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     ch = split_udf("text")
     return d.select(
         "doc_id",
@@ -1142,7 +1155,7 @@ def q_bm25_search(spark, sf_dir):
     shuffle (operators/ranking.py)."""
     from context_crawler_spark.operators.ranking import bm25_topk
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     return bm25_topk(d, "spark hash join customer", k=10).select(
         "doc_id", F.round("score", 6).alias("score")
     )
@@ -1156,8 +1169,8 @@ def q_hybrid_search(spark, sf_dir):
     across engines. Leg ranks are self-join counts, not global windows."""
     from context_crawler_spark.operators.ranking import hybrid_search
 
-    d = _t(spark, sf_dir, "documents")
-    e = _t(spark, sf_dir, "embeddings")
+    d = _tp(spark, sf_dir, "documents")
+    e = _tp(spark, sf_dir, "embeddings")
     qvec = list(e.filter(F.col("vec_id") == 1).select("embedding").head()[0])
     return hybrid_search(d, e, "spark hash join customer", qvec, k=10, k_leg=20)
 
@@ -1171,7 +1184,7 @@ def q_bm25_indexed(spark, sf_dir):
         bm25_topk_indexed, build_postings_index,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     postings, stats = build_postings_index(d)
     return bm25_topk_indexed(
         postings, stats, "spark hash join customer", k=10
@@ -1382,7 +1395,7 @@ def q_host_graph(spark, sf_dir):
     with the identical last-2/last-3 label rule."""
     from context_crawler_spark.operators.ranking import host_graph
 
-    e = _t(spark, sf_dir, "events")
+    e = _tp(spark, sf_dir, "events")
     subs_src = F.array(F.lit("www"), F.lit("docs"), F.lit("blog"))
     subs_dst = F.array(F.lit("cdn"), F.lit("img"), F.lit("api"))
     sufs = F.array(F.lit("com"), F.lit("org"), F.lit("co.uk"),
@@ -1444,7 +1457,7 @@ def q_unigram_quality(spark, sf_dir):
     operators/quality_filter.unigram_logprob)."""
     from context_crawler_spark.operators.quality_filter import unigram_logprob
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     return unigram_logprob(d)
 
 
@@ -1455,7 +1468,7 @@ def q_unigram_entropy(spark, sf_dir):
     contract) so the value is order-independent and SQL-replayable."""
     from context_crawler_spark.operators.quality_filter import unigram_entropy
 
-    return unigram_entropy(_t(spark, sf_dir, "documents"))
+    return unigram_entropy(_tp(spark, sf_dir, "documents"))
 
 
 def q_domain_cap(spark, sf_dir):
@@ -1465,7 +1478,7 @@ def q_domain_cap(spark, sf_dir):
     naive one-window form the oracle runs."""
     from context_crawler_spark.operators.curation import domain_cap
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     return domain_cap(d, cap=30, host_col="source").select(
         "doc_id", "source", "n_chars", "domain_rank")
 
@@ -1495,7 +1508,7 @@ def q_repeated_spans(spark, sf_dir):
     so the oracle joins on the raw gram strings."""
     from context_crawler_spark.operators.text_dedup import repeated_ngram_spans
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     return repeated_ngram_spans(d, n=8)
 
 
@@ -1506,7 +1519,7 @@ def q_decontaminate(spark, sf_dir):
     shuffled — only the (rare) matched rows exchange on doc_id."""
     from context_crawler_spark.operators.curation import ngram_decontaminate
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     train = d.filter(F.col("doc_id") % 20 != 0)
     eval_df = d.filter(F.col("doc_id") % 20 == 0)
     return ngram_decontaminate(train, eval_df, n=5)
@@ -1520,7 +1533,7 @@ def q_pii_redact(spark, sf_dir):
     negatives; both engines build the identical input."""
     from context_crawler_spark.operators.curation import redact_pii
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     synth = d.withColumn(
         "text",
         F.when(
@@ -1548,7 +1561,7 @@ def q_paragraph_dedup(spark, sf_dir):
     block strings."""
     from context_crawler_spark.operators.curation import paragraph_dedup
 
-    return paragraph_dedup(_t(spark, sf_dir, "documents"), block_words=25)
+    return paragraph_dedup(_tp(spark, sf_dir, "documents"), block_words=25)
 
 
 def q_stratified_sample(spark, sf_dir):
@@ -1589,7 +1602,7 @@ def q_pack_sequences(spark, sf_dir):
     single-partition window), owning seq_id, boundary-crossing flag."""
     from context_crawler_spark.operators.curation import pack_sequences
 
-    return pack_sequences(_t(spark, sf_dir, "documents"), window_tokens=128)
+    return pack_sequences(_tp(spark, sf_dir, "documents"), window_tokens=128)
 
 
 def q_cdx_index(spark, sf_dir):
@@ -1600,7 +1613,7 @@ def q_cdx_index(spark, sf_dir):
     write_cdx_shards sink (one range exchange, cluster.idx boundaries)."""
     from context_crawler_spark.sources.cdx import cdx_index
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    d = _tp(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     url = F.concat(
         F.lit("HTTPS://WWW."), "source", F.lit(".Test"),
         F.when(F.col("doc_id") % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
@@ -1974,7 +1987,7 @@ def q_wet_export_plan(spark, sf_dir):
         serialize_conversion_record,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     pages = d.select(
         F.concat(F.lit("https://"), "source", F.lit(".test/docs/p"),
                  F.col("doc_id").cast("string")).alias("url"),
@@ -2005,7 +2018,7 @@ def q_wet_export_plan(spark, sf_dir):
 def q_embed_documents(spark, sf_dir):
     """Deterministic embedding UDF (MiniLM stand-in contract): returns the
     vector's first component + norm as scalars."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = _tp(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     v = embed_udf("text")
     return d.select(
         "doc_id",
@@ -2126,7 +2139,7 @@ def _c4_decorated(spark, sf_dir) -> DataFrame:
     leading "javascript" marker, or none) is drawn from md5(line), and
     ~1/16 docs gain a trailing " {". Pure md5/slice/array expressions,
     replayed verbatim by the ``_C4_DEC`` SQL CTE."""
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     d2 = d.select(
         "doc_id", "text", F.split(F.trim("text"), r"\s+").alias("__w")
     )
@@ -2292,7 +2305,7 @@ def q_classifier_filter(spark, sf_dir):
     with list_transform/list_sum."""
     from context_crawler_spark.operators.curation import classifier_score
 
-    return classifier_score(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return classifier_score(_tp(spark, sf_dir, "documents"), threshold=0.5)
 
 
 def q_normalize_text(spark, sf_dir):
@@ -2303,7 +2316,7 @@ def q_normalize_text(spark, sf_dir):
     DuckDB's nfc_normalize + the identical RE2-subset patterns."""
     from context_crawler_spark.operators.curation import normalize_text
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     suffix = "  x\te\u0301\x07  "  # tab, combining acute, BEL, space runs
     mutated = d.select(
         "doc_id", F.concat(F.col("text"), F.lit(suffix)).alias("text")
@@ -2366,7 +2379,7 @@ def q_justext(spark, sf_dir):
     windows."""
     from context_crawler_spark.operators.boilerplate import justext_classify
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     # words materialized as a COLUMN first (CollapseProject rule a,
     # quality_filter.py gopher_repetition docstring): the raw split()
     # inside the slice lambda would re-split per block index
@@ -2418,7 +2431,7 @@ def q_dust_rules(spark, sf_dir):
     distinct-group support."""
     from context_crawler_spark.operators.dust import dust_rules
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     gid = F.floor(F.col("doc_id") / 3)
     r = F.col("doc_id") % 3
     sess = F.when(gid % 4 == 0, F.lit("ref")).otherwise(F.lit("sid"))
@@ -2450,7 +2463,7 @@ def q_soft404(spark, sf_dir):
     empty, exercising every flag combination."""
     from context_crawler_spark.operators.traps import soft_404_signals
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     pages = d.select(
         F.concat(F.lit("https://"), "source", F.lit(".test/p"),
                  F.col("doc_id").cast("string")).alias("url"),
@@ -2537,7 +2550,7 @@ def q_quantile_gate(spark, sf_dir):
     The oracle is the naive one-window rank the plan provably equals."""
     from context_crawler_spark.operators.curation import quantile_gate
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     scored = d.select(
         "doc_id", F.col("n_chars").cast("double").alias("score"))
     return quantile_gate(scored, 0.3, score_col="score")
@@ -2552,7 +2565,7 @@ def q_stratified_quantile_gate(spark, sf_dir):
     from context_crawler_spark.operators.curation import (
         stratified_quantile_gate)
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     scored = d.select(
         "doc_id", "lang", F.col("n_chars").cast("double").alias("score"))
     return stratified_quantile_gate(
@@ -2600,7 +2613,7 @@ def q_exact_sample(spark, sf_dir):
     replays the identical total order."""
     from context_crawler_spark.operators.curation import exact_sample
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d = _tp(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     score = -F.conv(
         F.substring(
             F.md5(F.concat_ws(":", F.col("doc_id"), F.lit("0"))), 1, 13),
@@ -2616,7 +2629,7 @@ def q_host_template(spark, sf_dir):
     hash_blocks=False so the oracle replays string block keys."""
     from context_crawler_spark.operators.curation import host_template_removal
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     return host_template_removal(
         d, block_words=10, min_pages=2, ratio=0.05, hash_blocks=False)
 
@@ -2677,7 +2690,7 @@ def q_phrase_search(spark, sf_dir):
     from context_crawler_spark.operators.ranking import phrase_search
 
     return phrase_search(
-        _t(spark, sf_dir, "documents"), "table table", k=50)
+        _tp(spark, sf_dir, "documents"), "table table", k=50)
 
 
 def q_phrase_search_indexed(spark, sf_dir):
@@ -2777,7 +2790,7 @@ def q_tfidf_keywords(spark, sf_dir):
     sides round the score to 6dp."""
     from context_crawler_spark.operators.ranking import tfidf_keywords
 
-    return tfidf_keywords(_t(spark, sf_dir, "documents"), k=5).select(
+    return tfidf_keywords(_tp(spark, sf_dir, "documents"), k=5).select(
         "doc_id", "term", "tf", F.round("score", 6).alias("score")
     )
 

@@ -392,32 +392,43 @@ def ngram_lm_score(
     a = float(alpha)
 
     # -- 1. count table: all orders, one shuffle ------------------------
-    tw = train.select(alnum_words(text_col).alias("ws"))
+    # r6: gram keys are order-TAGGED xxhash64 tuples (xxhash64(order, w…))
+    # instead of "3|a b w" strings — no per-gram string allocation on
+    # either side, and the count exchange plus the 5-roles-per-token
+    # melted join below carry 8-byte longs instead of ~20-byte strings.
+    # Tokens are alnum (no spaces), so tuple identity ≡ the old joined-
+    # string identity and every count is unchanged (64-bit collision
+    # caveat as everywhere else hash keys ride the wire).
+    # tokenize each corpus ONCE: the count build, the n_total sum and the
+    # scoring branch all hang off the same materialized (id, ws) table
+    # (r6 — they used to re-run the tokenizer regex per branch)
+    toks_df = df.select(F.col(id_col).alias("id"),
+                        alnum_words(text_col).alias("ws")) \
+        .localCheckpoint(eager=False)
+    tw = toks_df.select("ws") if train is df \
+        else train.select(alnum_words(text_col).alias("ws")) \
+        .localCheckpoint(eager=False)
     n = F.col("ws")
 
-    def gram(size: int) -> Column:
-        # order-prefixed gram strings built within-row
+    def gram_keys(size: int) -> Column:
         return F.transform(
             F.slice(n, 1, F.greatest(F.size(n) - size + 1, F.lit(0))),
-            lambda _, i: F.concat_ws(
-                " ", *[F.element_at(n, i + j + 1) for j in range(size)]),
+            lambda _, i: F.xxhash64(
+                F.lit(size), *[F.element_at(n, i + j + 1) for j in range(size)]),
         )
 
     grams = tw.select(F.explode(F.concat(
-        F.transform(gram(1), lambda g: F.concat(F.lit("1|"), g)),
-        F.transform(gram(2), lambda g: F.concat(F.lit("2|"), g)),
-        F.transform(gram(3), lambda g: F.concat(F.lit("3|"), g)),
+        gram_keys(1), gram_keys(2), gram_keys(3),
     )).alias("key"))
     counts = grams.groupBy("key").agg(F.count(F.lit(1)).alias("cnt"))
-    total = (
-        counts.filter(F.col("key").startswith("1|"))
-        .agg(F.sum("cnt").alias("n_total"))
-    )
+    # n_total = Σ unigram counts = total token count — computable without
+    # the (now unhashable) "1|" key-prefix filter, same value
+    total = tw.agg(
+        F.coalesce(F.sum(F.size("ws")), F.lit(0)).cast("bigint")
+        .alias("n_total"))
 
-    # -- 2. per-position backoff keys, melted, one count join ----------
-    did = F.col(id_col)
-    docs = df.select(did.alias("id"), alnum_words(text_col).alias("ws")) \
-        .filter(F.size("ws") >= 1)
+    # -- 2. per-position backoff keys, resolved by role lookups ---------
+    docs = toks_df.filter(F.size("ws") >= 1)
     w = F.col("ws")
 
     def at(i_off):  # element i+1-off (1-based element_at), None-safe
@@ -426,35 +437,35 @@ def ngram_lm_score(
     keyed = docs.select(
         "id",
         F.posexplode(F.transform(w, lambda _, i: F.struct(
-            F.concat(F.lit("1|"), at(0)(i)).alias("uni"),
-            F.when(i >= 1, F.concat(
-                F.lit("1|"), at(1)(i))).alias("uni_ctx"),
-            F.when(i >= 1, F.concat(
-                F.lit("2|"), at(1)(i), F.lit(" "), at(0)(i))).alias("bi"),
-            F.when(i >= 2, F.concat(
-                F.lit("2|"), at(2)(i), F.lit(" "), at(1)(i))).alias("bi_ctx"),
-            F.when(i >= 2, F.concat(
-                F.lit("3|"), at(2)(i), F.lit(" "), at(1)(i), F.lit(" "),
-                at(0)(i))).alias("tri"),
+            F.xxhash64(F.lit(1), at(0)(i)).alias("uni"),
+            F.when(i >= 1, F.xxhash64(
+                F.lit(1), at(1)(i))).alias("uni_ctx"),
+            F.when(i >= 1, F.xxhash64(
+                F.lit(2), at(1)(i), at(0)(i))).alias("bi"),
+            F.when(i >= 2, F.xxhash64(
+                F.lit(2), at(2)(i), at(1)(i))).alias("bi_ctx"),
+            F.when(i >= 2, F.xxhash64(
+                F.lit(3), at(2)(i), at(1)(i), at(0)(i))).alias("tri"),
         ))).alias("pos", "k"),
     )
+    # r6: the old melt (5 (role, key) rows per position) + count join +
+    # groupBy(id, pos) re-pivot pushed ~5 rows per token through an
+    # exchange twice. The LM count table is vocabulary-sized — tiny next
+    # to the corpus — so resolve each role with its own lookup join
+    # against the SAME counts relation instead (AQE broadcasts it when it
+    # fits → zero exchange on the token stream and no pivot at all; when
+    # it doesn't, the 5 shuffle joins cost what the melt did). NULL role
+    # keys (positions without that context) simply miss the left join,
+    # exactly the rows the melt used to drop.
     roles = ["uni", "uni_ctx", "bi", "bi_ctx", "tri"]
-    melted = keyed.select(
-        "id", "pos",
-        F.explode(F.filter(
-            F.array(*[
-                F.struct(F.lit(r).alias("role"), F.col(f"k.{r}").alias("key"))
-                for r in roles]),
-            lambda s: s["key"].isNotNull(),
-        )).alias("rk"),
-    ).select("id", "pos", "rk.role", "rk.key")
-    resolved = (
-        melted.join(counts, "key", "left")
-        .groupBy("id", "pos")
-        .agg(*[F.max(F.when(F.col("role") == r, F.col("cnt")))
-               .alias(f"c_{r}") for r in roles])
-        .join(F.broadcast(total))
-    )
+    resolved = keyed
+    for r in roles:
+        cr = counts.select(F.col("key").alias(f"__k_{r}"),
+                           F.col("cnt").alias(f"c_{r}"))
+        resolved = resolved.join(
+            cr, F.col(f"k.{r}") == F.col(f"__k_{r}"), "left"
+        ).drop(f"__k_{r}")
+    resolved = resolved.join(F.broadcast(total))
 
     # -- 3. backoff CASE + quantized per-doc fold -----------------------
     c = {r: F.col(f"c_{r}") for r in roles}

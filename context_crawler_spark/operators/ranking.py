@@ -584,9 +584,16 @@ def host_graph(
     """
     from ..functions.udfs import registered_domain_udf
 
+    # guide §4.4 (r6): the NULL-host filter below references these UDF
+    # columns, and the optimizer pushes it (UDF eval in tow) below any
+    # upstream exchange — on a one-split scan that serializes the whole
+    # host election into a single task. The UDF is pure; the
+    # nondeterministic marking only pins its evaluation where it is
+    # written (after the caller's repartition), results unchanged.
+    rd = registered_domain_udf.asNondeterministic()
     doms = edges.select(
-        registered_domain_udf(F.col(src_col)).alias("src_dom"),
-        registered_domain_udf(F.col(dst_col)).alias("dst_dom"),
+        rd(F.col(src_col)).alias("src_dom"),
+        rd(F.col(dst_col)).alias("dst_dom"),
         F.col(src_col).alias("__src_url"),
     )
     return (

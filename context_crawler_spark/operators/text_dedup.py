@@ -962,24 +962,45 @@ def _containment_pairs_from_sets(sets: DataFrame, theta: float) -> DataFrame:
     sets = sets.localCheckpoint(eager=False)
     exploded = sets.select("id", "m", F.explode("gs").alias("gram"))
     gfreq = exploded.groupBy("gram").agg(F.count(F.lit(1)).alias("gdf"))
-    # prefix length: per-doc window, group size bounded by doc gram count
+    # every gram ranked within its doc by the GLOBAL (gdf asc, gram asc)
+    # total order — the prefix comes from rank <= m - ceil(theta·m) + 1,
+    # and keeping the rank on BOTH join sides enables the positional
+    # filter below; materialized once, read by both sides (r6)
     w = Window.partitionBy("id").orderBy(F.col("gdf").asc(), F.col("gram").asc())
-    prefix = (
+    ranked = (
         exploded.join(gfreq, "gram")
         .withColumn("__r", F.row_number().over(w))
+        .localCheckpoint(eager=False)
+    )
+    prefix = (
+        ranked
         .filter(F.col("__r") <= F.col("m") - F.ceil(F.lit(theta) * F.col("m")) + 1)
         .select(F.col("gram"), F.col("id").alias("src_id"),
-                F.col("m").alias("__msrc"))
+                F.col("m").alias("__msrc"), F.col("__r").alias("__ps"))
     )
+    t_req = F.ceil(F.lit(theta) * F.col("__msrc"))
     cand = (
         prefix.join(
-            exploded.select(F.col("gram"), F.col("id").alias("dst_id"),
-                            F.col("m").alias("__mdst")),
+            ranked.select(F.col("gram"), F.col("id").alias("dst_id"),
+                          F.col("m").alias("__mdst"),
+                          F.col("__r").alias("__pd")),
             "gram",
         )
         .filter(
             (F.col("src_id") != F.col("dst_id"))
-            & (F.col("__mdst") >= F.ceil(F.lit(theta) * F.col("__msrc")))
+            & (F.col("__mdst") >= t_req)
+            # PPJoin-style positional filter (Xiao et al., WWW 2008),
+            # lossless: both docs rank their grams by the same global
+            # order, so for the globally-SMALLEST shared gram of a true
+            # pair every shared gram sits at rank >= p in both docs —
+            # overlap <= min(m_src - p_s, m_dst - p_d) + 1. If a pair can
+            # reach overlap t = ceil(theta·m_src), its smallest shared
+            # gram (which is in src's prefix by the pigeonhole bound)
+            # passes this test, so filtering per MATCH keeps every true
+            # pair while cutting the common-template matches whose
+            # remaining suffixes are provably too short.
+            & (F.least(F.col("__msrc") - F.col("__ps"),
+                       F.col("__mdst") - F.col("__pd")) + 1 >= t_req)
         )
         .select("src_id", "dst_id")
     )
