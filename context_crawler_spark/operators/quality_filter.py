@@ -90,9 +90,12 @@ def gopher_flags(text_col: str = "text", words_col: str | None = None,
 
 
 def _hof_char_sum(col: Column) -> Column:
+    # single fused fold (r6): HOFs are interpreted per lambda call, so the
+    # old transform-then-aggregate pair paid two lambda invocations per
+    # element for one integer sum
     return F.aggregate(
-        F.transform(col, lambda x: F.length(x).cast("long")),
-        F.lit(0).cast("long"), lambda acc, x: acc + x,
+        col, F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x).cast("long"),
     )
 
 
@@ -133,11 +136,21 @@ def gopher_repetition(df: DataFrame, text_col: str = "text",
         "__paras_d": F.array_distinct("__paras"),
     })
 
+    # materialize the char sums first: {prefix}_chars and the subtraction
+    # in {prefix}_dup_chars both reference the fold, and lambda-bearing
+    # trees get no codegen CSE — inlined, each unit's fold ran twice (r6)
+    base = base.withColumns({
+        "__line_chars": _hof_char_sum(F.col("__lines")),
+        "__line_dchars": _hof_char_sum(F.col("__lines_d")),
+        "__para_chars": _hof_char_sum(F.col("__paras")),
+        "__para_dchars": _hof_char_sum(F.col("__paras_d")),
+    })
+
     def unit_stats(col: str, dcol: str, prefix: str) -> dict[str, Column]:
         n = F.size(col).cast("long")
         nd = F.size(dcol).cast("long")
-        chars = _hof_char_sum(F.col(col))
-        dchars = _hof_char_sum(F.col(dcol))
+        chars = F.col(f"__{prefix}_chars")
+        dchars = F.col(f"__{prefix}_dchars")
         return {
             f"{prefix}_n": n,
             f"{prefix}_dup": n - nd,
@@ -215,6 +228,7 @@ def gopher_repetition(df: DataFrame, text_col: str = "text",
         "word_chars": _hof_char_sum(words),
         **gram_cols,
     }).drop("__lines", "__paras", "__words", "__lines_d", "__paras_d",
+            "__line_chars", "__line_dchars", "__para_chars", "__para_dchars",
             *[f"__g{n}" for n in dup_ns])
     # full Rae et al. Table A1 thresholds, integer cross-multiplied:
     # top n-gram char fraction ≤ {2: 20%, 3: 18%, 4: 16%}; duplicate

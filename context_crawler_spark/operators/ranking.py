@@ -223,14 +223,18 @@ def build_postings_index(
     ``term_bucket``) owns whatever exchange the layout needs.
     """
     did = F.col(id_col)
+    # ONE tokenize + run-length pass, materialized narrow (id, dl,
+    # entries) — the stats aggregate and the postings explode both read
+    # it; un-checkpointed, each output re-ran the tokenizer (r6)
     toks = docs.select(
         did.alias("id"), alnum_words(text_col).alias("__w")
-    ).select("id", F.size("__w").alias("dl"), "__w")
+    ).select("id", F.size("__w").alias("dl"),
+             term_counts(F.col("__w")).alias("__e")) \
+        .localCheckpoint(eager=False)
     stats = toks.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
     postings = (
-        toks.select("id", "dl",
-                    F.explode(term_counts(F.col("__w"))).alias("__e"))
+        toks.select("id", "dl", F.explode("__e").alias("__e"))
         .select("id", "dl", F.col("__e.term").alias("term"),
                 F.col("__e.tf").alias("tf"))
         .withColumn(
@@ -1343,6 +1347,10 @@ def tfidf_keywords(
         toks.select("id", F.explode(term_counts(F.col("__w"))).alias("__e"))
         .select("id", F.col("__e.term").alias("term"),
                 F.col("__e.tf").alias("tf"))
+        # materialized once: both the df aggregate and the score join
+        # read tf; exchange reuse does not always dedupe the two
+        # subtrees, and re-running them means re-tokenizing the corpus
+        .localCheckpoint(eager=False)
     )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (

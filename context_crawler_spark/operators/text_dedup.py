@@ -1156,7 +1156,12 @@ def winnow_pairs(
     fingerprint's posting list only (never all-pairs); one (a, b) shuffle
     counts shared fps. Emits a < b once per pair.
     """
-    fps = winnow_fingerprints(df, k=k, w=w, id_col=id_col, text_col=text_col)
+    # materialize once (r6): the winnowing selection (an md5 per char
+    # k-gram) is the expensive half, and it feeds the df-cut AND both
+    # sides of the posting self-join — un-checkpointed, each reference
+    # re-ran the whole selection
+    fps = winnow_fingerprints(df, k=k, w=w, id_col=id_col, text_col=text_col) \
+        .localCheckpoint(eager=False)
     if max_df is not None:
         rare = (
             fps.groupBy("fp")
@@ -1216,6 +1221,9 @@ def mirror_hosts(
             keep_cols=[host_col])
         .select(F.col(host_col).alias("host"), "fp")
         .distinct()
+        # materialized once — feeds the df-cut, totals and both join
+        # sides (the winnow_pairs r6 note)
+        .localCheckpoint(eager=False)
     )
     rare = (
         hf.groupBy("fp")
