@@ -1457,7 +1457,7 @@ def q_unigram_quality(spark, sf_dir):
     operators/quality_filter.unigram_logprob)."""
     from context_crawler_spark.operators.quality_filter import unigram_logprob
 
-    d = _tp(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents")
     return unigram_logprob(d)
 
 
@@ -1478,7 +1478,7 @@ def q_domain_cap(spark, sf_dir):
     naive one-window form the oracle runs."""
     from context_crawler_spark.operators.curation import domain_cap
 
-    d = _tp(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents")
     return domain_cap(d, cap=30, host_col="source").select(
         "doc_id", "source", "n_chars", "domain_rank")
 
@@ -2550,7 +2550,7 @@ def q_quantile_gate(spark, sf_dir):
     The oracle is the naive one-window rank the plan provably equals."""
     from context_crawler_spark.operators.curation import quantile_gate
 
-    d = _tp(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents")
     scored = d.select(
         "doc_id", F.col("n_chars").cast("double").alias("score"))
     return quantile_gate(scored, 0.3, score_col="score")
@@ -2565,7 +2565,7 @@ def q_stratified_quantile_gate(spark, sf_dir):
     from context_crawler_spark.operators.curation import (
         stratified_quantile_gate)
 
-    d = _tp(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents")
     scored = d.select(
         "doc_id", "lang", F.col("n_chars").cast("double").alias("score"))
     return stratified_quantile_gate(
@@ -2613,7 +2613,7 @@ def q_exact_sample(spark, sf_dir):
     replays the identical total order."""
     from context_crawler_spark.operators.curation import exact_sample
 
-    d = _tp(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     score = -F.conv(
         F.substring(
             F.md5(F.concat_ws(":", F.col("doc_id"), F.lit("0"))), 1, 13),

@@ -1203,6 +1203,10 @@ def hits(
     )
     hubs = nodes.withColumn("h", F.lit(1.0))
 
+    if iters < 1:
+        # auth is only defined by the loop body; iters=0 used to surface
+        # as an AttributeError in _norm (ADVICE r5 #3)
+        raise ValueError("hits() needs iters >= 1")
     auth = None
     for i in range(iters):
         a_raw = (
@@ -1290,14 +1294,21 @@ def label_propagation(
             .groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
+        # most-frequent label, SMALLEST label on ties, as
+        # min(struct(-count, label)): negating the (always numeric) count
+        # instead of the label keeps the one-aggregation argmax while
+        # working for string node ids too — the old max(struct(c, -label))
+        # negated the label and threw CAST_INVALID_INPUT on the host-graph
+        # use case this operator advertises (ADVICE r5 #2; fixed r6,
+        # numeric-label results unchanged)
         labels = (
             cnt.groupBy("node")
             .agg(
-                F.max(
-                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("label"))
                 ).alias("__m")
             )
-            .select("node", (-F.col("__m.nl")).alias("label"))
+            .select("node", F.col("__m.label").alias("label"))
         )
         if (i + 1) % checkpoint_every == 0:
             labels = labels.localCheckpoint(eager=False)

@@ -1389,15 +1389,21 @@ def elect_representatives(
     mid, grp, sc = F.col(id_col), F.col(group_col), F.col(score_col)
     m = members.select(mid.alias("__id"), grp.alias("__g"))
     s = scores.select(mid.alias("__id"), sc.alias("__s"))
+    # argmax(score), ties to the SMALLEST id, as min(struct(-score, id)):
+    # negating the (numeric by contract) SCORE instead of the id keeps the
+    # single-aggregation shape while making the election generic over any
+    # orderable id type — the old max(struct(score, -id)) negated the id
+    # and threw CAST_INVALID_INPUT on string ids under ANSI Spark
+    # (ADVICE r5 #1; fixed r6, numeric-id results unchanged)
     winners = (
         m.join(s, "__id")
         .groupBy("__g")
         .agg(
-            F.max(
-                F.struct(F.col("__s").alias("s"), (-F.col("__id")).alias("ni"))
+            F.min(
+                F.struct((-F.col("__s")).alias("ns"), F.col("__id").alias("i"))
             ).alias("__m")
         )
-        .select("__g", (-F.col("__m.ni")).alias("__rep"))
+        .select("__g", F.col("__m.i").alias("__rep"))
     )
     return m.join(winners, "__g").select(
         F.col("__id").alias(id_col),

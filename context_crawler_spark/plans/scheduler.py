@@ -527,14 +527,23 @@ class CrawlScheduler:
         """All per-round visit-hook outputs (pushData analog)."""
         return self._read_rounds("hook_out_r")
 
-    def visit_order(self) -> list[str]:
+    def visit_order(self, max_rows: int = 1_000_000) -> list[str]:
+        """Every crawled URL in (round, fetch_order) order — a parity-test
+        helper that COLLECTS to the driver. Guarded (r6, VERDICT r5 #7):
+        on a big crawl this would be a driver-side copy of the page table;
+        raise instead of OOMing, and raise ``max_rows`` explicitly if a
+        large collect is really intended."""
         po = self.pages_out()
         if po is None:
             return []
-        return [
-            r["url"]
-            for r in po.orderBy("round", "fetch_order").select("url").collect()
-        ]
+        rows = po.orderBy("round", "fetch_order").select("url") \
+            .limit(max_rows + 1).collect()
+        if len(rows) > max_rows:
+            raise ValueError(
+                f"visit_order() would collect more than {max_rows} URLs to "
+                "the driver; this helper is for tests/small crawls — raise "
+                "max_rows explicitly if you really want the full list")
+        return [r["url"] for r in rows]
 
     # -- seeding (reference src/core.ts:265-352) -------------------------------
 

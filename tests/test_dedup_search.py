@@ -608,3 +608,27 @@ def test_elect_representatives_partitioning_invariant(spark):
         for r in elect_representatives(
             members.repartition(13), scores.repartition(3)).collect())
     assert base == shuf
+
+
+def test_elect_representatives_string_ids(spark):
+    """r6 (ADVICE r5 #1): the election is generic over the id type — the
+    negation-free argmax works for string doc ids (URLs/hosts), where the
+    old max(struct(score, -id)) threw CAST_INVALID_INPUT under ANSI."""
+    from context_crawler_spark.operators.text_dedup import (
+        elect_representatives,
+    )
+
+    members = spark.createDataFrame(
+        [("u/a", "g1"), ("u/b", "g1"), ("u/c", "g1"), ("u/z", "g2")],
+        "doc_id string, group_id string",
+    )
+    scores = spark.createDataFrame(
+        [("u/a", 5.0), ("u/b", 9.0), ("u/c", 9.0), ("u/z", 1.0)],
+        "doc_id string, score double",
+    )
+    out = {r["doc_id"]: r for r in
+           elect_representatives(members, scores).collect()}
+    # max score 9.0 tie between u/b and u/c -> smallest id u/b
+    assert out["u/a"]["rep_id"] == "u/b" and not out["u/a"]["is_rep"]
+    assert out["u/b"]["is_rep"] and out["u/c"]["rep_id"] == "u/b"
+    assert out["u/z"]["is_rep"]

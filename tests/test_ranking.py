@@ -843,3 +843,91 @@ def test_label_propagation_no_single_partition(spark):
         .executedPlan().toString()
     assert "SinglePartition" not in plan
     assert "Window" not in plan
+
+
+def test_label_propagation_string_nodes(spark):
+    """r6 (ADVICE r5 #2): host-community discovery runs on host STRINGS —
+    the negation-free argmax (min(struct(-count, label))) must flood
+    string labels; the old form negated the label and threw under ANSI."""
+    from context_crawler_spark.operators.ranking import label_propagation
+
+    e = spark.createDataFrame(
+        [("a.test", "b.test"), ("b.test", "c.test"), ("c.test", "a.test"),
+         ("x.test", "y.test"), ("y.test", "z.test"), ("z.test", "x.test")],
+        "src string, dst string",
+    )
+    out = {r["node"]: r["label"]
+           for r in label_propagation(e, iters=5).collect()}
+    assert out == {"a.test": "a.test", "b.test": "a.test",
+                   "c.test": "a.test", "x.test": "x.test",
+                   "y.test": "x.test", "z.test": "x.test"}
+
+
+def test_hits_zero_iters_raises(spark):
+    """r6 (ADVICE r5 #3): iters=0 is a loud ValueError, not an
+    AttributeError from the undefined auth vector."""
+    import pytest
+
+    from context_crawler_spark.operators.ranking import hits
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="iters"):
+        hits(e, iters=0)
+
+
+def test_let1_value_equals_unbound(spark):
+    """r6 (VERDICT r5 #6a): let1(e, fn) is value-identical to fn(e) for
+    randomized expressions — the binding changes evaluation count, never
+    the value."""
+    import random
+
+    from context_crawler_spark.operators.ranking import let1
+
+    rnd = random.Random(7)
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{rnd.randint(0, 9)}" for _ in range(rnd.randint(0, 12))))
+         for i in range(50)],
+        "id long, text string",
+    )
+    words = alnum_words("text")
+
+    def fn(w):
+        return F.concat_ws(
+            "|",
+            F.array_join(w, "-"),
+            F.size(w).cast("string"),
+            F.array_join(F.slice(w, 1, 3), "+"),
+        )
+
+    got = df.select("id", let1(words, fn).alias("v")).collect()
+    want = df.select("id", fn(words).alias("v")).collect()
+    assert sorted((r["id"], r["v"]) for r in got) == \
+        sorted((r["id"], r["v"]) for r in want)
+
+
+def test_let1_single_evaluation_in_plan(spark):
+    """r6 (VERDICT r5 #6b): under a filter pushed below the projection —
+    the phrase-search shape — the let1-bound tokenizer appears ONCE in
+    the optimized plan, while the unbound alias is inlined into every
+    element_at reference. A Spark upgrade that changes CollapseProject /
+    pushdown behavior fails this loudly."""
+    from context_crawler_spark.operators.ranking import let1
+
+    df = spark.createDataFrame([(1, "a b c")], "id long, text string")
+    words = alnum_words("text")
+
+    def tf_of(w):
+        return (F.element_at(w, 1) == F.lit("a")).cast("int") \
+            + (F.element_at(w, 2) == F.lit("b")).cast("int") \
+            + (F.element_at(w, 3) == F.lit("c")).cast("int")
+
+    bound = df.select("id", let1(words, tf_of).alias("v")).filter("v > 0")
+    unbound = df.select("id", tf_of(words).alias("v")).filter("v > 0")
+    p_bound = bound._jdf.queryExecution().optimizedPlan().toString()
+    p_unbound = unbound._jdf.queryExecution().optimizedPlan().toString()
+    # pushdown copies the aliased value into the Filter, so the tokenizer
+    # appears once per CONSUMING EXPRESSION (Filter + Project = 2). The
+    # disease let1 prevents is per-ELEMENT inlining: unbound, every
+    # element_at reference carries its own copy (3 per expression here).
+    assert p_bound.count("regexp_replace") == 2, p_bound
+    assert p_unbound.count("regexp_replace") == 6, p_unbound
