@@ -137,13 +137,21 @@ def c4_span_dedup(
     the newline default consumes ``c4_line_clean``'s output directly;
     callers with richer sentence structure pass their own pattern).
 
-    Plan: spans build within the row (zip_with over ``span_sentences``
-    shifted slices — no explode until the span table), then ONE exchange
-    keyed on the span electing ``min_by(struct(doc_id, idx))``, an AQE
-    broadcast-or-shuffle join back, and the doc_id partial agg. Dangling
+    Plan (r6): spans build within the row (zip_with over
+    ``span_sentences`` shifted slices — no explode until the span table)
+    and are hashed to xxhash64 longs immediately, so the ONE span-keyed
+    exchange carries 8-byte keys instead of 3-sentence strings; the
+    corpus-first election is an unordered window ``min(struct(id, idx))``
+    over the span key — every occurrence reads its span's winner in
+    place, where the old groupBy + join-back re-exchanged (or broadcast)
+    the span table a second time. Per-doc stats are hash-invariant
+    absent 64-bit collisions (the paragraph_dedup convention — the
+    oracle replays raw span strings and still hash-matches). Dangling
     docs (fewer sentences than the window) emit zero spans but keep
     their row via the left join onto the doc spine.
     """
+    from pyspark.sql import Window
+
     did = F.col(id_col)
     sents = F.split(F.col(text_col), sentence_sep, -1)
     k = span_sentences
@@ -158,16 +166,17 @@ def c4_span_dedup(
     spans = F.when(n_sent >= k, spans).otherwise(
         F.array().cast("array<string>")
     )
-    with_spans = base.select("id", F.posexplode(spans).alias("idx", "span"))
-    first = with_spans.groupBy("span").agg(
-        F.min(F.struct(F.col("id"), F.col("idx"))).alias("__first")
-    )
-    marked = with_spans.join(first, "span").select(
+    with_spans = base.select(
+        "id", F.posexplode(spans).alias("idx", "span")
+    ).select("id", "idx", F.xxhash64("span").alias("__h"))
+    first = F.min(F.struct(F.col("id"), F.col("idx"))).over(
+        Window.partitionBy("__h"))
+    marked = with_spans.select(
         "id",
-        (
-            (F.col("__first.id") != F.col("id"))
-            | (F.col("__first.idx") != F.col("idx"))
-        ).cast("long").alias("__dup"),
+        F.when(
+            (first["id"] != F.col("id")) | (first["idx"] != F.col("idx")),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("long").alias("__dup"),
     )
     stats = marked.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_spans"),

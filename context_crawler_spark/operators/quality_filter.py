@@ -309,11 +309,23 @@ def unigram_logprob(
     the rest floor(N/n) — exactly Spark's and DuckDB's ntile contract.
     Ascending-id tie-break keeps bucket assignment engine-independent."""
     from context_crawler_spark.operators.ordering import with_global_seq
-    from context_crawler_spark.operators.ranking import alnum_words
+    from context_crawler_spark.operators.ranking import alnum_words, term_counts
 
     did = F.col(id_col)
-    toks = df.select(did.alias("id"), F.explode(alnum_words(text_col)).alias("w"))
-    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    # tokenize ONCE (r6): the vocabulary and the scoring branch used to
+    # re-run the tokenizer each; the vocab counts now come from the
+    # per-row run-length kernel (sum of per-doc tfs ≡ instance count,
+    # integer-exact) so its exchange carries distinct (word, tf) pairs.
+    # The scoring branch keeps per-INSTANCE rows and the same avg — the
+    # per-doc float is bit-unchanged.
+    toks_w = df.select(did.alias("id"), alnum_words(text_col).alias("__w")) \
+        .localCheckpoint(eager=False)
+    vocab = (
+        toks_w.select(F.explode(term_counts(F.col("__w"))).alias("__e"))
+        .groupBy(F.col("__e.term").alias("w"))
+        .agg(F.sum("__e.tf").alias("cnt"))
+    )
+    toks = toks_w.select("id", F.explode("__w").alias("w"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     scored = (
         toks.join(vocab, "w")

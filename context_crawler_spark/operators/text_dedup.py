@@ -232,7 +232,12 @@ def minhash_candidates(
 ) -> DataFrame:
     """Candidate pairs (id_l < id_r) sharing ≥1 LSH band bucket. Signature +
     banding are one Arrow UDF pass; bucketing is explode + self-join on the
-    band key (shuffle on bucket, never cross join)."""
+    band key (shuffle on bucket, never cross join).
+
+    r6 note: a fused signature+bands single UDF was tried and REVERTED —
+    fused, the optimizer pushed the one Python eval below the caller's
+    repartition into the (single-split) scan stage, serializing it on one
+    task; the chained two-UDF form stays above the exchange."""
     sig = make_minhash_udf(num_perm)(F.col(text_col))
     banded = (
         df.select(F.col(id_col).alias("id"), sig.alias("sig"))
