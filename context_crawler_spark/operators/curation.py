@@ -898,20 +898,23 @@ def classifier_score(
     # (the gopher_repetition rule (a); r6, measured ~3× on this operator)
     n = F.size("__words")
     df = df.withColumn("__n", n)
+    # the n>0 guard lives INSIDE the materialized column (If branches are
+    # lazily evaluated) so empty docs don't hit ANSI DIVIDE_BY_ZERO; the
+    # null then propagates through __score and is coalesced in `keep`
     df = df.withColumn(
         "__mean",
-        F.round(wsum.cast("double") / (500.0 * F.col("__n")) - 1.0, 6))
+        F.when(
+            F.col("__n") > 0,
+            F.round(wsum.cast("double") / (500.0 * F.col("__n")) - 1.0, 6)))
     df = df.withColumn(
         "__score",
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__mean"))), 6))
-    nn = F.col("__n")
     return df.select(
         F.col(id_col),
-        nn.alias("n_words"),
-        F.when(nn > 0, F.col("__mean")).alias("mean_weight"),
-        F.when(nn > 0, F.col("__score")).alias("score"),
-        F.coalesce(F.when(nn > 0, F.col("__score") >= threshold),
-                   F.lit(False)).alias("keep"),
+        F.col("__n").alias("n_words"),
+        F.col("__mean").alias("mean_weight"),
+        F.col("__score").alias("score"),
+        F.coalesce(F.col("__score") >= threshold, F.lit(False)).alias("keep"),
     )
 
 

@@ -160,76 +160,87 @@ def gopher_repetition(df: DataFrame, text_col: str = "text",
 
     words = F.col("__words")
 
-    def grams_n(n: int) -> Column:
-        if n == 2:
-            return F.when(
-                F.size(words) >= 2,
-                F.zip_with(
-                    F.slice(words, 1, F.size(words) - 1),
-                    F.slice(words, 2, F.size(words) - 1),
-                    lambda a, b: F.concat_ws(" ", a, b),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        # general n: slice over a MATERIALIZED words column (the
-        # repeated_ngram_spans idiom — rule (b) forbids element_at over a
-        # raw expression, not slice over a column)
-        return F.when(
-            F.size(words) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(words) - (n - 1)),
-                lambda i: F.array_join(F.slice(words, i, n), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+    # r6 SECOND pass: the nine n-gram statistics never need the gram
+    # STRINGS — only (identity, char length) per gram. Identity is a
+    # 64-bit rolling hash (h_n[i] = xxhash64(h_{n-1}[i], wh[i+n-1]) —
+    # an injective-chain tuple hash, same 2^-64 collision caveat as the
+    # hashed-gram containment/c4 kernels); length is exact arithmetic
+    # (gram = words joined by one space, so len = Σ word lens + n − 1,
+    # i.e. l_n[i] = l_{n-1}[i] + wl[i+n-1] + 1). Each level is ONE
+    # zip_with pass of integer ops over materialized columns — O(9·W)
+    # per doc total, where the string kernel paid O(Σn·W) allocations
+    # (slice + array_join building ~6n-char strings per position) plus
+    # string sorts/distincts. Sorting/distincting 12-byte (h, l) structs
+    # groups equal grams exactly like sorting the strings did, so every
+    # integer statistic is unchanged (absent 64-bit collisions, which the
+    # oracle would catch).
+    L = F.size(words)
+    base = base.withColumns({
+        "__wh": F.transform(words, lambda x: F.xxhash64(x)),
+        "__wl": F.transform(words, lambda x: F.length(x).cast("long")),
+    })
+    empty_h = F.array().cast("array<bigint>")
+    empty_l = F.array().cast("array<bigint>")
+    lvl_cols: dict[str, Column] = {}
+    for n in range(2, 11):
+        ph = F.col("__wh") if n == 2 else F.col(f"__h{n - 1}")
+        pl = F.col("__wl") if n == 2 else F.col(f"__l{n - 1}")
+        ln = L - (n - 1)  # number of n-grams
+        lvl_cols[f"__h{n}"] = F.when(L >= n, F.zip_with(
+            F.slice(ph, 1, ln), F.slice(F.col("__wh"), n, ln),
+            lambda a, b: F.xxhash64(a, b))).otherwise(empty_h)
+        lvl_cols[f"__l{n}"] = F.when(L >= n, F.zip_with(
+            F.slice(pl, 1, ln), F.slice(F.col("__wl"), n, ln),
+            lambda a, b: a + b + 1)).otherwise(empty_l)
+        # each level feeds the next one — materialize as columns
+        # sequentially (CollapseProject keeps multiply-referenced aliases)
+        base = base.withColumns({f"__h{n}": lvl_cols[f"__h{n}"],
+                                 f"__l{n}": lvl_cols[f"__l{n}"]})
 
-    # ONE run-length fold over the sorted grams yields both statistics:
-    # best = max over runs of count×length (the top-n-gram chars) and
-    # dup = Σ length over occurrences beyond the first of each repeated
-    # gram (the duplicate-n-gram chars, same beyond-the-first convention
-    # as the line/para char fractions above)
+    def hl_structs(n: int) -> Column:
+        return F.zip_with(F.col(f"__h{n}"), F.col(f"__l{n}"),
+                          lambda h, l: F.struct(h.alias("h"), l.alias("l")))
+
+    # ONE run-length fold over the (h, l)-sorted grams yields the
+    # top-n-gram statistic: best = max over runs of count×length
     zero = F.lit(0).cast("long")
-    acc0 = F.struct(F.lit("").alias("prev"), zero.alias("run"),
-                    zero.alias("best"), zero.alias("dup"))
+    acc0 = F.struct(F.lit(None).cast("bigint").alias("prev"),
+                    zero.alias("run"), zero.alias("best"))
 
     def step(acc, x):
-        run = F.when(x == acc["prev"], acc["run"] + 1) \
+        run = F.when(x["h"] == acc["prev"], acc["run"] + 1) \
             .otherwise(F.lit(1).cast("long"))
         return F.struct(
-            x.alias("prev"), run.alias("run"),
-            F.greatest(acc["best"],
-                       run * F.length(x).cast("long")).alias("best"),
-            (acc["dup"] + F.when(x == acc["prev"],
-                                 F.length(x).cast("long"))
-                           .otherwise(zero)).alias("dup"),
+            x["h"].alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run * x["l"]).alias("best"),
         )
 
-    def gram_fold(n: int) -> Column:
-        return F.aggregate(F.array_sort(grams_n(n)), acc0, step)
-
-    # dup-gram arrays are referenced twice (Σlen minus Σlen-of-distinct),
-    # and HOF expressions get no codegen subexpression elimination —
-    # materialize them as columns first (rule a again; profiled 3-4x)
-    dup_ns = (5, 6, 7, 8, 9, 10)
-    base = base.withColumns({f"__g{n}": grams_n(n) for n in dup_ns})
+    def lsum(col: Column) -> Column:
+        return F.aggregate(col, zero, lambda acc, x: acc + x)
 
     gram_cols: dict[str, Column] = {}
     for n in (2, 3, 4):
-        gram_cols[f"top{n}_chars"] = gram_fold(n)["best"]
-    for n in dup_ns:
+        gram_cols[f"top{n}_chars"] = F.aggregate(
+            F.array_sort(hl_structs(n)), acc0, step)["best"]
+    for n in (5, 6, 7, 8, 9, 10):
         # beyond-the-first duplicate chars ≡ Σlen(grams) − Σlen(distinct
         # grams): an O(n) hash-distinct instead of the top-gram's
         # O(n log n) sort+fold
-        g = F.col(f"__g{n}")
         gram_cols[f"dup{n}_chars"] = (
-            _hof_char_sum(g) - _hof_char_sum(F.array_distinct(g)))
+            lsum(F.col(f"__l{n}"))
+            - F.aggregate(F.array_distinct(hl_structs(n)), zero,
+                          lambda acc, x: acc + x["l"]))
 
     out = base.withColumns({
         **unit_stats("__lines", "__lines_d", "line"),
         **unit_stats("__paras", "__paras_d", "para"),
-        "word_chars": _hof_char_sum(words),
+        "word_chars": lsum(F.col("__wl")),
         **gram_cols,
     }).drop("__lines", "__paras", "__words", "__lines_d", "__paras_d",
             "__line_chars", "__line_dchars", "__para_chars", "__para_dchars",
-            *[f"__g{n}" for n in dup_ns])
+            "__wh", "__wl",
+            *[f"__h{n}" for n in range(2, 11)],
+            *[f"__l{n}" for n in range(2, 11)])
     # full Rae et al. Table A1 thresholds, integer cross-multiplied:
     # top n-gram char fraction ≤ {2: 20%, 3: 18%, 4: 16%}; duplicate
     # n-gram char fraction ≤ {5: 15%, 6: 14%, 7: 13%, 8: 12%, 9: 11%,

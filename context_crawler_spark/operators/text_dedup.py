@@ -977,59 +977,75 @@ def _containment_pairs_from_sets(sets: DataFrame, theta: float) -> DataFrame:
         .withColumn("__r", F.row_number().over(w))
         .localCheckpoint(eager=False)
     )
+    # r6 SECOND pass (profiled at the driver's sf1.0 scale): the verify
+    # was 16 of the query's ~20 s — 66M candidate pairs, nearly all of
+    # which share exactly ONE prefix gram, each paying a per-pair
+    # array_intersect. The fix is the All-Pairs/PPJoin prefix EXTENSION
+    # (Bayardo et al., WWW 2007 §3.2): index k = min(2, t) extra prefix
+    # grams and require >= k shared prefix grams per pair. Pigeonhole
+    # proof for the count cut: with prefix length m - t + k, if fewer
+    # than k prefix grams are shared, overlap <= (k-1) + (t - k) = t - 1
+    # < t. The shared-gram count is a groupBy over the match stream —
+    # small fixed-width rows, ~6.5 s at sf1.0 — and cuts the candidates
+    # that reach the array-carrying verify 66M -> 3.1M (measured), where
+    # the earlier per-match positional filter barely cut at all (its
+    # suffix bound is weak for mid-document prefix grams).
+    t_src = F.ceil(F.lit(theta) * F.col("m"))
     prefix = (
         ranked
-        .filter(F.col("__r") <= F.col("m") - F.ceil(F.lit(theta) * F.col("m")) + 1)
+        .filter(F.col("__r") <= F.col("m") - t_src + F.least(F.lit(2), t_src))
         .select(F.col("gram"), F.col("id").alias("src_id"),
                 F.col("m").alias("__msrc"), F.col("__r").alias("__ps"))
     )
     t_req = F.ceil(F.lit(theta) * F.col("__msrc"))
-    cand = (
+    matches = (
         prefix.join(
             ranked.select(F.col("gram"), F.col("id").alias("dst_id"),
                           F.col("m").alias("__mdst"),
                           F.col("__r").alias("__pd")),
             "gram",
         )
-        .filter(
-            (F.col("src_id") != F.col("dst_id"))
-            & (F.col("__mdst") >= t_req)
-            # PPJoin-style positional filter (Xiao et al., WWW 2008),
-            # lossless: both docs rank their grams by the same global
-            # order, so for the globally-SMALLEST shared gram of a true
-            # pair every shared gram sits at rank >= p in both docs —
-            # overlap <= min(m_src - p_s, m_dst - p_d) + 1. If a pair can
-            # reach overlap t = ceil(theta·m_src), its smallest shared
-            # gram (which is in src's prefix by the pigeonhole bound)
-            # passes this test, so filtering per MATCH keeps every true
-            # pair while cutting the common-template matches whose
-            # remaining suffixes are provably too short.
-            & (F.least(F.col("__msrc") - F.col("__ps"),
-                       F.col("__mdst") - F.col("__pd")) + 1 >= t_req)
-        )
-        .select("src_id", "dst_id")
+        .filter((F.col("src_id") != F.col("dst_id"))
+                & (F.col("__mdst") >= t_req))
     )
+    # one pair-keyed aggregation replaces the per-match positional filter:
+    # count of shared prefix grams plus min ranks. Both docs rank their
+    # grams by the same global (gdf, gram) order, so the globally-smallest
+    # shared gram minimizes BOTH matched ranks — min(__ps)/min(__pd) are
+    # that gram's positions, and the PPJoin positional bound (Xiao et
+    # al., WWW 2008) overlap <= min(m_src - ps1, m_dst - pd1) + 1 applies
+    # per PAIR, lossless. __msrc/__mdst are functionally dependent on the
+    # group key, so first() is deterministic.
+    agg = (
+        matches.groupBy("src_id", "dst_id")
+        .agg(F.count(F.lit(1)).alias("__csh"),
+             F.min("__ps").alias("__ps1"),
+             F.min("__pd").alias("__pd1"),
+             F.first("__msrc").alias("__msrc"),
+             F.first("__mdst").alias("__mdst"))
+    )
+    t_agg = F.ceil(F.lit(theta) * F.col("__msrc"))
+    cand = agg.filter(
+        (F.col("__csh") >= F.least(F.lit(2), t_agg))
+        & (F.least(F.col("__msrc") - F.col("__ps1"),
+                   F.col("__mdst") - F.col("__pd1")) + 1 >= t_agg)
+    ).select("src_id", "dst_id")
     a = sets.select(
         F.col("id").alias("src_id"), F.col("gs").alias("__ga"), F.col("m").alias("__ma")
     )
     b = sets.select(F.col("id").alias("dst_id"), F.col("gs").alias("__gb"),
                     F.col("m").alias("__mb"))
     cont = F.size(F.array_intersect("__ga", "__gb")) / F.col("__ma")
-    # r6: dedup AFTER the verify, not before. A pair reached via several
-    # shared prefix grams is only a few % of the candidate stream, so the
-    # pre-verify DISTINCT was a corpus-scale hash aggregation over ~every
-    # candidate (measured: 2 × 5.5 GiB spill, minutes of aggregation
-    # build, for a 4% reduction) — whereas the verify is a per-row filter
-    # whose surviving set is tiny. The verify is deterministic per pair,
-    # so duplicates collapse to identical rows and the post-filter
-    # distinct returns the exact same pair set.
+    # candidates are unique pairs by construction (groupBy output), and
+    # the verify joins are 1:1 on id, so no post-verify distinct is
+    # needed — the r5 pre-verify DISTINCT (corpus-scale, 2 × 5.5 GiB
+    # spill) stays gone.
     return (
         cand.join(a, "src_id")
         .join(b, "dst_id")
         .withColumn("__c", cont)
         .filter(F.col("__c") >= theta)
         .select("src_id", "dst_id", "__c", "__ma", "__mb")
-        .distinct()
     )
 
 
