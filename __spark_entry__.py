@@ -690,8 +690,16 @@ def q_shipping_priority(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem")
     dec = lambda c_: F.col(c_).cast("decimal(18,6)")  # noqa: E731
     rev = F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount")))
+    # r6: SHUFFLE_HASH on the (filtered-customer ⋈ orders) side. The
+    # static planner's column-pruned size estimate put 3-col lineitem
+    # under the broadcast threshold and built a multi-million-row hash
+    # relation ON THE DRIVER (~3 s single-threaded at sf1.0); the
+    # scale-honest Q3 plan shuffles the fact table once on the join key
+    # the aggregation reuses, with the hash table built per-partition
+    # from the small joined side. 5.4 -> 2.2 s at sf1.0.
     return (
         c.join(o, c.c_custkey == o.o_custkey)
+        .hint("shuffle_hash")
         .join(l, o.o_orderkey == l.l_orderkey)
         .groupBy("o_orderkey", _ts("o_orderdate").alias("o_orderdate"))
         .agg(F.round(rev.cast("double"), 2).alias("revenue"))
@@ -2700,7 +2708,9 @@ def q_phrase_search_indexed(spark, sf_dir):
     from context_crawler_spark.operators.ranking import (
         build_positional_index, phrase_search_indexed)
 
-    idx = build_positional_index(_t(spark, sf_dir, "documents"))
+    # _tp (r6): the tokenize+posexplode feeding the index's one shuffle
+    # otherwise runs inside the single-split scan task — serial
+    idx = build_positional_index(_tp(spark, sf_dir, "documents"))
     return phrase_search_indexed(idx, "table table", k=50)
 
 

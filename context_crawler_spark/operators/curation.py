@@ -880,9 +880,13 @@ def classifier_score(
     are rounded to 6 dp before comparison/output so a last-ulp ``exp``
     difference can't flip the hash or the keep decision.
     """
-    words = F.split(F.lower(F.trim(F.col(text_col))), r"[^a-z0-9']+")
+    # array_remove instead of an interpreted filter() lambda (r6, the
+    # alnum_words rationale): a run-pattern split can only produce empty
+    # fragments at the two ends
     df = df.withColumn(
-        "__words", F.filter(words, lambda w: w != F.lit(""))
+        "__words",
+        F.array_remove(
+            F.split(F.lower(F.trim(F.col(text_col))), r"[^a-z0-9']+"), ""),
     )
     wsum = F.aggregate(
         F.col("__words"),

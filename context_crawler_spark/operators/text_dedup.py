@@ -891,10 +891,11 @@ def _word_gram_sets(
             )
         )
 
-    words = F.filter(
-        F.split(normalized_text_col(text_col), " "),
-        lambda w: w != F.lit(""),
-    )
+    # no filter() HOF (r6, the alnum_words rationale): the normalizer
+    # collapses whitespace runs and trims, so the split can only produce
+    # an empty fragment for fully-empty text (split("") == [""]) —
+    # array_remove drops it without an interpreted lambda per word
+    words = F.array_remove(F.split(normalized_text_col(text_col), " "), "")
     out = (
         df.select(
             F.col(id_col).alias("id"),
@@ -1120,38 +1121,62 @@ def winnow_fingerprints(
     fingerprint (``keep_cols`` are carried through unchanged, e.g. the
     host for ``mirror_hosts``).
     """
-    from context_crawler_spark.operators.ranking import let1
-
     extra = list(keep_cols or [])
     t_norm = F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
                               "[^a-z0-9]", "")
+    empty = F.array().cast("array<string>")
 
-    # nested let1 bindings (see ranking.let1): without them
-    # CollapseProject inlines the normalization regex into every gram
-    # substring and the whole gram-hash array into every window slice —
-    # O(grams) regex runs and O(windows·w) md5 recomputes per document
-    def selected_of(h: Column) -> Column:
-        n_windows = F.greatest(F.size(h) - (w - 1), F.lit(1))
-        return F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), n_windows - 1),
-                lambda j: F.array_min(F.slice(h, j + 1, w)),
-            )
-        )
+    # normalization and the gram-hash array are materialized as COLUMNS
+    # (CollapseProject keeps multiply-referenced aliases): inlined, the
+    # regex would re-run per gram and the md5 array per window read
+    out = df.withColumn("__t", t_norm)
+    m = F.length(F.col("__t")) - (k - 1)  # number of k-grams
+    hashes = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.substring(F.md5(F.substring(F.col("__t"), i, k)), 1, 13),
+    )
+    out = out.withColumn("__h", F.when(m >= 1, hashes).otherwise(empty))
 
-    def fps_of(t: Column) -> Column:
-        m = F.length(t) - (k - 1)  # number of k-grams
-        hashes = F.transform(
-            F.sequence(F.lit(1), m),
-            lambda i: F.substring(F.md5(F.substring(t, i, k)), 1, 13),
-        )
-        return F.when(m >= 1, let1(hashes, selected_of)).otherwise(
-            F.array().cast("array<string>")
-        )
-
+    # sliding-window minimum via the doubling/sparse-table scheme (r6):
+    # m_{2d}[i] = min(m_d[i], m_d[i+d]) — one least() zip_with pass per
+    # power of two, O(n·log w) total, where the per-window
+    # array_min(slice(h, j, w)) form allocated a w-element array per
+    # window (O(n·w); profiled 1.9 s -> ~0 at sf1.0 for w=16). Any
+    # window of length w is the min of two (possibly overlapping)
+    # power-of-two windows: p = 2^floor(log2 w), min = least(m_p[j],
+    # m_p[j + w - p]).
+    p = 1
+    while p * 2 <= w:
+        p *= 2
+    cur = "__h"
+    d = 1
+    while d < p:
+        nxt = f"__m{2 * d}"
+        c = F.col(cur)
+        ln = F.size(c) - d
+        out = out.withColumn(nxt, F.when(ln >= 1, F.zip_with(
+            F.slice(c, 1, ln), F.slice(c, d + 1, ln),
+            lambda a, b: F.least(a, b))).otherwise(empty))
+        cur = nxt
+        d *= 2
+    h = F.col("__h")
+    mp = F.col(cur)
+    if p == w:
+        full = F.array_distinct(mp)
+    else:
+        full = F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.size(h) - (w - 1)),
+            lambda j: F.least(F.element_at(mp, j),
+                              F.element_at(mp, j + (w - p))),
+        ))
+    # short-input convention: fewer than w grams -> the single global min
+    selected = (
+        F.when(F.size(h) >= w, full)
+        .when(F.size(h) >= 1, F.array(F.array_min(h)))
+        .otherwise(empty)
+    )
     return (
-        df.select(F.col(id_col), *extra,
-                  F.explode(let1(t_norm, fps_of)).alias("fp"))
+        out.select(F.col(id_col), *extra, F.explode(selected).alias("fp"))
         .distinct()
     )
 
@@ -1324,22 +1349,39 @@ def exact_substring_dedup(
     docs = df.select(
         F.col(id_col).alias("id"), alnum_words(text_col).alias("__ws")
     )
-    grams_arr = F.when(
-        F.size(ws) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
-            lambda i: F.struct(
-                i.alias("pos"),
-                F.array_join(F.slice(ws, i, n), " ").alias("gram"),
+    if hash_grams:
+        # r6: hash the word n-TUPLE directly (xxhash64 chains its column
+        # arguments) instead of allocating the "w1 … wn" join string per
+        # window and hashing that — words carry no spaces, so tuple
+        # identity ≡ joined-string identity up to the same 64-bit
+        # collision caveat (the _word_gram_sets hashed-gram rationale)
+        grams_arr = F.when(
+            F.size(ws) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.xxhash64(
+                        *[F.element_at(ws, i + j) for j in range(n)]
+                    ).alias("gram"),
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+        ).otherwise(F.array().cast("array<struct<pos:int,gram:bigint>>"))
+    else:
+        grams_arr = F.when(
+            F.size(ws) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.array_join(F.slice(ws, i, n), " ").alias("gram"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
     grams = (
         docs.select("id", F.explode(grams_arr).alias("g"))
         .select("id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
     )
-    if hash_grams:
-        grams = grams.select("id", "pos", F.xxhash64("gram").alias("gram"))
     # r6: duplicated ⟺ ndocs >= 2 OR nocc >= 2 ⟺ nocc >= 2 (ndocs <=
     # nocc), and the multiplicity join collapses to an unordered window
     # count over the gram key — 2 exchanges, no join, no

@@ -118,7 +118,7 @@ def gen_tpch(rng, sf, outdir):
             (rng.random(n_orders) * 499000 + 1000).round(2), pa.float64()),
         "o_orderdate": pa.array(odate),
         "o_orderpriority": pa.array(prios[rng.integers(0, 5, n_orders)]),
-    }), os.path.join(outdir, "orders.parquet"), row_group_size=n_orders)
+    }), os.path.join(outdir, "orders.parquet"))
     # lineitem: ~4 lines/order, total ~6M*sf
     n_li = int(6000000 * sf)
     lok = rng.integers(0, n_orders, size=n_li)
@@ -149,7 +149,7 @@ def gen_tpch(rng, sf, outdir):
         "l_returnflag": pa.array(rf[rng.integers(0, 3, n_li)]),
         "l_linestatus": pa.array(ls[rng.integers(0, 2, n_li)]),
         "l_shipdate": pa.array(sdate),
-    }), os.path.join(outdir, "lineitem.parquet"), row_group_size=n_li)
+    }), os.path.join(outdir, "lineitem.parquet"))
     # customer / part / supplier / nation / region
     segs = np.array(["MACHINERY", "BUILDING", "HOUSEHOLD", "AUTOMOBILE",
                      "FURNITURE"])
@@ -159,7 +159,7 @@ def gen_tpch(rng, sf, outdir):
         "c_nationkey": pa.array(rng.integers(0, 25, n_cust), pa.int32()),
         "c_acctbal": pa.array((rng.random(n_cust) * 11000 - 1000).round(2)),
         "c_mktsegment": pa.array(segs[rng.integers(0, 5, n_cust)]),
-    }), os.path.join(outdir, "customer.parquet"), row_group_size=n_cust)
+    }), os.path.join(outdir, "customer.parquet"))
     adjs = ["large", "hot", "blue", "red", "green", "small", "dim",
             "bright"]
     nouns = ["ring", "bolt", "nut", "cog", "gear", "pin", "rod", "cap"]
@@ -176,13 +176,13 @@ def gen_tpch(rng, sf, outdir):
         "p_size": pa.array(rng.integers(1, 51, n_part), pa.int32()),
         "p_retailprice": pa.array(
             (rng.random(n_part) * 99.9 + 900).round(2)),
-    }), os.path.join(outdir, "part.parquet"), row_group_size=n_part)
+    }), os.path.join(outdir, "part.parquet"))
     pq.write_table(pa.table({
         "s_suppkey": pa.array(np.arange(n_supp), pa.int64()),
         "s_name": pa.array([f"Supplier#{i:09d}" for i in range(n_supp)]),
         "s_nationkey": pa.array(rng.integers(0, 25, n_supp), pa.int32()),
         "s_acctbal": pa.array((rng.random(n_supp) * 11000 - 1000).round(2)),
-    }), os.path.join(outdir, "supplier.parquet"), row_group_size=n_supp)
+    }), os.path.join(outdir, "supplier.parquet"))
     pq.write_table(pa.table({
         "n_nationkey": pa.array(np.arange(25), pa.int32()),
         "n_name": pa.array([f"NATION_{i}" for i in range(25)]),
