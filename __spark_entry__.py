@@ -2502,7 +2502,9 @@ def q_focused_priority(spark, sf_dir):
     hits = src_num%3."""
     from context_crawler_spark.operators.ranking import focused_priority
 
-    e = _t(spark, sf_dir, "events").select(
+    # _tp (r6): the per-edge anchor tokenize (alnum_words HOF) otherwise
+    # runs inside the single-split events scan task — serial
+    e = _tp(spark, sf_dir, "events").select(
         F.concat(F.lit("p"), (F.col("user_id") % 200).cast("string"))
         .alias("src"),
         F.concat(F.lit("p"), (F.col("event_id") % 97).cast("string"))

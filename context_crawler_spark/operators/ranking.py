@@ -352,13 +352,20 @@ def pagerank(
     ``N`` (node count) is the one driver-side scalar; it is metadata-sized
     and computed once.
     """
+    # r6: e / nodes / w are MATERIALIZED (lazy localCheckpoint), not just
+    # built outside the loop — nodes and w are re-referenced every
+    # iteration, and across lineage cuts each reference re-ran the
+    # edge-scan+distinct subtree (ReusedExchange cannot span jobs). The
+    # cuts also keep the loop plan linear in `iters` instead of carrying
+    # `iters` copies of the scan subtree through Catalyst.
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
     if n == 0:
@@ -369,7 +376,8 @@ def pagerank(
     # loop's only exchanges are the ranks join (AQE broadcasts when ranks
     # fit) and the dst groupBy. Standard at 10^10 edges too: the
     # transition matrix is materialized once, the rank vector iterates.
-    w = e.join(outdeg, "src").select("src", "dst", "outdeg")
+    w = e.join(outdeg, "src").select(
+        "src", "dst", "outdeg").localCheckpoint(eager=False)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for i in range(iters):
@@ -425,9 +433,11 @@ def trustrank(
     sets are hand-curated: hundreds, not millions). Seeds with no edges
     still hold teleport mass (they join the node set), exactly as the
     recurrence demands."""
+    # r6: materialize e / nd / w once (pagerank rationale) — w and nd are
+    # the per-iteration references
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     seeds = trusted.select(F.col(node_col).alias("node")).distinct()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -446,11 +456,13 @@ def trustrank(
             F.when(F.col("__t"), F.lit(1.0 / s)).otherwise(F.lit(0.0))
             .alias("__d"),
         )
+        .localCheckpoint(eager=False)
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # weighted adjacency folded once outside the loop — the pagerank r5
     # pattern (one fewer join per iteration; division kept oracle-exact)
-    w = e.join(outdeg, "src").select("src", "dst", "outdeg")
+    w = e.join(outdeg, "src").select(
+        "src", "dst", "outdeg").localCheckpoint(eager=False)
     ranks = nd.select("node", F.col("__d").alias("rank"))
     for i in range(iters):
         contribs = (
@@ -519,20 +531,27 @@ def opic_importance(
     """
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("importance", F.lit(0.0))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    w = e.join(outdeg, "src").select("src", "dst", "outdeg")
+    # r6: w and dangling are read EVERY round, and the per-round lineage
+    # cuts (checkpoint_every=1 here) put each round in its own job —
+    # without a materialization the edge-scan+distinct+outdeg subtree
+    # re-ran once per round per reference (pagerank rationale)
+    w = e.join(outdeg, "src").select(
+        "src", "dst", "outdeg").localCheckpoint(eager=False)
     # the dangling set is static (nodes with no outedges) — resolve once
     dangling = nodes.join(
-        outdeg.select(F.col("src").alias("node")), "node", "left_anti")
+        outdeg.select(F.col("src").alias("node")), "node", "left_anti",
+    ).localCheckpoint(eager=False)
     state = nodes.select(
         "node", F.lit(1.0 / n).alias("cash"), F.lit(0.0).alias("hist"))
     for i in range(iters):
@@ -807,9 +826,12 @@ def harmonic_centrality(
     bit-identical across engines (each term is one IEEE divide of exact
     integers, summed left-to-right).
     """
+    # r6: e is joined at EVERY depth, and this loop cuts lineage every
+    # depth (checkpoint_every=1) — uncheckpointed, each depth's job re-ran
+    # the edge-scan+distinct subtree (ReusedExchange cannot span jobs)
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -888,9 +910,11 @@ def hyperball(
     engine-specific (DataSketches), so this operator is pytest-pinned
     rather than DuckDB-oracled.
     """
+    # r6: e rides every round's union-shuffle; materialize it once
+    # (harmonic_centrality rationale)
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -1208,6 +1232,13 @@ def hits(
     divide (not multiply by a reciprocal) for ULP parity, per the
     pagerank precedent.
     """
+    # r6 note: materializing e/nodes here (the pagerank/opic localCheckpoint
+    # fix) was tried and measured 2.4x SLOWER — hits runs its whole
+    # 5-iteration recurrence as ONE query, where ReusedExchange already
+    # dedupes the repeated scan subtrees, and the checkpointed RDD leaf
+    # loses the size statistics that let the planner broadcast the
+    # rank-vector joins (10 joins fell back to sort-merge). The win only
+    # exists for loops that cut lineage per round (opic, harmonic).
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()

@@ -242,3 +242,36 @@ def test_seed_time_spark_job_count_is_per_level(spark, tmp_path):
     want = [f"https://s.test/docs/p{i}" for i in range(n_sm)]
     assert [r["url"] for r in eng.live_frontier().orderBy("seq").collect()] \
         == want
+
+
+def test_batched_visit_hook_matches_row_hook(spark):
+    """apply_visit_hook_batched (r6 vectorized escape hatch) emits the
+    same extra-row table as the row-at-a-time form for an equivalent
+    hook — same output contract, no per-row Python."""
+    import pandas as pd
+
+    from context_crawler_spark.operators.hooks import (
+        apply_visit_hook, apply_visit_hook_batched)
+
+    pages = spark.createDataFrame(
+        [(f"https://h.test/p{i}", f"text {'x' * (i % 7)}") for i in range(50)],
+        "url string, text string",
+    )
+    schema = "url string, n int"
+
+    def row_hook(row):
+        if len(row["text"]) % 2 == 0:
+            return [{"url": row["url"], "n": len(row["text"])}]
+        return []
+
+    def batch_hook(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = pdf["text"].str.len()
+        keep = (n % 2) == 0
+        return pd.DataFrame(
+            {"url": pdf["url"][keep], "n": n[keep].astype("int32")})
+
+    a = sorted(map(tuple, apply_visit_hook(pages, row_hook, schema).collect()))
+    b = sorted(map(tuple,
+                   apply_visit_hook_batched(pages, batch_hook, schema)
+                   .collect()))
+    assert a == b and len(a) > 0
