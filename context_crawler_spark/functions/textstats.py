@@ -264,6 +264,69 @@ def simhash64(text: str) -> int:
     return int(out.astype(np.int64))
 
 
+def simhash64_batch(texts: list) -> np.ndarray:
+    """Vectorized :func:`simhash64` over a batch of texts — bit-identical
+    output (tests pin equality against the scalar form on every corpus
+    fixture). The scalar path pays one Python ``hashlib.md5`` call PER
+    FEATURE OCCURRENCE (~600/doc → tens of millions per corpus pass);
+    this batches three ways (guide §4.2):
+
+    1. hash each DISTINCT feature once per batch (np.unique + inverse —
+       md5 is the dominant cost and word/bigram vocabularies are far
+       smaller than their occurrence streams);
+    2. one bit-matrix + ``np.add.reduceat`` at row offsets replaces the
+       per-row (feats × 64) vote matmul — the vote is
+       ``2·Σbits − n_feats`` per row, the same integers the scalar
+       ``Σ(2b−1)`` computes;
+    3. rows chunked so the int32 bit matrix stays ~25 MB regardless of
+       batch size.
+    """
+    n = len(texts)
+    out = np.zeros(n, dtype=np.int64)
+    feats_per_row: list[list[str]] = []
+    for t in texts:
+        words = normalize_for_shingling(t or "").split()
+        feats_per_row.append(
+            words + [" ".join(p) for p in zip(words, words[1:])]
+            if words else []
+        )
+    shifts = np.arange(64, dtype=np.uint64)
+    row = 0
+    CHUNK_FEATS = 400_000
+    while row < n:
+        end = row
+        total = 0
+        while end < n and (total == 0 or
+                           total + len(feats_per_row[end]) <= CHUNK_FEATS):
+            total += len(feats_per_row[end])
+            end += 1
+        rows = range(row, end)
+        nonempty = [i for i in rows if feats_per_row[i]]
+        if nonempty:
+            flat: list[str] = []
+            starts = []
+            cnts = []
+            for i in nonempty:
+                starts.append(len(flat))
+                flat.extend(feats_per_row[i])
+                cnts.append(len(feats_per_row[i]))
+            uniq, inv = np.unique(np.asarray(flat, dtype=object),
+                                  return_inverse=True)
+            hu = np.fromiter(
+                (_h64(f.encode("utf-8")) for f in uniq),
+                dtype=np.uint64, count=len(uniq),
+            )
+            h = hu[inv]
+            bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+            sums = np.add.reduceat(bits, np.asarray(starts), axis=0)
+            v = 2 * sums - np.asarray(cnts, dtype=np.int64)[:, None]
+            sigs = ((v > 0).astype(np.uint64) << shifts).sum(
+                axis=1, dtype=np.uint64).view(np.int64)
+            out[np.asarray(nonempty)] = sigs
+        row = end
+    return out
+
+
 def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 

@@ -271,7 +271,10 @@ def quality_score_udf(text: pd.Series) -> pd.Series:
 
 @F.pandas_udf(LongType())
 def simhash_udf(text: pd.Series) -> pd.Series:
-    return text.map(lambda t: textstats.simhash64(t or ""))
+    # r6: whole-batch kernel — one md5 per DISTINCT feature per batch +
+    # reduceat bit voting, bit-identical to the scalar simhash64
+    return pd.Series(
+        textstats.simhash64_batch(text.tolist()), index=text.index)
 
 
 def make_minhash_udf(num_perm: int = 128, k: int = 5):

@@ -61,11 +61,13 @@ def apply_visit_hook_batched(
     WHOLE Arrow batch as one pandas DataFrame and returns a DataFrame of
     extra rows (any row count, columns matching ``extra_schema``). A hook
     expressible as pandas/NumPy column ops skips the per-row dict
-    construction and per-row Python call of the row-at-a-time form — the
-    row loop is the dominant cost for cheap hooks (measured ~20x on a
-    column-arithmetic hook; see OPTIMIZATION_r06.md). Row-at-a-time
-    remains the default because it mirrors the reference's per-page
-    ``onVisitPage`` contract exactly."""
+    construction and per-row Python call of the row-at-a-time form —
+    measured 1.4-1.6x end-to-end on trivial column-arithmetic hooks
+    (where the Arrow transfer dominates both paths;
+    bench_logs/hook_batched_r06.json) and growing with per-row hook
+    cost, since the per-row Python call is what it removes.
+    Row-at-a-time remains the default because it mirrors the
+    reference's per-page ``onVisitPage`` contract exactly."""
     field_names = [
         f.strip().split()[0].strip("`")
         for f in extra_schema.split(",")

@@ -204,3 +204,26 @@ def test_onnx_encode_contract_with_fake_runtime():
         assert np.allclose(out[i], ref[0], atol=1e-6), t
     # the ragged batch was padded to the longest sequence
     assert seen_feeds["input_ids"].shape == (3, len(texts[2]))
+
+
+def test_simhash64_batch_matches_scalar():
+    """simhash64_batch (r6 whole-batch kernel: one md5 per distinct
+    feature + reduceat bit voting) must be bit-identical to the scalar
+    simhash64 on every input shape: empty, whitespace, short, long
+    (chunk-boundary), unicode, repeated features."""
+    import random
+
+    import numpy as np
+
+    from context_crawler_spark.functions import textstats as ts
+
+    random.seed(1729)
+    vocab = ["alpha", "beta", "gamma", "päge", "x1", "the", "of", "zz"]
+    texts = ["", "   ", "one", "one two", "a" * 5000]
+    texts += [
+        " ".join(random.choice(vocab) for _ in range(random.randint(0, 120)))
+        for _ in range(300)
+    ]
+    got = ts.simhash64_batch(texts)
+    want = np.array([ts.simhash64(t) for t in texts], dtype=np.int64)
+    assert (got == want).all()
