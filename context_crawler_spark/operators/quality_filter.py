@@ -523,8 +523,17 @@ def ngram_lm_score(
              F.sum("__lp_micro").alias("lp_micro"))
         .select(
             F.col("id").alias(id_col), "n_scored", "lp_micro",
-            F.round(F.col("lp_micro") / 1e6 / F.col("n_scored"), 6)
-            .alias("avg_logscore"),
+            # r6 fix (pre-existing r5 defect surfaced at sf0.1): DuckDB's
+            # round(x, 6) computes round(x*1e6)/1e6 in IEEE doubles, and
+            # the product can land EXACTLY on a .5 (doc 3444 at sf0.1:
+            # -3.4255714999999998 * 1e6 == -3425571.5) where Spark's
+            # decimal-string HALF_UP of x at scale 6 sees no tie and
+            # rounds the other way. Replaying the oracle's exact op
+            # sequence (multiply, scale-0 round, divide) is bit-identical
+            # on every double: the scale-0 tie behaviors agree (both half
+            # away from zero) and non-ties round identically.
+            (F.round(F.col("lp_micro") / 1e6 / F.col("n_scored") * 1e6)
+             / 1e6).alias("avg_logscore"),
         )
     )
 

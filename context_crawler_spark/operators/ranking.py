@@ -1096,10 +1096,17 @@ def build_positional_index(
     per-row state is bounded by doc length, never by corpus size)."""
     did = F.col(id_col)
     toks = docs.select(did.alias("id"), alnum_words(text_col).alias("__w"))
+    # posexplode_OUTER (r6): the inner generate injects an implicit
+    # `size(__w) > 0 AND isnotnull(__w)` filter BELOW the projection, and
+    # Catalyst substitutes the full tokenize chain into both conjuncts —
+    # the tokenizer ran 3x per row. Outer generate has no implicit
+    # filter; empty-token docs surface as one NULL row and the cheap
+    # column filter drops them — same index rows, tokenize once.
     return (
         toks.select(
             "id", F.size("__w").alias("dl"),
-            F.posexplode("__w").alias("pos", "term"))
+            F.posexplode_outer("__w").alias("pos", "term"))
+        .filter(F.col("term").isNotNull())
         .groupBy("term", "id", "dl")
         .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
         .withColumn(

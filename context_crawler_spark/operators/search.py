@@ -49,8 +49,13 @@ def cosine_score_col(vec_col: str, query: list[float]):
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # widen BEFORE squaring: float32 elements square in float32 while the
+    # oracle (list_cosine_similarity over DOUBLE[]) squares doubles — the
+    # semantic_dedup sf0.1 boundary miss, fixed here for the whole
+    # cosine family (r6)
     norm = F.sqrt(
-        F.aggregate(F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x * x)
+        F.aggregate(F.col(vec_col), F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"))
     )
     return dot / (norm * F.lit(qn))
 

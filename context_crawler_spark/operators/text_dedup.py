@@ -117,13 +117,20 @@ def exact_match_index(
     ).withColumn(
         "digest_bucket",
         F.pmod(F.col("digest"), F.lit(int(buckets))).cast("int"))
+    # election keyed on (new_id, digest), not new_id alone (r6 fix,
+    # pre-existing r5 defect surfaced at sf0.1): two DIFFERENT new docs
+    # can share an id (the caller's id space is not assumed unique —
+    # q_exact_incremental's re-presented batch collides with real ids at
+    # sf>=0.1), and the id-only group conflated them, stamping both rows
+    # with the union of their matches. Keyed by digest too, each row
+    # matches only its own content — the oracle's semantics.
     hits = (
         nb.join(index, ["digest_bucket", "digest"])
-        .groupBy("new_id")
+        .groupBy("new_id", "digest")
         .agg(F.min("id").alias("first_seen_id"))
     )
     return (
-        nb.join(hits, "new_id", "left")
+        nb.join(hits, ["new_id", "digest"], "left")
         .select(
             F.col("new_id").alias(id_col),
             "digest",
@@ -671,8 +678,15 @@ def semantic_dedup(
 
     Output: (id_col, cluster, centroid_sim, keep) for every input row.
     """
+    # widen BEFORE squaring (r6 fix, pre-existing r5 defect surfaced at
+    # sf0.1): the embedding elements are float32 and `x * x` squares in
+    # float32, while this operator's oracle casts to DOUBLE[] first —
+    # the ~1e-8 norm shift pushed vec 745's centroid_sim across a 6dp
+    # rounding boundary. (embedding_near_dup's oracle, by contrast,
+    # replays float32 products — its fold stays unwidened on purpose.)
     norm = F.sqrt(F.aggregate(
-        F.col("__v"), F.lit(0.0), lambda a, x: a + x * x))
+        F.col("__v"), F.lit(0.0),
+        lambda a, x: a + x.cast("double") * x.cast("double")))
     scored = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
         *( [F.col(cluster_col).alias("__cl")] if cluster_col else [] ),

@@ -929,5 +929,8 @@ def test_let1_single_evaluation_in_plan(spark):
     # appears once per CONSUMING EXPRESSION (Filter + Project = 2). The
     # disease let1 prevents is per-ELEMENT inlining: unbound, every
     # element_at reference carries its own copy (3 per expression here).
-    assert p_bound.count("regexp_replace") == 2, p_bound
-    assert p_unbound.count("regexp_replace") == 6, p_unbound
+    # Count tokenizer EVALUATIONS via array_remove (exactly one per
+    # alnum_words tree — regexp_replace appears twice per tree since the
+    # r6 two-pass character-class rewrite, which broke the old constant).
+    assert p_bound.count("array_remove") == 2, p_bound
+    assert p_unbound.count("array_remove") == 6, p_unbound
