@@ -293,6 +293,24 @@ def make_minhash_bands_udf(bands: int = 16):
     return bands_udf
 
 
+def make_minhash_bandkeys_udf(num_perm: int = 128, bands: int = 16):
+    """Fused text -> LSH band keys in ONE Python pass (r6): the chained
+    sig-UDF -> bands-UDF form round-trips every 128-long signature
+    through Arrow twice. Marked nondeterministic (guide §4.4) so the
+    optimizer cannot push the eval below a caller's repartition into a
+    single-split scan task — the failure mode that sank the first fused
+    attempt (documented in minhash_candidates). Band keys are
+    bit-identical to minhash_bands(minhash_signature(text))."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def bandkeys_udf(text: pd.Series) -> pd.Series:
+        return text.map(
+            lambda t: textstats.minhash_bands(
+                textstats.minhash_signature(t or "", num_perm), bands))
+
+    return bandkeys_udf.asNondeterministic()
+
+
 def make_simhash_bands_udf(bands: int = 4):
     @F.pandas_udf(ArrayType(LongType()))
     def bands_udf(sig: pd.Series) -> pd.Series:

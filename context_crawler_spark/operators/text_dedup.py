@@ -241,16 +241,23 @@ def minhash_candidates(
     banding are one Arrow UDF pass; bucketing is explode + self-join on the
     band key (shuffle on bucket, never cross join).
 
-    r6 note: a fused signature+bands single UDF was tried and REVERTED —
-    fused, the optimizer pushed the one Python eval below the caller's
-    repartition into the (single-split) scan stage, serializing it on one
-    task; the chained two-UDF form stays above the exchange."""
-    sig = make_minhash_udf(num_perm)(F.col(text_col))
+    r6: signature+bands run as ONE fused Python pass
+    (make_minhash_bandkeys_udf) — the chained sig-UDF → bands-UDF form
+    round-tripped every 128-long signature through Arrow twice. The
+    first fused attempt was reverted because the optimizer pushed the
+    deterministic fused eval below the caller's repartition into the
+    (single-split) scan stage, serializing it on one task; the shipped
+    fused UDF is marked nondeterministic (guide §4.4), which pins it
+    above the exchange. Band keys are bit-identical either way."""
+    from ..functions.udfs import make_minhash_bandkeys_udf
+
     banded = (
-        df.select(F.col(id_col).alias("id"), sig.alias("sig"))
-        .select("id", F.posexplode(make_minhash_bands_udf(bands)(F.col("sig"))))
+        df.select(F.col(id_col).alias("id"),
+                  F.posexplode(
+                      make_minhash_bandkeys_udf(num_perm, bands)(
+                          F.col(text_col))))
         .select("id", F.concat_ws(":", "pos", "col").alias("band_key"))
-        # signature UDF would otherwise run once per self-join side
+        # the UDF would otherwise run once per self-join side
         .localCheckpoint(eager=False)
     )
     l = banded.select(F.col("band_key"), F.col("id").alias("id_l"))
