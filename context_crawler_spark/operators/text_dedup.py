@@ -1036,15 +1036,26 @@ def _containment_pairs_from_sets(sets: DataFrame, theta: float) -> DataFrame:
     # shared gram minimizes BOTH matched ranks — min(__ps)/min(__pd) are
     # that gram's positions, and the PPJoin positional bound (Xiao et
     # al., WWW 2008) overlap <= min(m_src - ps1, m_dst - pd1) + 1 applies
-    # per PAIR, lossless. __msrc/__mdst are functionally dependent on the
-    # group key, so first() is deterministic.
+    # per PAIR, lossless. r6 second pass: the match stream carries only
+    # (ids, int32 ranks) through the agg exchange — the two gram-set
+    # sizes rejoin AFTER the aggregation from the 50k-row sets table
+    # (broadcast-sized) instead of riding all ~66M match rows (guide
+    # §2.3, shuffle fewer bytes).
     agg = (
-        matches.groupBy("src_id", "dst_id")
+        matches.select(
+            "src_id", "dst_id",
+            F.col("__ps").cast("int").alias("__ps"),
+            F.col("__pd").cast("int").alias("__pd"))
+        .groupBy("src_id", "dst_id")
         .agg(F.count(F.lit(1)).alias("__csh"),
              F.min("__ps").alias("__ps1"),
-             F.min("__pd").alias("__pd1"),
-             F.first("__msrc").alias("__msrc"),
-             F.first("__mdst").alias("__mdst"))
+             F.min("__pd").alias("__pd1"))
+        # no broadcast hint: (id, m) is doc-count-sized — AQE broadcasts
+        # it at bench scale and keys a shuffle join at corpus scale
+        .join(sets.select(F.col("id").alias("src_id"),
+                          F.col("m").alias("__msrc")), "src_id")
+        .join(sets.select(F.col("id").alias("dst_id"),
+                          F.col("m").alias("__mdst")), "dst_id")
     )
     t_agg = F.ceil(F.lit(theta) * F.col("__msrc"))
     cand = agg.filter(
