@@ -2032,7 +2032,12 @@ def q_embed_documents(spark, sf_dir):
         "doc_id",
         F.round(F.element_at(v, 1).cast("double"), 6).alias("v0"),
         F.round(
-            F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)), 4
+            # widen before squaring (r6): the oracle squares the DOUBLE-
+            # widened float components; float32 squares differ by ~1e-8
+            # (the semantic_dedup sf0.1 boundary-miss class)
+            F.sqrt(F.aggregate(
+                v, F.lit(0.0),
+                lambda a, x: a + x.cast("double") * x.cast("double"))), 4
         ).alias("norm"),
     )
 
