@@ -280,7 +280,10 @@ def simhash_udf(text: pd.Series) -> pd.Series:
 def make_minhash_udf(num_perm: int = 128, k: int = 5):
     @F.pandas_udf(ArrayType(LongType()))
     def minhash_udf(text: pd.Series) -> pd.Series:
-        return text.map(lambda t: textstats.minhash_signature(t or "", num_perm, k))
+        # r6: whole-batch kernel (one concatenated hash stream + one
+        # minimum.reduceat per chunk), bit-identical to the scalar form
+        sigs = textstats.minhash_signatures_batch(text.tolist(), num_perm, k)
+        return pd.Series(list(sigs), index=text.index)
 
     return minhash_udf
 
@@ -288,7 +291,13 @@ def make_minhash_udf(num_perm: int = 128, k: int = 5):
 def make_minhash_bands_udf(bands: int = 16):
     @F.pandas_udf(ArrayType(LongType()))
     def bands_udf(sig: pd.Series) -> pd.Series:
-        return sig.map(lambda s: textstats.minhash_bands(list(s), bands))
+        import numpy as np
+
+        # r6: batched band hashing over the stacked signature matrix
+        keys = textstats._bandkeys_from_sigs(
+            np.stack([np.asarray(s, dtype=np.int64) for s in sig]), bands
+        ) if len(sig) else np.empty((0, bands), dtype=np.int64)
+        return pd.Series(list(keys), index=sig.index)
 
     return bands_udf
 
@@ -304,9 +313,9 @@ def make_minhash_bandkeys_udf(num_perm: int = 128, bands: int = 16):
 
     @F.pandas_udf(ArrayType(LongType()))
     def bandkeys_udf(text: pd.Series) -> pd.Series:
-        return text.map(
-            lambda t: textstats.minhash_bands(
-                textstats.minhash_signature(t or "", num_perm), bands))
+        # r6 second pass: whole-batch signature + band kernel
+        keys = textstats.minhash_bandkeys_batch(text.tolist(), num_perm, bands)
+        return pd.Series(list(keys), index=text.index)
 
     return bandkeys_udf.asNondeterministic()
 

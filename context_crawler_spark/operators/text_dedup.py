@@ -1020,6 +1020,19 @@ def _containment_pairs_from_sets(sets: DataFrame, theta: float) -> DataFrame:
                 F.col("m").alias("__msrc"), F.col("__r").alias("__ps"))
     )
     t_req = F.ceil(F.lit(theta) * F.col("__msrc"))
+    k_req = F.least(F.lit(2), t_req)
+    # r6 third pass: dst-side positional cut BEFORE the pair-count
+    # aggregation — keep only matches whose dst rank lies in dst's first
+    # m_dst - t + k positions. Lossless w.r.t. everything downstream:
+    # a qualifying pair (overlap >= t) has at most t - k shared grams
+    # beyond that bound (only t - k dst grams exist there), so >= k of
+    # its matches survive the cut (the csh >= k test is intact), and the
+    # globally-first shared gram — whose ranks are <= m - t + 1 on BOTH
+    # sides by pigeonhole — always survives, so min(__ps)/min(__pd)
+    # still witness the PPJoin positional bound. The src-side analogue is
+    # vacuous (prefix ranks are already <= m_src - t + k); the dst side
+    # is uniform over m_dst, so this halves the match stream feeding the
+    # aggregation exchange (guide §2.3).
     matches = (
         prefix.join(
             ranked.select(F.col("gram"), F.col("id").alias("dst_id"),
@@ -1028,7 +1041,8 @@ def _containment_pairs_from_sets(sets: DataFrame, theta: float) -> DataFrame:
             "gram",
         )
         .filter((F.col("src_id") != F.col("dst_id"))
-                & (F.col("__mdst") >= t_req))
+                & (F.col("__mdst") >= t_req)
+                & (F.col("__pd") <= F.col("__mdst") - t_req + k_req))
     )
     # one pair-keyed aggregation replaces the per-match positional filter:
     # count of shared prefix grams plus min ranks. Both docs rank their

@@ -227,3 +227,36 @@ def test_simhash64_batch_matches_scalar():
     got = ts.simhash64_batch(texts)
     want = np.array([ts.simhash64(t) for t in texts], dtype=np.int64)
     assert (got == want).all()
+
+
+def test_minhash_batch_matches_scalar():
+    """minhash_signatures_batch / minhash_bandkeys_batch (r6 whole-batch
+    kernels: one concatenated hash stream + minimum.reduceat per chunk,
+    Mersenne-61 shift-add reduction in place of the generic ``%``) must be
+    bit-identical to the scalar minhash_signature/minhash_bands chain on
+    every input shape: empty, None-like, sub-k, unicode, long
+    (chunk-boundary), repeated shingles."""
+    import random
+
+    import numpy as np
+
+    from context_crawler_spark.functions import textstats as ts
+
+    random.seed(1729)
+    vocab = ["alpha", "beta", "gamma", "päge", "x1", "the", "of", "zz"]
+    texts = ["", "   ", "ab", "abcd", "one two", "字符串文本", "a" * 5000]
+    texts += [
+        " ".join(random.choice(vocab) for _ in range(random.randint(0, 120)))
+        for _ in range(300)
+    ]
+    sigs = ts.minhash_signatures_batch(texts, 128)
+    assert sigs.dtype == np.int64 and sigs.shape == (len(texts), 128)
+    for i, t in enumerate(texts):
+        assert sigs[i].tolist() == ts.minhash_signature(t, 128), t
+    keys = ts.minhash_bandkeys_batch(texts, 128, 16)
+    for i, t in enumerate(texts):
+        want = ts.minhash_bands(ts.minhash_signature(t, 128), 16)
+        assert keys[i].tolist() == want, t
+    # the sig->bands helper used by make_minhash_bands_udf
+    from_sigs = ts._bandkeys_from_sigs(sigs, 16)
+    assert (from_sigs == keys).all()
