@@ -285,3 +285,61 @@ def test_ledger_rows_are_json_safe():
     assert rt == row
     assert json.loads(rt["tables"]) == {"t": {"snap": 5}}
     assert json.loads(rt["metadata"])["fetched_total"] == 7
+
+
+# ------------------------------------------------------- crash injection
+
+def test_crash_windows_leave_orphans_invisible_and_resume_clean(spark, tmp_path):
+    """VERDICT r5 #4 fallback: the parquet store's one safety argument is
+    that the atomic HEAD-pointer flip is the ONLY commit point. Simulate
+    the two crash windows of ``commit()`` — (A) data dirs written but no
+    manifest, (B) data dirs AND manifest written but HEAD never flipped —
+    and assert that in both windows the orphans are invisible at HEAD, a
+    fresh store over the same root resumes cleanly, a re-driven commit
+    converges to the exact state an uninterrupted run reaches, and
+    ``expire_orphans`` removes exactly the crashed dirs."""
+    root = str(tmp_path / "crash")
+    store = SnapshotStore(root)
+    df = lambda v: spark.createDataFrame([(1, v)], "id long, v string")  # noqa: E731
+    store.commit({"t": df("a")})
+    store.commit({"t": df("b")})
+    assert store.head_id() == 1
+
+    def vals(st, sid=None):
+        return sorted(r["v"] for r in st.read(spark, "t", sid).collect())
+
+    # -- window A: data written, crash before the manifest existed
+    orphan_a = os.path.join(root, "data", "t", "v99-crasha")
+    df("ORPHAN-A").write.parquet(orphan_a)
+    assert store.head_id() == 1 and vals(store) == ["b"]
+    resumed = SnapshotStore(root)  # fresh process over the same root
+    assert resumed.head_id() == 1 and vals(resumed) == ["b"]
+    assert resumed.expire_orphans() == 1  # exactly the crashed dir
+    assert not os.path.exists(orphan_a)
+    assert vals(resumed) == ["b"] and vals(resumed, 0) == ["a"]
+
+    # -- window B: data + manifest written, crash before the HEAD flip
+    orphan_b = os.path.join("data", "t", "v2-crashb")
+    df("ORPHAN-B").write.parquet(os.path.join(root, orphan_b))
+    crashed = {
+        "snapshot_id": 2, "parent_id": 1, "tables": {"t": orphan_b},
+        "metadata": {"committed_at": 0.0}, "tag": "crashed",
+    }
+    with open(os.path.join(root, "manifests", "2.json"), "w") as f:
+        json.dump(crashed, f)
+    # HEAD never moved: the crashed snapshot is not the current state
+    resumed2 = SnapshotStore(root)
+    assert resumed2.head_id() == 1 and vals(resumed2) == ["b"]
+    # resume: the next real commit reuses id 2, SHADOWING the crashed
+    # manifest (same replay rule the Ledger pins), and flips HEAD once
+    snap = resumed2.commit({"t": df("c")}, tag="real")
+    assert snap.snapshot_id == 2 and resumed2.head_id() == 2
+    assert vals(resumed2) == ["c"]
+    assert resumed2.snapshot(2).tag == "real"
+    # the crashed dir is now unreachable from any manifest -> GC'd
+    assert resumed2.expire_orphans() == 1
+    assert not os.path.exists(os.path.join(root, orphan_b))
+    # full history intact and readable after both crashes + GC
+    assert [s.snapshot_id for s in resumed2.snapshots()] == [0, 1, 2]
+    assert vals(resumed2, 0) == ["a"] and vals(resumed2, 1) == ["b"]
+    assert vals(resumed2, 2) == ["c"]
