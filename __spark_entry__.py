@@ -717,7 +717,10 @@ def q_exact_dedup(spark, sf_dir):
     """Exact content dedup: keep min doc_id per normalized text."""
     from context_crawler_spark.operators.text_dedup import exact_dedup
 
-    d = _tp(spark, sf_dir, "documents")
+    # _tp reverted (r6 closing A/B): the md5-digest projection is too
+    # cheap to repay the repartition exchange — warm 0.78-1.03 s direct
+    # vs 1.28-1.76 s with _tp at sf1.0 (sf0.1: 0.25 vs 0.90)
+    d = _t(spark, sf_dir, "documents")
     return exact_dedup(d).select("doc_id")
 
 
@@ -756,7 +759,10 @@ def q_connected_components(spark, sf_dir):
 
 def q_text_stats(spark, sf_dir):
     """Cheap quality features as pure built-ins (C4/Gopher-style gates)."""
-    d = _tp(spark, sf_dir, "documents")
+    # _tp reverted (r6 closing A/B): three regex/split projections are
+    # cheaper than the repartition exchange — warm 2.2-2.6 s direct vs
+    # 3.0-3.3 s with _tp at sf1.0
+    d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.size(F.split(F.trim("text"), r"\s+")).alias("n_words"),
@@ -2444,7 +2450,11 @@ def q_dust_rules(spark, sf_dir):
     distinct-group support."""
     from context_crawler_spark.operators.dust import dust_rules
 
-    d = _tp(spark, sf_dir, "documents")
+    # _tp reverted (r6 closing A/B): URL synthesis + parse is all cheap
+    # string expressions; the self-join's own exchange already spreads
+    # the work — warm 1.56-1.84 s direct vs 2.25-2.39 s with _tp at
+    # sf1.0 (sf0.1: 0.85 vs 1.85)
+    d = _t(spark, sf_dir, "documents")
     gid = F.floor(F.col("doc_id") / 3)
     r = F.col("doc_id") % 3
     sess = F.when(gid % 4 == 0, F.lit("ref")).otherwise(F.lit("sid"))
